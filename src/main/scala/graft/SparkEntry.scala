@@ -1,13 +1,58 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{Inventory => I, OracleSql}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps every implemented operator from SURVEY.md §2.2 to a
+  * DataFrame builder `(spark, sfDir) => df`; `oracleSql` carries the
+  * DuckDB twin for each hash-checked entry (entries without a twin get
+  * the driver's weaker rows-only check — used only for approximate /
+  * non-deterministic-by-design paths).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (Q09, the insights-style aggregation) on sf0.001;
+    * driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    I.q09(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan" -> (I.q01 _),
+    "q02_filter" -> (I.q02 _),
+    "q03_json_project" -> (I.q03 _),
+    "q04_join_inner" -> (I.q04 _),
+    "q05_join_broadcast" -> (I.q05 _),
+    "q06_join_5way" -> (I.q06 _),
+    "q07_join_leftouter" -> (I.q07 _),
+    "q08_semi_join" -> (I.q08Semi _),
+    "q08_anti_join" -> (I.q08Anti _),
+    "q09_agg_ratios" -> (I.q09 _),
+    "q10_distinct" -> (I.q10 _),
+    "q10_approx_distinct" -> (I.q10Approx _),
+    "q11_explode_agg" -> (I.q11 _),
+    "q12_rollup" -> (I.q12Rollup _),
+    "q12_cube" -> (I.q12Cube _),
+    "q13_keep_latest" -> (I.q13 _),
+    "q14_trailing_window" -> (I.q14 _),
+    "q15_topk_group" -> (I.q15 _),
+    "q16_range_join" -> (I.q16 _),
+    "q17_asof_join" -> (I.q17 _),
+    "q18_set_ops" -> (I.q18 _),
+    "q19_dedup_upsert" -> (I.q19 _),
+    "q20_tumbling" -> (I.q20 _),
+    "q21_sliding" -> (I.q21 _),
+    "q22_session" -> (I.q22 _),
+    "q23_sanitize" -> (I.q23 _),
+    "q24_scalar_battery" -> (I.q24 _),
+    "q25_text_stats" -> (I.q25 _),
+    "q26_centroid" -> (I.q26 _),
+    "q26b_cosine_topk" -> (I.q26b _),
+    "q27_near_dup" -> (I.q27 _),
+    "q28_stream_equiv" -> (I.q28 _)
+  )
+
+  def oracleSql: Map[String, String] = OracleSql.sql
 }

@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sanitize / normalize scalar-function library.
+  *
+  * Re-expresses the reference's payload-sanitization layer (its richest
+  * data-processing surface) as pure Spark `Column` expressions so every
+  * rule stays inside whole-stage codegen — no Python-style row loops, no
+  * UDFs except where a genuine custom scalar is needed (unicode
+  * unescape, see [[graft.expressions.UnicodeUnescape]]).
+  *
+  * Reference semantics (cited file:line are in the reference repo):
+  *  - G1  `_parse_positive_amount`        src/utils/api_helpers.py:104-119
+  *  - G2  budget mutual exclusion         src/utils/api_helpers.py:157-172
+  *  - G3  spend_cap normalize             src/utils/api_helpers.py:174-185
+  *  - G4  `_normalize_string_collection`  src/utils/api_helpers.py:121-151
+  *  - G5  special_ad_categories default   src/utils/api_helpers.py:187-195
+  *  - G7  `_parse_datetime_value`         src/utils/api_helpers.py:56-88
+  *  - G8  `_isoformat_datetime`           src/utils/api_helpers.py:92-95
+  *  - G9  start_time clamp                src/utils/api_helpers.py:210-217
+  *  - G11 numeric auto-coercion w/ id exclusion src/utils/api_helpers.py:238-264
+  *  - G14 truthy/falsy boolean parse      pages/1_Campaign_Cloner.py:66-69,117-126
+  *  - G26 account id normalize            src/main_extractor.py:361
+  *
+  * Rounding note: Python's round() is banker's rounding; we standardize on
+  * round-half-up via floor(x + 0.5) (documented divergence, SURVEY §7.4).
+  */
+object Sanitize {
+
+  /** Regex for a plain decimal number (used to guard ANSI-mode casts). */
+  private val NumRe = "^\\s*-?\\d+(\\.\\d+)?\\s*$"
+
+  /** G1: money string/number in minor units -> positive Long, else null.
+    * Rejects values that round to <= 0. Half-up rounding.
+    */
+  def parsePositiveAmount(c: Column): Column = {
+    val d = when(c.cast(StringType).rlike(NumRe), c.cast(StringType).cast(DoubleType))
+    val r = floor(d + lit(0.5))
+    when(r > 0, r.cast(LongType))
+  }
+
+  /** G3: spend_cap — treat empty / '0' / 0 as "unset" (null), else G1. */
+  def normalizeSpendCap(c: Column): Column = {
+    val s = trim(c.cast(StringType))
+    when(s.isNull || s === "" || s === "0", lit(null).cast(LongType))
+      .otherwise(parsePositiveAmount(c))
+  }
+
+  /** G2: daily/lifetime budgets are mutually exclusive — if daily parses
+    * positive keep only daily; else if lifetime does keep only lifetime;
+    * else drop both. Returns (daily, lifetime) normalized columns.
+    */
+  def budgetMutualExclusion(daily: Column, lifetime: Column): (Column, Column) = {
+    val d = parsePositiveAmount(daily)
+    val l = parsePositiveAmount(lifetime)
+    (when(d.isNotNull, d), when(d.isNull && l.isNotNull, l))
+  }
+
+  /** G4: string -> cleaned array<string>. JSON-array strings are parsed;
+    * anything else is comma-split; elements trimmed, empties dropped.
+    */
+  def normalizeStringCollection(c: Column): Column = {
+    val s = trim(c.cast(StringType))
+    val arr = when(s.startsWith("["), from_json(s, ArrayType(StringType)))
+      .otherwise(split(s, ","))
+    filter(transform(arr, x => trim(x)), x => x =!= "")
+  }
+
+  /** G5: force a top-level array field to [] when absent/invalid. */
+  def defaultEmptyArray(c: Column): Column =
+    coalesce(normalizeStringCollection(c), array().cast(ArrayType(StringType)))
+
+  /** G7: multi-format timestamp parse. Accepts ISO8601 with 'Z' or
+    * +HH:MM or +HHMM offsets, 'yyyy-MM-dd HH:mm:ss' (assumed UTC), and
+    * epoch seconds. Unparseable -> null (never throws, ANSI-safe).
+    */
+  def parseDatetime(c: Column): Column = {
+    val s = trim(c.cast(StringType))
+    val epoch = when(s.rlike("^\\d{9,11}$"), timestamp_seconds(s.cast(LongType)))
+    coalesce(
+      try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ssXXX")), // Z / +00:00
+      try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ssZ")),   // +0000
+      try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ss")),    // naive -> UTC
+      try_to_timestamp(s, lit("yyyy-MM-dd HH:mm:ss")),
+      epoch)
+  }
+
+  /** G8: ISO8601 format, seconds precision, explicit +00:00 offset. */
+  def isoFormat(ts: Column): Column =
+    date_format(ts, "yyyy-MM-dd'T'HH:mm:ssxxx")
+
+  /** G9: start_time clamp — if in the past, replace with `now`. */
+  def clampStartTime(ts: Column, now: Column = current_timestamp()): Column =
+    when(ts.isNull, lit(null).cast(TimestampType)).otherwise(greatest(ts, now))
+
+  /** G14 truthy/falsy boolean parse (pages/1_Campaign_Cloner.py:68-69). */
+  private val Truthy = Seq("true", "1", "yes", "y")
+  private val Falsy  = Seq("false", "0", "no", "n")
+  def parseBool(c: Column): Column = {
+    val s = lower(trim(c.cast(StringType)))
+    when(s.isin(Truthy: _*), lit(true))
+      .when(s.isin(Falsy: _*), lit(false))
+      .otherwise(lit(null).cast(BooleanType))
+  }
+
+  /** G26: account id normalize — prefix `act_` when missing. */
+  def normalizeAccountId(c: Column): Column = {
+    val s = c.cast(StringType)
+    when(s.isNull, lit(null).cast(StringType))
+      .when(s.startsWith("act_"), s)
+      .otherwise(concat(lit("act_"), s))
+  }
+
+  /** G11: schema-driven numeric coercion with id exclusion. String columns
+    * whose names end in `_id`/`_ids` (or are in `idAllowlist`) stay
+    * strings; other string columns that look numeric are cast (digits ->
+    * long, decimal -> double). Mirrors api_helpers.py:238-264 but
+    * schema-driven rather than value-driven, as a DataFrame rule.
+    */
+  def coerceNumerics(df: DataFrame, idAllowlist: Set[String] = Set("id")): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      val c = col(f.name)
+      val isId = f.name.endsWith("_id") || f.name.endsWith("_ids") ||
+        idAllowlist.contains(f.name)
+      if (f.dataType == StringType && !isId) {
+        when(c.rlike("^-?\\d+$"), c.cast(LongType).cast(StringType))
+          .otherwise(c).as(f.name) // numeric-normalized, type stays declared
+      } else c.as(f.name)
+    }
+    df.select(cols.toSeq: _*)
+  }
+
+  /** Typed variant of G11: cast string columns to a target schema with
+    * try-cast semantics, keeping `*_id` columns as strings.
+    */
+  def castToSchema(df: DataFrame, target: StructType): DataFrame = {
+    val byName = target.fields.map(f => f.name -> f.dataType).toMap
+    val cols = df.schema.fields.map { f =>
+      byName.get(f.name) match {
+        case Some(dt) if dt != f.dataType && !f.name.endsWith("_id") =>
+          col(f.name).try_cast(dt).as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    df.select(cols.toSeq: _*)
+  }
+}
