@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Inventory => I, OracleSql}
+import graft.queries.{Extras => X, ExtrasOracle, Inventory => I, OracleSql}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -51,8 +51,22 @@ object SparkEntry {
     "q26_centroid" -> (I.q26 _),
     "q26b_cosine_topk" -> (I.q26b _),
     "q27_near_dup" -> (I.q27 _),
-    "q28_stream_equiv" -> (I.q28 _)
+    "q28_stream_equiv" -> (I.q28 _),
+    // LLM-training-data pipeline extras (see queries/Extras.scala)
+    "q26_centroid_agg" -> (X.q26CentroidAgg _),
+    "x01_dedup_exact" -> (X.x01DedupExact _),
+    "x02_dedup_minhash_lsh" -> (X.x02DedupMinhashLsh _),
+    "x03_dedup_simhash" -> (X.x03DedupSimhash _),
+    "x04_ngram_jaccard" -> (X.x04NgramJaccard _),
+    "x05_ann_brute" -> (X.x05AnnBrute _),
+    "x06_ann_lsh" -> (X.x06AnnLsh _),
+    "x07_lang_id" -> (X.x07LangId _),
+    "x08_quality_score" -> (X.x08QualityScore _),
+    "x09_token_count" -> (X.x09TokenCount _),
+    "x10_fingerprint" -> (X.x10Fingerprint _),
+    "x11_multimodal" -> (X.x11Multimodal _),
+    "x12_embed_neardup" -> (X.x12EmbedNearDup _)
   )
 
-  def oracleSql: Map[String, String] = OracleSql.sql
+  def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql
 }

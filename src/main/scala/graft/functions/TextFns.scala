@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis primitives for the training-data pipeline operators
+  * (dedup, language-ID, quality scoring, token counting,
+  * fingerprinting). Everything is a plain Column expression so it
+  * stays inside whole-stage codegen, and every hash is *portable*:
+  * derived from md5 hex (identical in Spark and DuckDB) rather than
+  * engine-specific hash functions, so the oracle can recompute it.
+  */
+object TextFns {
+
+  /** Modulus for portable token hashing (fits products with small
+    * multipliers in int64 — no ANSI overflow).
+    */
+  val HashMod = 1000000007L
+
+  /** Whitespace tokenizer (the testdata's documents are single-space
+    * separated word tokens).
+    */
+  def tokenize(c: Column): Column = split(c, " ")
+
+  /** Portable 60-bit token hash: first 15 hex chars of md5, as a long,
+    * reduced mod [[HashMod]]. DuckDB twin:
+    * `CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 1000000007`.
+    */
+  def tokHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType) % HashMod
+
+  /** BPE-ish token regex: letter runs, digit runs, single other chars. */
+  val TokenRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** Count of tokens from `toks` that appear in `set`. */
+  def markerCount(toksCol: String, set: Seq[String]): Column = {
+    val inList = set.map(s => s"'$s'").mkString(", ")
+    expr(s"CAST(size(filter($toksCol, t -> t IN ($inList))) AS BIGINT)")
+  }
+
+  /** Stopword list used by the quality score (arbitrary but fixed). */
+  val Stopwords = Seq("a", "the", "of", "and")
+
+  /** Language marker sets for the n-gram/stopword language-ID
+    * heuristic. (The synthetic corpus shares one vocabulary, so this
+    * demonstrates the operator shape; real marker sets plug in the
+    * same way.)
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("el", "la", "los"),
+    "de" -> Seq("der", "die", "das"),
+    "fr" -> Seq("le", "les", "une"),
+    "zh" -> Seq("de5", "shi4", "le5"))
+}

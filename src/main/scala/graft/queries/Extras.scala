@@ -1,0 +1,342 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.Multimodal
+import Inventory.{t, cnt, dsum}
+
+/** LLM-training-data pipeline operators beyond the reference's own
+  * surface (BASELINE.json north star): deduplication (exact, MinHash/
+  * LSH, SimHash, n-gram Jaccard, embedding near-dup), similarity
+  * search (brute-force + LSH-bucketed ANN), text analysis (language
+  * ID, quality scoring, token counting, fingerprinting), and
+  * multimodal binary-column plumbing.
+  *
+  * Design rule for 100 TB: **no all-pairs stage is ever a cross
+  * join**. Candidate pairs only materialize through an index the
+  * engine can shuffle on — shared token, MinHash band signature, or
+  * LSH bucket — and the exact verification (Jaccard / cosine) runs on
+  * candidates only. The brute-force forms (x05, Q26b) are probe-vs-all:
+  * a broadcast probe against one scan, which scales linearly.
+  *
+  * All hashes are portable (md5-derived, [[TextFns.tokHash]]) so every
+  * query here has an exact DuckDB oracle twin ([[ExtrasOracle]]).
+  */
+object Extras {
+
+  /** MinHash permutations: (j, a, b) for h_j(x) = (a*x + b) mod P.
+    * 16 hashes banded 4×4 → candidate recall ~ 1-(1-J^4)^4.
+    */
+  val Perms: Seq[(Int, Long, Long)] =
+    Seq.tabulate(16)(j => (j, 1000003L + 97L * j, 271L + 7919L * j))
+
+  val MinhashJaccardThreshold = 0.7
+  val NgramJaccardThreshold = 0.5
+  val EmbedCosThreshold = 0.3
+
+  private val P = TextFns.HashMod
+
+  /** Distinct (doc_id, tok) pairs — the token index every dedup path
+    * shares. At scale this is the one shuffle all candidates flow
+    * through.
+    */
+  private def tokIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", explode(TextFns.tokenize($"text")).as("tok"))
+      .distinct()
+  }
+
+  /** embeddings as (vec_id, v: array<double>). */
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "embeddings")
+      .select($"vec_id", VectorFns.asDoubleArray("embedding").as("v"))
+  }
+
+  /** Exact Jaccard over a candidate-pair set (candidate-driven: only
+    * candidate pairs re-expand through the token index).
+    */
+  private def verifyJaccard(s: SparkSession, cand: DataFrame, toks: DataFrame,
+      threshold: Double): DataFrame = {
+    import s.implicits._
+    val sz = toks.groupBy($"doc_id").agg(cnt.as("sz"))
+    val inter = cand
+      .join(toks.as("ta"), $"d1" === $"ta.doc_id")
+      .join(toks.as("tb"), $"d2" === $"tb.doc_id" && $"ta.tok" === $"tb.tok")
+      .groupBy($"d1", $"d2").agg(cnt.as("inter"))
+    inter
+      .join(sz.select($"doc_id".as("d1"), $"sz".as("sz1")), Seq("d1"))
+      .join(sz.select($"doc_id".as("d2"), $"sz".as("sz2")), Seq("d2"))
+      .withColumn("jaccard", $"inter".cast(DoubleType) / ($"sz1" + $"sz2" - $"inter"))
+      .filter($"jaccard" >= threshold)
+      .select($"d1", $"d2", $"jaccard")
+      .orderBy($"d1", $"d2")
+  }
+
+  /** Random-hyperplane LSH buckets: sign bits of the dot product
+    * against 8 fixed planes (vectors 1..8 of the table itself, so the
+    * oracle shares them). One broadcast of 8 planes + one scan.
+    */
+  private def lshBuckets(e: DataFrame): DataFrame = {
+    val planes = e.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("j"), col("v").as("p"))
+    e.crossJoin(broadcast(planes))
+      .withColumn("dot", VectorFns.dotDec("v", "p"))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("dot") > 0.0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(j - 1 AS INT))"))
+        .otherwise(lit(0L))).as("bucket"))
+  }
+
+  // ---------------------------------------------------------------- dedup family
+
+  /** x01 — exact dedup: hash-groupBy on content (keep-min-id policy). */
+  def x01DedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .groupBy(md5($"text").as("h"))
+      .agg(cnt.as("n_dups"), min($"doc_id").as("keeper"))
+      .orderBy($"h")
+  }
+
+  /** x02 — MinHash + LSH banded near-dup: token hash → 16 min-hashes →
+    * 4 band signatures → bucket-join for candidates → exact Jaccard
+    * verify ≥ 0.7. The scale path for Q27: candidate volume is bounded
+    * by band collisions, never |docs|².
+    */
+  def x02DedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = tokIndex(s, dir)
+    val th = toks.withColumn("th", TextFns.tokHash($"tok"))
+    val perms = s.createDataFrame(Perms).toDF("j", "a", "b")
+    val mh = th.crossJoin(broadcast(perms))
+      .groupBy($"doc_id", $"j")
+      .agg(min(($"a" * $"th" + $"b") % P).as("mh"))
+    val sigs = mh.withColumn("band", floor($"j" / 4).cast(LongType))
+      .groupBy($"doc_id", $"band")
+      .agg(concat_ws("-",
+        max(when($"j" % 4 === 0, $"mh")).cast(StringType),
+        max(when($"j" % 4 === 1, $"mh")).cast(StringType),
+        max(when($"j" % 4 === 2, $"mh")).cast(StringType),
+        max(when($"j" % 4 === 3, $"mh")).cast(StringType)).as("sig"))
+    val cand = sigs.as("x").join(sigs.as("y"),
+        $"x.band" === $"y.band" && $"x.sig" === $"y.sig" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2")).distinct()
+    verifyJaccard(s, cand, toks, MinhashJaccardThreshold)
+  }
+
+  /** x03 — SimHash signatures: 32-bit sign-of-weighted-bits over token
+    * hashes. Near-dups share signatures (or low Hamming distance);
+    * grouping by signature is a pure hash-shuffle at any scale.
+    */
+  def x03DedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val th = tokIndex(s, dir).withColumn("th", TextFns.tokHash($"tok"))
+    val bits = th
+      .select($"doc_id", $"th", explode(sequence(lit(0), lit(31))).as("bit"))
+      .groupBy($"doc_id", $"bit")
+      .agg(sum(expr("(shiftright(th, CAST(bit AS INT)) & CAST(1 AS BIGINT)) * 2 - 1")).as("s"))
+    bits.groupBy($"doc_id")
+      .agg(sum(when($"s" > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
+        .otherwise(0L)).cast(LongType).as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  /** x04 — n-gram (3-token shingle) Jaccard near-dup ≥ 0.5: stricter
+    * than token-set Jaccard (order-sensitive), same shared-shingle
+    * candidate join — no cartesian.
+    */
+  def x04NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = t(s, dir, "documents")
+      .withColumn("toks", TextFns.tokenize($"text"))
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(toks) - 2), i -> concat_ws(' '," +
+          " element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2)))"))
+        .as("tok"))
+      .distinct()
+    val pairs = sh.as("a").join(sh.as("b"),
+        $"a.tok" === $"b.tok" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2")).distinct()
+    verifyJaccard(s, pairs, sh, NgramJaccardThreshold)
+  }
+
+  /** x12 — embedding-cosine near-dup, LSH-bucketed: candidates share an
+    * 8-bit hyperplane bucket; exact decimal cosine ≥ 0.3 verifies.
+    * (The synthetic embeddings are near-orthogonal, so few/no rows is
+    * the honest answer — the oracle checks the same bucketed set.)
+    */
+  def x12EmbedNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val b = lshBuckets(e)
+    val pairs = b.as("x").join(b.as("y"),
+        $"x.bucket" === $"y.bucket" && $"x.vec_id" < $"y.vec_id")
+      .select($"x.vec_id".as("d1"), $"y.vec_id".as("d2"))
+    val ev = e.withColumn("nn", VectorFns.dotDec("v", "v"))
+    pairs
+      .join(ev.select($"vec_id".as("d1"), $"v".as("v1"), $"nn".as("n1")), Seq("d1"))
+      .join(ev.select($"vec_id".as("d2"), $"v".as("v2"), $"nn".as("n2")), Seq("d2"))
+      .withColumn("cosine", VectorFns.dotDec("v1", "v2") / (sqrt($"n1") * sqrt($"n2")))
+      .filter($"cosine" >= EmbedCosThreshold)
+      .select($"d1", $"d2", $"cosine")
+      .orderBy($"d1", $"d2")
+  }
+
+  // ---------------------------------------------------------------- similarity search
+
+  /** x05 — brute-force ANN baseline: cosine top-3 for each of 10 probe
+    * vectors. Probes broadcast; one scan of the corpus — linear.
+    */
+  def x05AnnBrute(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val probes = e.filter($"vec_id" < 10).select($"vec_id".as("p_id"), $"v".as("p"))
+    val scored = e.crossJoin(broadcast(probes))
+      .filter($"vec_id" =!= $"p_id")
+      .withColumn("dot", VectorFns.dotDec("v", "p"))
+      .withColumn("n1", VectorFns.dotDec("v", "v"))
+      .withColumn("n2", VectorFns.dotDec("p", "p"))
+      .withColumn("cosine", $"dot" / (sqrt($"n1") * sqrt($"n2")))
+    val w = Window.partitionBy($"p_id").orderBy($"cosine".desc, $"vec_id")
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter($"rank" <= 3)
+      .select($"p_id", $"vec_id", $"cosine", $"rank")
+      .orderBy($"p_id", $"rank")
+  }
+
+  /** x06 — LSH-bucketed ANN (the scale path): probe only scores
+    * vectors in its own hyperplane bucket (expected corpus/2^bits of
+    * the data) instead of the full corpus.
+    */
+  def x06AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val b = lshBuckets(e)
+    val pb = b.filter($"vec_id" === 0).select($"bucket".as("pbucket"))
+    val cand = b.join(broadcast(pb), $"bucket" === $"pbucket")
+      .filter($"vec_id" =!= 0).select($"vec_id")
+    val probe = e.filter($"vec_id" === 0).select($"v".as("p"))
+    e.join(cand, Seq("vec_id"))
+      .crossJoin(broadcast(probe))
+      .withColumn("dot", VectorFns.dotDec("v", "p"))
+      .withColumn("n1", VectorFns.dotDec("v", "v"))
+      .withColumn("n2", VectorFns.dotDec("p", "p"))
+      .select($"vec_id", ($"dot" / (sqrt($"n1") * sqrt($"n2"))).as("cosine"))
+      .orderBy($"cosine".desc, $"vec_id")
+      .limit(3)
+  }
+
+  // ---------------------------------------------------------------- text analysis
+
+  /** x07 — language ID via marker-token counts (n-gram heuristic
+    * shape; real marker sets drop in unchanged).
+    */
+  def x07LangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val names = TextFns.LangMarkers.map { case (l, _) => s"s_$l" }
+    var d = t(s, dir, "documents").withColumn("toks", TextFns.tokenize($"text"))
+    TextFns.LangMarkers.foreach { case (l, markers) =>
+      d = d.withColumn(s"s_$l", TextFns.markerCount("toks", markers))
+    }
+    val Seq(en, es, de, fr, zh) = names.map(col)
+    d.withColumn("predicted",
+        when(en > 0 && en >= es && en >= de && en >= fr && en >= zh, "en")
+          .when(es > 0 && es >= de && es >= fr && es >= zh, "es")
+          .when(de > 0 && de >= fr && de >= zh, "de")
+          .when(fr > 0 && fr >= zh, "fr")
+          .when(zh > 0, "zh")
+          .otherwise("und"))
+      .select(($"doc_id" +: $"lang" +: names.map(col) :+ $"predicted"): _*)
+      .orderBy($"doc_id")
+  }
+
+  /** x08 — quality scoring: length / stopword-ratio / token-shape
+    * features combined into a bounded [0,1] score.
+    */
+  def x08QualityScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stop = TextFns.Stopwords
+    val b = t(s, dir, "documents")
+      .withColumn("toks", TextFns.tokenize($"text"))
+      .select($"doc_id",
+        size($"toks").cast(LongType).as("n_toks"),
+        length($"text").cast(LongType).as("len"),
+        TextFns.markerCount("toks", stop).as("n_stop"))
+    b.select($"doc_id", $"n_toks",
+        (($"len".cast(DoubleType) - ($"n_toks" - 1)) / $"n_toks").as("avg_tok_len"),
+        ($"n_stop".cast(DoubleType) / $"n_toks").as("stop_ratio"),
+        (lit(0.4) * least($"n_toks" / 100.0, lit(1.0)) +
+          lit(0.3) * (lit(1.0) - $"n_stop".cast(DoubleType) / $"n_toks") +
+          lit(0.3) * least((($"len".cast(DoubleType) - ($"n_toks" - 1)) / $"n_toks") / 8.0,
+            lit(1.0))).as("score"))
+      .orderBy($"doc_id")
+  }
+
+  /** x09 — token counting: whitespace tokens + BPE-ish regex tokens. */
+  def x09TokenCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id",
+        size(TextFns.tokenize($"text")).cast(LongType).as("ws_tokens"),
+        expr(s"CAST(size(regexp_extract_all(text, '${TextFns.TokenRe}', 0)) AS BIGINT)")
+          .as("re_tokens"),
+        ($"n_chars".cast(DoubleType) / size(TextFns.tokenize($"text")))
+          .as("chars_per_token"))
+      .orderBy($"doc_id")
+  }
+
+  /** x10 — document fingerprinting: md5 of the leading 8-token shingle
+    * + a positional rolling-style hash (portable arithmetic).
+    */
+  def x10Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents").withColumn("toks", TextFns.tokenize($"text"))
+    val pos = d.select($"doc_id", posexplode($"toks").as(Seq("pos0", "tok")))
+    val term = pos.select($"doc_id",
+      ((conv(substring(md5($"tok"), 1, 15), 16, 10).cast(LongType) % 1000000L) *
+        when(pmod($"pos0", lit(4)) === 0, 1L)
+          .when(pmod($"pos0", lit(4)) === 1, 31L)
+          .when(pmod($"pos0", lit(4)) === 2, 961L)
+          .otherwise(29791L)).as("v"))
+    val roll = term.groupBy($"doc_id").agg((sum($"v") % lit(1000000007L)).as("rolling"))
+    d.select($"doc_id", md5(concat_ws(" ", slice($"toks", 1, 8))).as("fp8"))
+      .join(roll, Seq("doc_id"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------- multimodal
+
+  /** x11 — multimodal binary-column plumbing: documents → binary assets
+    * → partition-mapped (stub) decode → typed features. See
+    * [[graft.operators.Multimodal]].
+    */
+  def x11Multimodal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Multimodal.extractFeatures(t(s, dir, "documents"))
+      .toDF()
+      .select($"doc_id", $"mime", $"byte_len", $"content_hash",
+        $"fake_width", $"fake_height")
+      .orderBy($"doc_id")
+  }
+
+  /** q26 Aggregator twin — typed [[VectorFns.CentroidAgg]] centroid
+    * (float-sum order differs by design → rows-only check; the
+    * decimal-exact Q26 is the hash-checked form).
+    */
+  def q26CentroidAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val centroid = VectorFns.centroidUdaf
+    t(s, dir, "embeddings")
+      .groupBy($"label")
+      .agg(centroid(col("embedding")).as("c"))
+      .select($"label", posexplode($"c").as(Seq("pos", "centroid")))
+      .select($"label", ($"pos" + 1).cast(LongType).as("dim"), $"centroid")
+      .orderBy($"label", $"dim")
+  }
+}

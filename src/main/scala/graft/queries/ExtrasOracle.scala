@@ -1,0 +1,211 @@
+package graft.queries
+
+/** DuckDB oracle twins for [[Extras]]. Shares the constants (MinHash
+  * permutations, thresholds, hash modulus) with the Spark side so the
+  * two can never drift.
+  */
+object ExtrasOracle {
+
+  private val P = graft.functions.TextFns.HashMod
+  private val permsValues = Extras.Perms
+    .map { case (j, a, b) => s"($j, $a, $b)" }.mkString(", ")
+
+  /** Portable token hash, DuckDB form. */
+  private val TH = s"CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % $P"
+
+  /** Exact decimal dot product over duckdb list columns a·b (64 dims),
+    * VARCHAR-routed for bit parity with Spark (see OracleSql notes).
+    */
+  private def dot(a: String, b: String): String =
+    s"CAST(CAST(SUM(CAST(CAST(CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE) AS VARCHAR)" +
+      s" AS DECIMAL(30,20))) AS VARCHAR) AS DOUBLE)"
+
+  val sql: Map[String, String] = Map(
+    "x01_dedup_exact" ->
+      """SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS n_dups,
+        |  MIN(doc_id) AS keeper
+        |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+
+    "x02_dedup_minhash_lsh" ->
+      s"""WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |th AS (SELECT doc_id, $TH AS th FROM toks),
+         |perms(j, a, b) AS (VALUES $permsValues),
+         |mh AS (SELECT doc_id, j, MIN((a*th + b) % $P) AS mh
+         |  FROM th, perms GROUP BY doc_id, j),
+         |sigs AS (SELECT doc_id, j // 4 AS band, CONCAT_WS('-',
+         |    CAST(MAX(CASE WHEN j % 4 = 0 THEN mh END) AS VARCHAR),
+         |    CAST(MAX(CASE WHEN j % 4 = 1 THEN mh END) AS VARCHAR),
+         |    CAST(MAX(CASE WHEN j % 4 = 2 THEN mh END) AS VARCHAR),
+         |    CAST(MAX(CASE WHEN j % 4 = 3 THEN mh END) AS VARCHAR)) AS sig
+         |  FROM mh GROUP BY doc_id, j // 4),
+         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM sigs x JOIN sigs y
+         |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM toks GROUP BY 1),
+         |inter AS (SELECT d1, d2, CAST(COUNT(*) AS BIGINT) AS inter
+         |  FROM cand JOIN toks ta ON ta.doc_id = d1
+         |            JOIN toks tb ON tb.doc_id = d2 AND ta.tok = tb.tok
+         |  GROUP BY d1, d2)
+         |SELECT d1, d2, CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) AS jaccard
+         |FROM inter JOIN sz sa ON sa.doc_id = d1 JOIN sz sb ON sb.doc_id = d2
+         |WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= ${Extras.MinhashJaccardThreshold}
+         |ORDER BY d1, d2""".stripMargin,
+
+    "x03_dedup_simhash" ->
+      s"""WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |th AS (SELECT doc_id, $TH AS th FROM toks),
+         |bits AS (SELECT doc_id, bit, SUM(((th >> bit) & 1)*2 - 1) AS s
+         |  FROM th, generate_series(0, 31) t(bit) GROUP BY doc_id, bit)
+         |SELECT doc_id, CAST(SUM(CASE WHEN s > 0
+         |    THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT)
+         |  AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "x04_ngram_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sg AS (SELECT DISTINCT doc_id,
+         |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS tok
+         |  FROM d, generate_series(1, 1000) t(i) WHERE i <= len(toks) - 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM sg a JOIN sg b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sg GROUP BY 1),
+         |inter AS (SELECT d1, d2, CAST(COUNT(*) AS BIGINT) AS inter
+         |  FROM cand JOIN sg ta ON ta.doc_id = d1
+         |            JOIN sg tb ON tb.doc_id = d2 AND ta.tok = tb.tok
+         |  GROUP BY d1, d2)
+         |SELECT d1, d2, CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) AS jaccard
+         |FROM inter JOIN sz sa ON sa.doc_id = d1 JOIN sz sb ON sb.doc_id = d2
+         |WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= ${Extras.NgramJaccardThreshold}
+         |ORDER BY d1, d2""".stripMargin,
+
+    "x05_ann_brute" ->
+      s"""WITH pr AS (SELECT e1.vec_id AS p_id, e2.vec_id AS vec_id,
+         |    ${dot("e2.embedding", "e1.embedding")} AS dot,
+         |    ${dot("e2.embedding", "e2.embedding")} AS n1,
+         |    ${dot("e1.embedding", "e1.embedding")} AS n2
+         |  FROM embeddings e1, embeddings e2, generate_series(1, 64) t(i)
+         |  WHERE e1.vec_id < 10 AND e2.vec_id <> e1.vec_id
+         |  GROUP BY e1.vec_id, e2.vec_id),
+         |sc AS (SELECT p_id, vec_id, dot/(sqrt(n1)*sqrt(n2)) AS cosine FROM pr)
+         |SELECT p_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY p_id
+         |        ORDER BY cosine DESC, vec_id) AS rn FROM sc)
+         |WHERE rn <= 3 ORDER BY p_id, rank""".stripMargin,
+
+    "x06_ann_lsh" ->
+      s"""WITH planes AS (SELECT vec_id AS j, embedding AS pe FROM embeddings
+         |  WHERE vec_id BETWEEN 1 AND 8),
+         |dots AS (SELECT e.vec_id, p.j, ${dot("e.embedding", "p.pe")} AS dot
+         |  FROM embeddings e, planes p, generate_series(1, 64) t(i)
+         |  GROUP BY e.vec_id, p.j),
+         |buckets AS (SELECT vec_id, CAST(SUM(CASE WHEN dot > 0.0
+         |    THEN (CAST(1 AS BIGINT) << CAST(j - 1 AS INT)) ELSE 0 END) AS BIGINT)
+         |  AS bucket FROM dots GROUP BY vec_id),
+         |pb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+         |cand AS (SELECT b.vec_id FROM buckets b, pb
+         |  WHERE b.bucket = pb.bucket AND b.vec_id <> 0),
+         |probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+         |cos AS (SELECT e.vec_id, ${dot("e.embedding", "probe.pe")} AS dot,
+         |    ${dot("e.embedding", "e.embedding")} AS n1,
+         |    ${dot("probe.pe", "probe.pe")} AS n2
+         |  FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id,
+         |    probe, generate_series(1, 64) t(i)
+         |  GROUP BY e.vec_id)
+         |SELECT vec_id, dot/(sqrt(n1)*sqrt(n2)) AS cosine
+         |FROM cos ORDER BY cosine DESC, vec_id LIMIT 3""".stripMargin,
+
+    "x07_lang_id" ->
+      """WITH sc AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('the', 'a', 'of'))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('el', 'la', 'los'))) AS BIGINT) AS s_es,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('der', 'die', 'das'))) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('le', 'les', 'une'))) AS BIGINT) AS s_fr,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('de5', 'shi4', 'le5'))) AS BIGINT) AS s_zh
+        |  FROM documents)
+        |SELECT doc_id, lang, s_en, s_es, s_de, s_fr, s_zh,
+        |  CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
+        |         AND s_en >= s_zh THEN 'en'
+        |       WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh
+        |         THEN 'es'
+        |       WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |       WHEN s_fr > 0 AND s_fr >= s_zh THEN 'fr'
+        |       WHEN s_zh > 0 THEN 'zh'
+        |       ELSE 'und' END AS predicted
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "x08_quality_score" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |  CAST(length(text) AS BIGINT) AS len,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('a', 'the', 'of', 'and'))) AS BIGINT) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_toks,
+        |  (CAST(len AS DOUBLE) - (n_toks - 1)) / n_toks AS avg_tok_len,
+        |  CAST(n_stop AS DOUBLE) / n_toks AS stop_ratio,
+        |  0.4 * LEAST(n_toks / 100.0, 1.0)
+        |    + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_toks)
+        |    + 0.3 * LEAST(((CAST(len AS DOUBLE) - (n_toks - 1)) / n_toks) / 8.0, 1.0)
+        |    AS score
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "x09_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+        |    AS re_tokens,
+        |  CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x10_fingerprint" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |pos AS (SELECT doc_id, i - 1 AS pos0, toks[i] AS tok
+        |  FROM d, generate_series(1, 1000) t(i) WHERE i <= len(toks)),
+        |term AS (SELECT doc_id,
+        |  ((CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 1000000)
+        |    * (CASE (pos0 % 4) WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961
+        |       ELSE 29791 END)) AS v
+        |  FROM pos),
+        |roll AS (SELECT doc_id, CAST(SUM(v) % 1000000007 AS BIGINT) AS rolling
+        |  FROM term GROUP BY doc_id)
+        |SELECT d.doc_id AS doc_id, md5(array_to_string(toks[1:8], ' ')) AS fp8, rolling
+        |FROM d JOIN roll ON d.doc_id = roll.doc_id ORDER BY doc_id""".stripMargin,
+
+    "x11_multimodal" ->
+      """SELECT doc_id, 'text/plain' AS mime,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+        |  md5(text) AS content_hash,
+        |  (CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 640) + 1 AS fake_width,
+        |  (CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 480) + 1 AS fake_height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x12_embed_neardup" ->
+      s"""WITH planes AS (SELECT vec_id AS j, embedding AS pe FROM embeddings
+         |  WHERE vec_id BETWEEN 1 AND 8),
+         |dots AS (SELECT e.vec_id, p.j, ${dot("e.embedding", "p.pe")} AS dot
+         |  FROM embeddings e, planes p, generate_series(1, 64) t(i)
+         |  GROUP BY e.vec_id, p.j),
+         |buckets AS (SELECT vec_id, CAST(SUM(CASE WHEN dot > 0.0
+         |    THEN (CAST(1 AS BIGINT) << CAST(j - 1 AS INT)) ELSE 0 END) AS BIGINT)
+         |  AS bucket FROM dots GROUP BY vec_id),
+         |pairs AS (SELECT x.vec_id AS d1, y.vec_id AS d2 FROM buckets x
+         |  JOIN buckets y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+         |cos AS (SELECT d1, d2, ${dot("e1.embedding", "e2.embedding")} AS dot,
+         |    ${dot("e1.embedding", "e1.embedding")} AS n1,
+         |    ${dot("e2.embedding", "e2.embedding")} AS n2
+         |  FROM pairs JOIN embeddings e1 ON e1.vec_id = d1
+         |             JOIN embeddings e2 ON e2.vec_id = d2,
+         |    generate_series(1, 64) t(i)
+         |  GROUP BY d1, d2)
+         |SELECT d1, d2, dot/(sqrt(n1)*sqrt(n2)) AS cosine FROM cos
+         |WHERE dot/(sqrt(n1)*sqrt(n2)) >= ${Extras.EmbedCosThreshold}
+         |ORDER BY d1, d2""".stripMargin
+  )
+}

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Sanitize
+import graft.expressions.UnicodeUnescape
+
+/** Unit coverage of the sanitize layer against the reference's visible
+  * edge cases (file:line cites are reference-repo paths):
+  *  - budget mutual exclusion branches     api_helpers.py:157-172
+  *  - '0' / empty spend_cap                api_helpers.py:174-185
+  *  - Z / +HHMM / naive / epoch timestamps api_helpers.py:56-88
+  *  - truthy/falsy sets                    1_Campaign_Cloner.py:68-69
+  *  - JSON-vs-comma list fallback          api_helpers.py:126-138
+  *  - act_ prefix normalize                main_extractor.py:361
+  */
+class SanitizeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, input: (String, String)*): Row = {
+    val df = Seq(input.map(_._2)).toDF() // not used; simple path below
+    df.head()
+  }
+
+  /** Evaluate a Column over a single-row DataFrame with column `v`. */
+  private def eval(v: String, c: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Any = {
+    val df = Seq(Option(v)).toDF("v").select(c(col("v")).as("r"))
+    df.head().get(0)
+  }
+
+  test("G1 parse_positive_amount: valid, zero, negative, garbage, half-up") {
+    assert(eval("150000", Sanitize.parsePositiveAmount) == 150000L)
+    assert(eval("0", Sanitize.parsePositiveAmount) == null)
+    assert(eval("-5", Sanitize.parsePositiveAmount) == null)
+    assert(eval("abc", Sanitize.parsePositiveAmount) == null)
+    assert(eval("1500.5", Sanitize.parsePositiveAmount) == 1501L) // half-up
+    assert(eval("0.4", Sanitize.parsePositiveAmount) == null)     // rounds to 0
+    assert(eval(null, Sanitize.parsePositiveAmount) == null)
+  }
+
+  test("G3 spend_cap: empty and '0' mean unset") {
+    assert(eval("", Sanitize.normalizeSpendCap) == null)
+    assert(eval("0", Sanitize.normalizeSpendCap) == null)
+    assert(eval(" 0 ", Sanitize.normalizeSpendCap) == null)
+    assert(eval("250", Sanitize.normalizeSpendCap) == 250L)
+    assert(eval(null, Sanitize.normalizeSpendCap) == null)
+  }
+
+  test("G2 budget mutual exclusion branches") {
+    val df = Seq(
+      ("100", "200"),  // daily wins -> lifetime dropped
+      ("x", "200"),    // daily invalid -> lifetime kept
+      ("x", "y"),      // both invalid -> both null
+      ("0", "200")     // daily zero=invalid -> lifetime kept
+    ).toDF("d", "l")
+    val (d, l) = Sanitize.budgetMutualExclusion(col("d"), col("l"))
+    val rows = df.select(d.as("d2"), l.as("l2")).collect()
+    assert(rows(0).get(0) == 100L && rows(0).get(1) == null)
+    assert(rows(1).get(0) == null && rows(1).get(1) == 200L)
+    assert(rows(2).get(0) == null && rows(2).get(1) == null)
+    assert(rows(3).get(0) == null && rows(3).get(1) == 200L)
+  }
+
+  test("G4 string collection: JSON array, comma split, scalar, empties dropped") {
+    def arr(v: String): Seq[String] = {
+      val r = eval(v, Sanitize.normalizeStringCollection)
+      if (r == null) null else r.asInstanceOf[scala.collection.Seq[String]].toSeq
+    }
+    assert(arr("""["a","b"]""") == Seq("a", "b"))
+    assert(arr("a, b,,c") == Seq("a", "b", "c"))
+    assert(arr("solo") == Seq("solo"))
+    assert(arr(" , ,") == Seq())
+  }
+
+  test("G7/G8 timestamp parse: Z, +HHMM, +HH:MM, naive, epoch, garbage") {
+    def iso(v: String): Any = eval(v, c => Sanitize.isoFormat(Sanitize.parseDatetime(c)))
+    assert(iso("2025-09-01T00:00:00Z") == "2025-09-01T00:00:00+00:00")
+    assert(iso("2025-09-01T00:00:00+0000") == "2025-09-01T00:00:00+00:00")
+    assert(iso("2025-09-01T08:00:00+08:00") == "2025-09-01T00:00:00+00:00")
+    assert(iso("2025-09-01 10:30:00") == "2025-09-01T10:30:00+00:00")
+    assert(iso("788918400") == "1995-01-01T00:00:00+00:00")
+    assert(iso("not a date") == null)
+  }
+
+  test("G9 start_time clamp") {
+    val now = to_timestamp(lit("2025-01-01 00:00:00"))
+    def clamp(v: String): Any =
+      eval(v, c => Sanitize.clampStartTime(Sanitize.parseDatetime(c), now).cast("string"))
+    assert(clamp("2020-06-01 00:00:00") == "2025-01-01 00:00:00") // past -> now
+    assert(clamp("2030-06-01 00:00:00") == "2030-06-01 00:00:00") // future kept
+    assert(clamp("garbage") == null)
+  }
+
+  test("G14 truthy/falsy boolean sets") {
+    val t = Seq("true", "TRUE", "1", "yes", "Y")
+    val f = Seq("false", "0", "no", "N")
+    t.foreach(v => assert(eval(v, Sanitize.parseBool) == true, v))
+    f.foreach(v => assert(eval(v, Sanitize.parseBool) == false, v))
+    assert(eval("maybe", Sanitize.parseBool) == null)
+  }
+
+  test("G26 account id normalize") {
+    assert(eval("123", Sanitize.normalizeAccountId) == "act_123")
+    assert(eval("act_123", Sanitize.normalizeAccountId) == "act_123")
+    assert(eval(null, Sanitize.normalizeAccountId) == null)
+  }
+
+  test("G13 unicode unescape: \\uXXXX, \\xNN, mixed, passthrough") {
+    assert(UnicodeUnescape.decode("\\u0041") == "A")
+    assert(UnicodeUnescape.decode("\\x41") == "A")
+    assert(UnicodeUnescape.decode("a\\u0042c\\x64e") == "aBcde")
+    assert(UnicodeUnescape.decode("no escapes") == "no escapes")
+    assert(UnicodeUnescape.decode("\\u4e2d\\u6587") == "中文")
+    // as a registered Catalyst expression through codegen
+    UnicodeUnescape.register(spark)
+    assert(eval("\\u0041_x", UnicodeUnescape.unicodeUnescape) == "A_x")
+  }
+}
