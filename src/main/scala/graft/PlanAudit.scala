@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints the formatted physical plan of selected
+  * queries and asserts the scale-critical properties hold —
+  * projection/filter pushdown reaches the parquet scan, small dims
+  * broadcast instead of shuffling, aggregations are partial
+  * (map-side) before the exchange.
+  *
+  * Run: `runMain graft.PlanAudit [sfDir]`. Exits non-zero if an
+  * expectation fails, so it can gate commits.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    var failures = 0
+    def audit(name: String)(expect: (String, String => Boolean)*): Unit = {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      println(s"\n========== $name ==========")
+      println(plan.linesIterator.take(40).mkString("\n"))
+      expect.foreach { case (desc, check) =>
+        val ok = check(plan)
+        if (!ok) failures += 1
+        println(s"  [${if (ok) "PASS" else "FAIL"}] $desc")
+      }
+    }
+
+    // Q01: projection pruned to 2 columns at the scan
+    audit("q01_scan")(
+      "scan reads only l_orderkey, l_extendedprice" ->
+        (p => p.contains("ReadSchema") &&
+          !p.contains("l_shipdate") && !p.contains("l_quantity")))
+    // Q02: all predicates pushed to parquet
+    audit("q02_filter")(
+      "filters pushed to scan" -> (_.contains("PushedFilters: [IsNotNull")))
+    // Q05: both dims broadcast, no shuffle join
+    audit("q05_join_broadcast")(
+      "part+supplier broadcast" ->
+        (p => "BroadcastHashJoin".r.findAllIn(p).size >= 2),
+      "no sort-merge join" -> (p => !p.contains("SortMergeJoin")))
+    // Q06: region/nation broadcast
+    audit("q06_join_5way")(
+      "nation+region broadcast" ->
+        (p => "BroadcastHashJoin".r.findAllIn(p).size >= 2))
+    // Q09: partial aggregation before the exchange
+    audit("q09_agg_ratios")(
+      "map-side partial agg" -> (_.contains("HashAggregate")),
+      // 2 exchanges: one hash shuffle for the agg + one range partition
+      // for the oracle-mandated total ORDER BY
+      "agg shuffles once (+sort exchange)" ->
+        (p => "\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2))
+    // Q13: window keyed by custkey (one hash shuffle, no global sort
+    // before the window)
+    audit("q13_keep_latest")(
+      "window partitioned" -> (_.contains("Window")))
+    // Q27: bitset strategy — no token-index self-join explosion
+    audit("q27_near_dup")(
+      "size-filter equi-join (no cartesian)" ->
+        (p => !p.contains("CartesianProduct")))
+    // x05: probe-vs-all is a broadcast nested loop of 10 probes (OK),
+    // never a shuffled cartesian of the corpus with itself
+    audit("x05_ann_brute")(
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")))
+
+    println(s"\nPlan audit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+}

@@ -1,0 +1,124 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Sanitize
+import graft.model.Schemas
+
+/** Bronze → silver ingest of the ad-entity lake.
+  *
+  * Mirrors the reference's landing semantics (A5:
+  * `output/<date>/<entity>_<account>.json`, whole-file overwrite,
+  * src/utils/storage.py:9-16) on a Spark-native layout:
+  * date-partitioned Parquet with dynamic partition overwrite, which is
+  * the same per-day idempotency contract the reference gets from
+  * overwriting the day's file.
+  *
+  * Bronze is permissive schema-on-read (the lake is RAW JSON with "no
+  * schema version management", docs/technical-spec.md:85-88): rows
+  * that don't parse land in `_corrupt_record` instead of failing the
+  * job. Silver applies the sanitize layer (budgets → minor-unit longs
+  * with mutual exclusion, timestamps → UTC, ids stay strings).
+  */
+object Bronze {
+
+  /** Read one entity's raw JSON (array-of-objects or JSONL) into
+    * bronze with its declared schema + corrupt-record capture.
+    */
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val withCorrupt = schema.add("_corrupt_record", StringType)
+    spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("multiLine", "true") // reference lands JSON arrays per file
+      .json(path)
+  }
+
+  /** Write a bronze/silver table date-partitioned, idempotent per day
+    * (dynamic partition overwrite ≈ the reference's whole-file
+    * overwrite A5).
+    */
+  def writePartitioned(df: DataFrame, path: String, dateCol: String = "ingest_date"): Unit = {
+    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write.mode("overwrite").partitionBy(dateCol).parquet(path)
+  }
+
+  /** campaign silver: sanitize budgets (G1/G2/G3), timestamps (G7),
+    * account id (G26). Ids remain strings (G11 exclusion).
+    */
+  def campaignSilver(bronze: DataFrame): DataFrame = {
+    val (daily, lifetime) =
+      Sanitize.budgetMutualExclusion(col("daily_budget"), col("lifetime_budget"))
+    bronze
+      .filter(col("id").isNotNull) // B5 guard: skip records lacking id
+      .withColumn("account_id", Sanitize.normalizeAccountId(col("account_id")))
+      .withColumn("daily_budget", daily)
+      .withColumn("lifetime_budget", lifetime)
+      .withColumn("spend_cap", Sanitize.normalizeSpendCap(col("spend_cap")))
+      .withColumn("start_time", Sanitize.parseDatetime(col("start_time")))
+      .withColumn("stop_time", Sanitize.parseDatetime(col("stop_time")))
+      .withColumn("created_time", Sanitize.parseDatetime(col("created_time")))
+      .withColumn("updated_time", Sanitize.parseDatetime(col("updated_time")))
+      .withColumn("special_ad_categories",
+        coalesce(col("special_ad_categories"), array().cast(ArrayType(StringType))))
+      .drop("_corrupt_record")
+  }
+
+  /** ad silver: flatten the nested `creative{id}` projection to a flat
+    * FK column (main_extractor.py:386-395).
+    */
+  def adSilver(bronze: DataFrame): DataFrame =
+    bronze
+      .filter(col("id").isNotNull)
+      .withColumn("creative_id", col("creative.id"))
+      .drop("creative", "_corrupt_record")
+      .withColumn("created_time", Sanitize.parseDatetime(col("created_time")))
+      .withColumn("updated_time", Sanitize.parseDatetime(col("updated_time")))
+
+  /** insights silver: string measures → typed (spend double, counts
+    * long), keys/dates kept; `actions[]` stays array-of-struct for the
+    * breakdown aggregation (D4).
+    */
+  def insightsSilver(bronze: DataFrame): DataFrame = {
+    val longCols = Seq("impressions", "reach", "clicks", "unique_clicks",
+      "inline_link_clicks", "inline_post_engagement")
+    val typed = longCols.foldLeft(bronze) { (df, c) =>
+      df.withColumn(c, col(c).try_cast(LongType))
+    }
+    typed
+      .withColumn("spend", col("spend").try_cast(DoubleType))
+      .withColumn("frequency", col("frequency").try_cast(DoubleType))
+      .withColumn("date_start", col("date_start").cast(DateType))
+      .withColumn("date_stop", col("date_stop").cast(DateType))
+      .drop("_corrupt_record")
+  }
+}
+
+/** Incremental (daily) semantics: watermark filter + keep-latest
+  * upsert — H1/H5 (main_extractor.py:42-51 + per-file overwrite).
+  */
+object Incremental {
+
+  /** B3: `updated_time > watermark` — at scan time this pushes to the
+    * source as a predicate (streaming twin: `withWatermark`).
+    */
+  def updatedSince(df: DataFrame, watermark: Column): DataFrame =
+    df.filter(col("updated_time") > watermark)
+
+  /** H5: merge a fresh batch into the existing table keeping the
+    * newest row per id (the reference's overwrite-by-file upsert,
+    * expressed as a keyed dedup that scales: one shuffle on the key).
+    */
+  def upsertKeepLatest(existing: DataFrame, fresh: DataFrame,
+      key: String = "id", version: String = "updated_time"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key)).orderBy(col(version).desc)
+    existing.unionByName(fresh, allowMissingColumns = true)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Exact Jaccard set-similarity self-join — all pairs of documents
+  * with token-set Jaccard ≥ threshold — with two physical strategies
+  * the engine picks between at plan time (the reference's "adaptive
+  * strategy switch" pattern, main_extractor.py:374-384, applied to a
+  * similarity operator):
+  *
+  *  1. **Bitset + size filter** (|vocabulary| ≤ 64): each set becomes
+  *     one 64-bit mask; identical sets collapse before pairing; the
+  *     PPJoin-style size filter (J ≥ t ⟹ |B| ∈ [t·|A|, |A|/t])
+  *     generates candidates through an equi-join on set size, and
+  *     Jaccard is two `bit_count` instructions. Intermediate volume is
+  *     O(distinct-masks × window) instead of Σ_tok n_tok² — at sf0.1
+  *     this is ~4M cheap rows where the token-index join explodes to
+  *     ~700M.
+  *  2. **Shared-token candidate join** (general vocabulary): distinct
+  *     (doc, token) index, equi-join on token, group per pair. Never a
+  *     cartesian: pairs only materialize through the token index. At
+  *     100 TB this is the exact-verify stage behind MinHash/LSH
+  *     banding (see Extras.x02), not a standalone all-pairs scan.
+  *
+  * Both strategies produce bit-identical output: (d1 < d2, jaccard)
+  * with jaccard = |∩| / |∪| as an exact integer ratio in double.
+  */
+object SetSimilarityJoin {
+
+  /** items: (doc_id, tok) DISTINCT pairs. */
+  def jaccardSelfJoin(items: DataFrame, threshold: Double): DataFrame = {
+    val vocab = items.select(col("tok")).distinct()
+    if (vocab.count() <= 64) bitsetPath(items, vocab, threshold)
+    else tokenJoinPath(items, threshold)
+  }
+
+  /** Strategy 1: bitset masks + threshold-derived size filter. */
+  private[operators] def bitsetPath(items: DataFrame, vocab: DataFrame,
+      threshold: Double): DataFrame = {
+    // ≤64 rows: a global window for the bit index is fine
+    val idx = vocab.withColumn("idx",
+      (row_number().over(Window.orderBy(col("tok"))) - 1).cast(IntegerType))
+    val masks = items.join(broadcast(idx), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), idx)")).as("mask"))
+    // collapse identical sets; keep the member list for re-expansion
+    val groups = masks.groupBy(col("mask"))
+      .agg(collect_list(col("doc_id")).as("docs"))
+      .withColumn("sz", expr("bit_count(mask)"))
+    // size filter: J >= t  ==>  |B| in [ceil(t*|A|), floor(|A|/t)]
+    val probes = groups.select(col("mask").as("m1"), col("docs").as("docs1"),
+      explode(sequence(
+        ceil(col("sz") * lit(threshold)).cast(IntegerType),
+        floor(col("sz") / lit(threshold)).cast(IntegerType))).as("szb"))
+    val cands = probes.join(
+        groups.select(col("mask").as("m2"), col("docs").as("docs2"),
+          col("sz").as("sz2")),
+        col("szb") === col("sz2"))
+      .filter(col("m1") <= col("m2")) // each unordered mask pair once
+    val scored = cands
+      .withColumn("inter", expr("bit_count(m1 & m2)"))
+      .withColumn("uni", expr("bit_count(m1 | m2)"))
+      .withColumn("jaccard", col("inter").cast(DoubleType) / col("uni"))
+      .filter(col("jaccard") >= threshold)
+    // expand mask pairs back to doc pairs (same-mask groups pair within)
+    scored
+      .select(col("docs1"), col("docs2"), col("jaccard"),
+        (col("m1") === col("m2")).as("same"))
+      .select(explode(col("docs1")).as("da"), col("docs2"), col("jaccard"), col("same"))
+      .select(col("da"), explode(col("docs2")).as("db"), col("jaccard"), col("same"))
+      .filter(!col("same") || col("da") < col("db"))
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"), col("jaccard"))
+  }
+
+  /** Strategy 2: shared-token candidate join (general vocab). */
+  private[operators] def tokenJoinPath(items: DataFrame, threshold: Double): DataFrame = {
+    val sz = items.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val pairs = items.as("a").join(items.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sz.select(col("doc_id").as("d1"), col("sz").as("sz1")), Seq("d1"))
+      .join(sz.select(col("doc_id").as("d2"), col("sz").as("sz2")), Seq("d2"))
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / (col("sz1") + col("sz2") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  /** Exact Jaccard for a given candidate-pair set via bitset masks
+    * (used to verify LSH candidates cheaply when |vocab| ≤ 64).
+    * cand: (d1, d2); items: distinct (doc_id, tok).
+    */
+  def verifyWithMasks(cand: DataFrame, items: DataFrame, vocab: DataFrame,
+      threshold: Double): DataFrame = {
+    val idx = vocab.withColumn("idx",
+      (row_number().over(Window.orderBy(col("tok"))) - 1).cast(IntegerType))
+    val masks = items.join(broadcast(idx), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), idx)")).as("mask"))
+    cand
+      .join(masks.select(col("doc_id").as("d1"), col("mask").as("m1")), Seq("d1"))
+      .join(masks.select(col("doc_id").as("d2"), col("mask").as("m2")), Seq("d2"))
+      .withColumn("jaccard",
+        expr("bit_count(m1 & m2)").cast(DoubleType) / expr("bit_count(m1 | m2)"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+}

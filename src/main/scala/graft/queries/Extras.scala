@@ -61,21 +61,32 @@ object Extras {
   /** Exact Jaccard over a candidate-pair set (candidate-driven: only
     * candidate pairs re-expand through the token index).
     */
+  /** `tryMasks = false` skips the vocabulary probe when the caller
+    * already knows the item space is large (e.g. shingles).
+    */
   private def verifyJaccard(s: SparkSession, cand: DataFrame, toks: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, tryMasks: Boolean = true): DataFrame = {
     import s.implicits._
-    val sz = toks.groupBy($"doc_id").agg(cnt.as("sz"))
-    val inter = cand
-      .join(toks.as("ta"), $"d1" === $"ta.doc_id")
-      .join(toks.as("tb"), $"d2" === $"tb.doc_id" && $"ta.tok" === $"tb.tok")
-      .groupBy($"d1", $"d2").agg(cnt.as("inter"))
-    inter
-      .join(sz.select($"doc_id".as("d1"), $"sz".as("sz1")), Seq("d1"))
-      .join(sz.select($"doc_id".as("d2"), $"sz".as("sz2")), Seq("d2"))
-      .withColumn("jaccard", $"inter".cast(DoubleType) / ($"sz1" + $"sz2" - $"inter"))
-      .filter($"jaccard" >= threshold)
-      .select($"d1", $"d2", $"jaccard")
-      .orderBy($"d1", $"d2")
+    val vocab = toks.select($"tok").distinct()
+    val verified =
+      if (tryMasks && vocab.count() <= 64)
+        // small-vocab fast path: one 64-bit mask per doc, two joins,
+        // Jaccard = two bit_count instructions per candidate
+        graft.operators.SetSimilarityJoin.verifyWithMasks(cand, toks, vocab, threshold)
+      else {
+        val sz = toks.groupBy($"doc_id").agg(cnt.as("sz"))
+        val inter = cand
+          .join(toks.as("ta"), $"d1" === $"ta.doc_id")
+          .join(toks.as("tb"), $"d2" === $"tb.doc_id" && $"ta.tok" === $"tb.tok")
+          .groupBy($"d1", $"d2").agg(cnt.as("inter"))
+        inter
+          .join(sz.select($"doc_id".as("d1"), $"sz".as("sz1")), Seq("d1"))
+          .join(sz.select($"doc_id".as("d2"), $"sz".as("sz2")), Seq("d2"))
+          .withColumn("jaccard", $"inter".cast(DoubleType) / ($"sz1" + $"sz2" - $"inter"))
+          .filter($"jaccard" >= threshold)
+          .select($"d1", $"d2", $"jaccard")
+      }
+    verified.orderBy($"d1", $"d2")
   }
 
   /** Random-hyperplane LSH buckets: sign bits of the dot product
@@ -163,7 +174,7 @@ object Extras {
     val pairs = sh.as("a").join(sh.as("b"),
         $"a.tok" === $"b.tok" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2")).distinct()
-    verifyJaccard(s, pairs, sh, NgramJaccardThreshold)
+    verifyJaccard(s, pairs, sh, NgramJaccardThreshold, tryMasks = false)
   }
 
   /** x12 — embedding-cosine near-dup, LSH-bucketed: candidates share an
