@@ -1,0 +1,175 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Nested `object_story_spec` extract / rewrite layer — the deep-struct
+  * half of the reference's sanitize surface (G15–G22):
+  *
+  *  - G15 `parse_creative_spec`       pages/1_Campaign_Cloner.py:250-330
+  *  - G16 `extract_creative_edit_defaults`            ibid:333-358
+  *  - G17 `extract_retailer_item_ids`                 ibid:362-385
+  *  - G18 `extract_default_text`                      ibid:422-442
+  *  - G19 `resolve_budget_field`                      ibid:540-547
+  *  - G20 `update_object_story_spec` (struct rewrite) ibid:552-670
+  *  - G21 payload builders                            ibid:673-784
+  *  - G22 creative assemblers         pages/3_Creative_Composer.py:175-339
+  *
+  * Everything is `withField`/`dropFields`/`coalesce` chains on typed
+  * struct columns — no UDFs, null-section-safe (a missing `link_data`
+  * leaves the spec untouched rather than materializing an empty
+  * struct), codegen-friendly.
+  */
+object Nested {
+
+  /** G15: (message, title, link) with section precedence
+    * template_data → link_data → video_data → photo_data; the link
+    * falls back to the CTA value link.
+    */
+  def parseCreativeSpec(spec: Column): Column = struct(
+    coalesce(
+      spec.getField("template_data").getField("message"),
+      spec.getField("link_data").getField("message"),
+      spec.getField("video_data").getField("message"),
+      spec.getField("photo_data").getField("caption")).as("message"),
+    coalesce(
+      spec.getField("template_data").getField("name"),
+      spec.getField("link_data").getField("name"),
+      spec.getField("video_data").getField("title")).as("title"),
+    coalesce(
+      spec.getField("template_data").getField("link"),
+      spec.getField("link_data").getField("link"),
+      spec.getField("link_data").getField("call_to_action")
+        .getField("value").getField("link")).as("link"))
+
+  /** G16: G15 plus top-level body/title/object_url fallbacks (pass the
+    * creative's top-level columns; absent ones as lit(null)).
+    */
+  def extractCreativeEditDefaults(spec: Column, body: Column, title: Column,
+      objectUrl: Column): Column = {
+    val base = parseCreativeSpec(spec)
+    struct(
+      coalesce(base.getField("message"), body).as("message"),
+      coalesce(base.getField("title"), title).as("title"),
+      coalesce(base.getField("link"), objectUrl).as("link"))
+  }
+
+  /** G17: gather retailer_item_ids from all nested locations
+    * (template_data, link_data, link_data.child_attachments[*]),
+    * trimmed, empties dropped, order-preserving dedup.
+    */
+  def extractRetailerItemIds(spec: Column): Column = {
+    val fromTemplate = spec.getField("template_data").getField("retailer_item_ids")
+    val fromLink = spec.getField("link_data").getField("retailer_item_ids")
+    val fromChildren = flatten(transform(
+      spec.getField("link_data").getField("child_attachments"),
+      c => coalesce(c.getField("retailer_item_ids"),
+        array().cast(ArrayType(StringType)))))
+    val all = concat(
+      coalesce(fromTemplate, array().cast(ArrayType(StringType))),
+      coalesce(fromLink, array().cast(ArrayType(StringType))),
+      coalesce(fromChildren, array().cast(ArrayType(StringType))))
+    array_distinct(filter(transform(all, x => trim(x)), x => x =!= ""))
+  }
+
+  /** G18: default ad text (message, headline) with link_data →
+    * video_data → photo_data precedence.
+    */
+  def extractDefaultText(spec: Column): Column = struct(
+    coalesce(
+      spec.getField("link_data").getField("message"),
+      spec.getField("video_data").getField("message"),
+      spec.getField("photo_data").getField("caption")).as("message"),
+    coalesce(
+      spec.getField("link_data").getField("name"),
+      spec.getField("video_data").getField("title")).as("headline"))
+
+  /** G19: (budget_field_name, amount) — daily wins over lifetime. */
+  def resolveBudgetField(daily: Column, lifetime: Column): Column = {
+    val d = Sanitize.parsePositiveAmount(daily)
+    val l = Sanitize.parsePositiveAmount(lifetime)
+    when(d.isNotNull, struct(lit("daily_budget").as("field"), d.as("amount")))
+      .when(l.isNotNull, struct(lit("lifetime_budget").as("field"), l.as("amount")))
+      .otherwise(lit(null).cast(StructType(Seq(
+        StructField("field", StringType), StructField("amount", LongType)))))
+  }
+
+  /** G20: nested struct rewrite — overwrite message/headline/link
+    * (including the CTA value link) in whichever sections exist.
+    *
+    * `withField` on a null intermediate struct yields null, so a
+    * missing section (or missing call_to_action) is left untouched —
+    * the null-semantics guard comes for free, and the expression tree
+    * stays linear (cascading `when(present, …)` wrappers nest the spec
+    * expression exponentially and blow up codegen).
+    */
+  def updateStoryText(spec: Column, newMessage: Column, newTitle: Column,
+      newLink: Column): Column = {
+    def old(path: String*) = path.foldLeft(spec)((c, f) => c.getField(f))
+    spec
+      .withField("link_data.message", coalesce(newMessage, old("link_data", "message")))
+      .withField("link_data.name", coalesce(newTitle, old("link_data", "name")))
+      .withField("link_data.link", coalesce(newLink, old("link_data", "link")))
+      .withField("link_data.call_to_action.value.link",
+        coalesce(newLink, old("link_data", "call_to_action", "value", "link")))
+      .withField("video_data.message", coalesce(newMessage, old("video_data", "message")))
+      .withField("video_data.title", coalesce(newTitle, old("video_data", "title")))
+      .withField("template_data.message", coalesce(newMessage, old("template_data", "message")))
+      .withField("template_data.name", coalesce(newTitle, old("template_data", "name")))
+      .withField("template_data.link", coalesce(newLink, old("template_data", "link")))
+  }
+
+  /** G20: swap media identity — setting one of image_hash/video_id
+    * nulls the other (schemas are uniform per column, so "remove"
+    * means null — equivalent under JSON `ignoreNullFields` output).
+    */
+  def swapMedia(spec: Column, imageHash: Column, videoId: Column): Column = {
+    def old(path: String*) = path.foldLeft(spec)((c, f) => c.getField(f))
+    val nullStr = lit(null).cast(StringType)
+    spec
+      .withField("link_data.image_hash",
+        when(imageHash.isNotNull, imageHash)
+          .when(videoId.isNotNull, nullStr)
+          .otherwise(old("link_data", "image_hash")))
+      .withField("link_data.video_id",
+        when(videoId.isNotNull, videoId)
+          .when(imageHash.isNotNull, nullStr)
+          .otherwise(old("link_data", "video_id")))
+      .withField("video_data.video_id",
+        when(videoId.isNotNull, videoId).otherwise(old("video_data", "video_id")))
+      .withField("video_data.image_hash",
+        when(imageHash.isNotNull, imageHash).otherwise(old("video_data", "image_hash")))
+  }
+
+  /** G20: set (or null out, when `ids` is null) retailer_item_ids in
+    * the sections that carry them.
+    */
+  def setRetailerItemIds(spec: Column, ids: Column): Column =
+    spec
+      .withField("link_data.retailer_item_ids", ids)
+      .withField("template_data.retailer_item_ids", ids)
+
+  /** G21: default status to PAUSED (payload builders always create
+    * paused entities).
+    */
+  def defaultPausedStatus(status: Column): Column =
+    coalesce(status, lit("PAUSED"))
+
+  /** G22: assemble a single-image/link object_story_spec. */
+  def buildLinkSpec(pageId: Column, message: Column, headline: Column,
+      link: Column, imageHash: Column, ctaType: Column): Column = struct(
+    pageId.as("page_id"),
+    struct(
+      message.as("message"), headline.as("name"), link.as("link"),
+      struct(ctaType.as("type"), struct(link.as("link")).as("value"))
+        .as("call_to_action"),
+      imageHash.as("image_hash")).as("link_data"))
+
+  /** G22: assemble a carousel spec from child attachment structs. */
+  def buildCarouselSpec(pageId: Column, message: Column, link: Column,
+      children: Column): Column = struct(
+    pageId.as("page_id"),
+    struct(message.as("message"), link.as("link"),
+      children.as("child_attachments")).as("link_data"))
+}

@@ -108,7 +108,8 @@ object Schemas {
       f("image_hash", StringType),
       f("video_id", StringType),
       f("child_attachments", ArrayType(StructType(Seq(
-        f("name", StringType), f("link", StringType), f("image_hash", StringType))))),
+        f("name", StringType), f("link", StringType), f("image_hash", StringType),
+        f("retailer_item_ids", ArrayType(StringType)))))),
       f("retailer_item_ids", ArrayType(StringType))))
     StructType(Seq(
       f("id", StringType, "素材編號"),

@@ -206,13 +206,13 @@ object Extras {
     */
   def x05AnnBrute(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = emb(s, dir)
-    val probes = e.filter($"vec_id" < 10).select($"vec_id".as("p_id"), $"v".as("p"))
+    // norms precomputed once per vector (not once per pair)
+    val e = emb(s, dir).withColumn("n1", VectorFns.dotDec("v", "v"))
+    val probes = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("p_id"), $"v".as("p"), $"n1".as("n2"))
     val scored = e.crossJoin(broadcast(probes))
       .filter($"vec_id" =!= $"p_id")
       .withColumn("dot", VectorFns.dotDec("v", "p"))
-      .withColumn("n1", VectorFns.dotDec("v", "v"))
-      .withColumn("n2", VectorFns.dotDec("p", "p"))
       .withColumn("cosine", $"dot" / (sqrt($"n1") * sqrt($"n2")))
     val w = Window.partitionBy($"p_id").orderBy($"cosine".desc, $"vec_id")
     scored.withColumn("rank", row_number().over(w).cast(LongType))
@@ -227,17 +227,15 @@ object Extras {
     */
   def x06AnnLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = emb(s, dir)
+    val e = emb(s, dir).withColumn("n1", VectorFns.dotDec("v", "v"))
     val b = lshBuckets(e)
     val pb = b.filter($"vec_id" === 0).select($"bucket".as("pbucket"))
     val cand = b.join(broadcast(pb), $"bucket" === $"pbucket")
       .filter($"vec_id" =!= 0).select($"vec_id")
-    val probe = e.filter($"vec_id" === 0).select($"v".as("p"))
+    val probe = e.filter($"vec_id" === 0).select($"v".as("p"), $"n1".as("n2"))
     e.join(cand, Seq("vec_id"))
       .crossJoin(broadcast(probe))
       .withColumn("dot", VectorFns.dotDec("v", "p"))
-      .withColumn("n1", VectorFns.dotDec("v", "v"))
-      .withColumn("n2", VectorFns.dotDec("p", "p"))
       .select($"vec_id", ($"dot" / (sqrt($"n1") * sqrt($"n2"))).as("cosine"))
       .orderBy($"cosine".desc, $"vec_id")
       .limit(3)

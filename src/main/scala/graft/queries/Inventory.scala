@@ -542,12 +542,11 @@ object Inventory {
         s" CAST(0 AS DECIMAL(30,20)), (acc, x) -> CAST(acc+x AS DECIMAL(30,20))) AS DOUBLE)"
     val e = t(s, dir, "embeddings")
       .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-    val probe = e.filter($"vec_id" === 0).select($"v".as("p"))
+      .withColumn("n1", expr(dotE("v", "v"))) // norm once per vector
+    val probe = e.filter($"vec_id" === 0).select($"v".as("p"), $"n1".as("n2"))
     e.filter($"vec_id" =!= 0)
       .crossJoin(broadcast(probe))
       .withColumn("dot", expr(dotE("v", "p")))
-      .withColumn("n1", expr(dotE("v", "v")))
-      .withColumn("n2", expr(dotE("p", "p")))
       .select($"vec_id", ($"dot" / (sqrt($"n1") * sqrt($"n2"))).as("cosine"))
       .orderBy($"cosine".desc, $"vec_id")
       .limit(5)
