@@ -92,6 +92,32 @@ object SetSimilarityJoin {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
+  /** PPJoin-style prefix-filtered candidate generation for large item
+    * spaces (shingles, n-grams): if J(A,B) ≥ t then A and B must share
+    * an item within each one's *prefix* — the |d| − ⌈t·|d|⌉ + 1 items
+    * that are globally rarest (any total order works; we use
+    * (frequency asc, item) for determinism). Only prefixes enter the
+    * pair join, and a size filter (|B| ∈ [t|A|, |A|/t]) prunes further
+    * — candidate volume collapses from Σ_item n_item² over the whole
+    * index to the same sum over rare-prefix items only. No false
+    * negatives; callers verify exact Jaccard on candidates.
+    */
+  def prefixFilteredCandidates(items: DataFrame, threshold: Double): DataFrame = {
+    val freq = items.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val sized = items.join(freq, Seq("tok"))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("freq"), col("tok"))))
+      .filter(col("rnk") <= col("sz") - ceil(col("sz") * lit(threshold)) + 1)
+      .select(col("doc_id"), col("tok"), col("sz"))
+    sized.as("a").join(sized.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.sz") >= ceil(col("a.sz") * lit(threshold)) &&
+          col("b.sz") <= floor(col("a.sz") / lit(threshold)))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
   /** Exact Jaccard for a given candidate-pair set via bitset masks
     * (used to verify LSH candidates cheaply when |vocab| ≤ 64).
     * cand: (d1, d2); items: distinct (doc_id, tok).

@@ -171,9 +171,11 @@ object Extras {
           " element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2)))"))
         .as("tok"))
       .distinct()
-    val pairs = sh.as("a").join(sh.as("b"),
-        $"a.tok" === $"b.tok" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2")).distinct()
+    // PPJoin prefix filter: only the globally-rarest prefix of each
+    // doc's shingles generates candidates (no false negatives at the
+    // declared threshold); exact Jaccard verifies.
+    val pairs = graft.operators.SetSimilarityJoin
+      .prefixFilteredCandidates(sh, NgramJaccardThreshold)
     verifyJaccard(s, pairs, sh, NgramJaccardThreshold, tryMasks = false)
   }
 
