@@ -46,6 +46,20 @@ object Bronze {
     df.write.mode("overwrite").partitionBy(dateCol).parquet(path)
   }
 
+  /** Write a silver table bucketed (+sorted) on its join key: two
+    * tables bucketed the same way join with NO exchange — the
+    * co-located-join layout for the fact⋈fact paths that would
+    * otherwise shuffle at every query (SCALE.md "Joins"). External
+    * table so the files live in the lake, not the warehouse.
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** campaign silver: sanitize budgets (G1/G2/G3), timestamps (G7),
     * account id (G26). Ids remain strings (G11 exclusion).
     */
