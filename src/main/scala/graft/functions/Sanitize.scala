@@ -114,6 +114,45 @@ object Sanitize {
       .otherwise(concat(lit("act_"), s))
   }
 
+  /** G6: brand-safety list normalize — apply G4 to the three named
+    * list fields, nulling any that stay unparseable
+    * (api_helpers.py:197-209).
+    */
+  val BrandSafetyFields: Seq[String] =
+    Seq("excluded_publisher_categories", "excluded_publisher_list_ids",
+      "publisher_platforms")
+  def normalizeBrandSafetyLists(df: DataFrame): DataFrame =
+    BrandSafetyFields.filter(df.columns.contains).foldLeft(df) { (d, f) =>
+      d.withColumn(f, normalizeStringCollection(col(f)))
+    }
+
+  /** G23: targeting payload parse — struct/JSON-string → typed struct,
+    * null when unparseable (pages/4_AdSet_Creator.py:83-102).
+    */
+  def parseTargeting(c: Column, schema: StructType): Column =
+    from_json(c.cast(StringType), schema)
+
+  /** G25: asset classification by mime prefix or file extension
+    * (pages/2_Creative_Uploader.py:42-53).
+    */
+  def classifyAsset(mime: Column, path: Column): Column = {
+    val ext = lower(regexp_extract(path, "\\.([A-Za-z0-9]+)$", 1))
+    when(lower(mime).startsWith("image/"), "image")
+      .when(lower(mime).startsWith("video/"), "video")
+      .when(ext.isin("jpg", "jpeg", "png", "gif", "webp"), "image")
+      .when(ext.isin("mp4", "mov", "avi", "mkv", "webm"), "video")
+      .otherwise(lit(null).cast(StringType))
+  }
+
+  /** G27: clipboard record normalize — heterogeneous entries into
+    * {label, value} with key fallbacks (ui_clipboard.py:18-40).
+    */
+  def normalizeClipboardRecord(label: Column, name: Column, title: Column,
+      value: Column, id: Column): Column =
+    struct(
+      coalesce(label, name, title, value.cast(StringType)).as("label"),
+      coalesce(value.cast(StringType), id.cast(StringType)).as("value"))
+
   /** G11: schema-driven numeric coercion with id exclusion. String columns
     * whose names end in `_id`/`_ids` (or are in `idAllowlist`) stay
     * strings; other string columns that look numeric are cast (digits ->

@@ -108,6 +108,50 @@ class SanitizeSpec extends AnyFunSuite {
     assert(eval(null, Sanitize.normalizeAccountId) == null)
   }
 
+  test("G6 brand-safety lists normalized per-field") {
+    val df = Seq(("""["cat_a","cat_b"]""", "p1, p2", "nonsense"))
+      .toDF("excluded_publisher_categories", "excluded_publisher_list_ids", "other")
+    val out = Sanitize.normalizeBrandSafetyLists(df).head()
+    assert(out.getSeq[String](0) == Seq("cat_a", "cat_b"))
+    assert(out.getSeq[String](1) == Seq("p1", "p2"))
+    assert(out.getString(2) == "nonsense") // untouched non-list column
+  }
+
+  test("G23 targeting parse: JSON string or null") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("age_min", LongType)))
+    def parse(v: String) =
+      eval(v, c => Sanitize.parseTargeting(c, schema).getField("age_min"))
+    assert(parse("""{"age_min": 25}""") == 25L)
+    assert(parse("not json") == null)
+  }
+
+  test("G25 asset classification by mime then extension") {
+    val df = Seq(
+      ("image/png", "x.bin"), ("video/mp4", "x.bin"),
+      ("application/octet-stream", "clip.MOV"),
+      ("application/octet-stream", "pic.jpeg"),
+      ("application/octet-stream", "doc.pdf"))
+      .toDF("mime", "path")
+      .select(Sanitize.classifyAsset(col("mime"), col("path")).as("k"))
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("image", "video", "video", "image", null))
+  }
+
+  test("G27 clipboard record label/value fallbacks") {
+    val df = Seq(
+      (Some("L"), None: Option[String], None: Option[String], Some("v1"), None: Option[String]),
+      (None, Some("N"), None, None, Some("id9")),
+      (None, None, None, Some("v3"), None))
+      .toDF("label", "name", "title", "value", "id")
+      .select(Sanitize.normalizeClipboardRecord(
+        col("label"), col("name"), col("title"), col("value"), col("id")).as("r"))
+    val rows = df.collect().map(_.getStruct(0))
+    assert(rows(0).getString(0) == "L" && rows(0).getString(1) == "v1")
+    assert(rows(1).getString(0) == "N" && rows(1).getString(1) == "id9")
+    assert(rows(2).getString(0) == "v3" && rows(2).getString(1) == "v3")
+  }
+
   test("G13 unicode unescape: \\uXXXX, \\xNN, mixed, passthrough") {
     assert(UnicodeUnescape.decode("\\u0041") == "A")
     assert(UnicodeUnescape.decode("\\x41") == "A")
