@@ -119,8 +119,9 @@ object Sanitize {
     * (api_helpers.py:197-209).
     */
   val BrandSafetyFields: Seq[String] =
-    Seq("excluded_publisher_categories", "excluded_publisher_list_ids",
-      "publisher_platforms")
+    Seq("brand_safety_content_filter_levels",
+      "brand_safety_content_severity_levels",
+      "excluded_brand_safety_content_types")
   def normalizeBrandSafetyLists(df: DataFrame): DataFrame =
     BrandSafetyFields.filter(df.columns.contains).foldLeft(df) { (d, f) =>
       d.withColumn(f, normalizeStringCollection(col(f)))
@@ -139,8 +140,8 @@ object Sanitize {
     val ext = lower(regexp_extract(path, "\\.([A-Za-z0-9]+)$", 1))
     when(lower(mime).startsWith("image/"), "image")
       .when(lower(mime).startsWith("video/"), "video")
-      .when(ext.isin("jpg", "jpeg", "png", "gif", "webp"), "image")
-      .when(ext.isin("mp4", "mov", "avi", "mkv", "webm"), "video")
+      .when(ext.isin("jpg", "jpeg", "png", "gif", "bmp", "webp"), "image")
+      .when(ext.isin("mp4", "mov", "avi", "mkv", "wmv"), "video")
       .otherwise(lit(null).cast(StringType))
   }
 
@@ -155,9 +156,14 @@ object Sanitize {
 
   /** G11: schema-driven numeric coercion with id exclusion. String columns
     * whose names end in `_id`/`_ids` (or are in `idAllowlist`) stay
-    * strings; other string columns that look numeric are cast (digits ->
-    * long, decimal -> double). Mirrors api_helpers.py:238-264 but
-    * schema-driven rather than value-driven, as a DataFrame rule.
+    * strings; other string columns are numerically normalized in place
+    * (type stays string, since one column must hold both branches):
+    * integer-looking values canonicalize through long (drops leading
+    * zeros/plus), decimal-looking values through double (the reference's
+    * float branch, api_helpers.py:252-264), everything else passes
+    * through untouched. Mirrors api_helpers.py:238-264 but schema-driven
+    * rather than value-driven, as a DataFrame rule. For a hard typed
+    * cast, use [[castToSchema]].
     */
   def coerceNumerics(df: DataFrame, idAllowlist: Set[String] = Set("id")): DataFrame = {
     val cols = df.schema.fields.map { f =>
@@ -165,8 +171,11 @@ object Sanitize {
       val isId = f.name.endsWith("_id") || f.name.endsWith("_ids") ||
         idAllowlist.contains(f.name)
       if (f.dataType == StringType && !isId) {
-        when(c.rlike("^-?\\d+$"), c.cast(LongType).cast(StringType))
-          .otherwise(c).as(f.name) // numeric-normalized, type stays declared
+        val t = trim(c)
+        when(t.rlike("^-?\\d+$"), t.cast(LongType).cast(StringType))
+          .when(t.rlike("^-?\\d*\\.\\d+([eE][+-]?\\d+)?$"),
+            t.cast(DoubleType).cast(StringType))
+          .otherwise(c).as(f.name)
       } else c.as(f.name)
     }
     df.select(cols.toSeq: _*)

@@ -41,6 +41,9 @@ object Schemas {
       f("pixel_id", StringType),
       f("custom_event_type", StringType))), "推廣對象"),
     f("special_ad_categories", ArrayType(StringType)),
+    f("brand_safety_content_filter_levels", ArrayType(StringType)),
+    f("brand_safety_content_severity_levels", ArrayType(StringType)),
+    f("excluded_brand_safety_content_types", ArrayType(StringType)),
     f("created_time", StringType),
     f("updated_time", StringType)))
 
@@ -74,6 +77,9 @@ object Schemas {
       f("event_type", StringType),
       f("window_days", LongType))))),
     f("is_dynamic_creative", BooleanType),
+    f("brand_safety_content_filter_levels", ArrayType(StringType)),
+    f("brand_safety_content_severity_levels", ArrayType(StringType)),
+    f("excluded_brand_safety_content_types", ArrayType(StringType)),
     f("created_time", StringType),
     f("updated_time", StringType)))
 

@@ -37,15 +37,24 @@ object SetSimilarityJoin {
     else tokenJoinPath(items, threshold)
   }
 
+  /** Bit index for a ≤64-token vocabulary: one single-row aggregate
+    * holding the sorted vocab array (rank = array position), instead of
+    * a partitionless window (which would drag all rows to one partition
+    * and warn — harmless at 64 rows, wrong as a pattern).
+    */
+  private def docMasks(items: DataFrame, vocab: DataFrame): DataFrame = {
+    val varr = vocab.agg(sort_array(collect_list(col("tok"))).as("varr"))
+    items.crossJoin(broadcast(varr))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(array_position(varr, tok) - 1 AS INT))"))
+        .as("mask"))
+  }
+
   /** Strategy 1: bitset masks + threshold-derived size filter. */
   private[operators] def bitsetPath(items: DataFrame, vocab: DataFrame,
       threshold: Double): DataFrame = {
-    // ≤64 rows: a global window for the bit index is fine
-    val idx = vocab.withColumn("idx",
-      (row_number().over(Window.orderBy(col("tok"))) - 1).cast(IntegerType))
-    val masks = items.join(broadcast(idx), Seq("tok"))
-      .groupBy(col("doc_id"))
-      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), idx)")).as("mask"))
+    val masks = docMasks(items, vocab)
     // collapse identical sets; keep the member list for re-expansion
     val groups = masks.groupBy(col("mask"))
       .agg(collect_list(col("doc_id")).as("docs"))
@@ -124,11 +133,7 @@ object SetSimilarityJoin {
     */
   def verifyWithMasks(cand: DataFrame, items: DataFrame, vocab: DataFrame,
       threshold: Double): DataFrame = {
-    val idx = vocab.withColumn("idx",
-      (row_number().over(Window.orderBy(col("tok"))) - 1).cast(IntegerType))
-    val masks = items.join(broadcast(idx), Seq("tok"))
-      .groupBy(col("doc_id"))
-      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), idx)")).as("mask"))
+    val masks = docMasks(items, vocab)
     cand
       .join(masks.select(col("doc_id").as("d1"), col("mask").as("m1")), Seq("d1"))
       .join(masks.select(col("doc_id").as("d2"), col("mask").as("m2")), Seq("d2"))

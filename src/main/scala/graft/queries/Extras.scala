@@ -54,6 +54,7 @@ object Extras {
   /** embeddings as (vec_id, v: array<double>). */
   private def emb(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.expressions.DecimalDot.register(s)
     t(s, dir, "embeddings")
       .select($"vec_id", VectorFns.asDoubleArray("embedding").as("v"))
   }
@@ -124,20 +125,32 @@ object Extras {
     import s.implicits._
     val toks = tokIndex(s, dir)
     val th = toks.withColumn("th", TextFns.tokHash($"tok"))
-    val perms = s.createDataFrame(Perms).toDF("j", "a", "b")
-    val mh = th.crossJoin(broadcast(perms))
-      .groupBy($"doc_id", $"j")
-      .agg(min(($"a" * $"th" + $"b") % P).as("mh"))
-    val sigs = mh.withColumn("band", floor($"j" / 4).cast(LongType))
-      .groupBy($"doc_id", $"band")
-      .agg(concat_ws("-",
-        max(when($"j" % 4 === 0, $"mh")).cast(StringType),
-        max(when($"j" % 4 === 1, $"mh")).cast(StringType),
-        max(when($"j" % 4 === 2, $"mh")).cast(StringType),
-        max(when($"j" % 4 === 3, $"mh")).cast(StringType)).as("sig"))
-    val cand = sigs.as("x").join(sigs.as("y"),
+    // The 16 permutations are compile-time constants, so all 16
+    // min-hashes come out of ONE hash aggregate (no ×16 row explode, no
+    // second shuffle — the doc_id shuffle is the only one).
+    val mhCols = Perms.map { case (j, a, b) =>
+      min((lit(a) * $"th" + lit(b)) % P).as(s"mh$j")
+    }
+    val sig = th.groupBy($"doc_id").agg(mhCols.head, mhCols.tail: _*)
+    val withBands = sig.select($"doc_id" +: (0 until 4).map { b =>
+      concat_ws("-", (0 until 4).map(k => col(s"mh${4 * b + k}").cast(StringType)): _*)
+        .as(s"s$b")
+    }: _*)
+    // Long form carries all four band signatures so a pair colliding in
+    // several bands can be kept only at its FIRST colliding band — an
+    // in-join filter that replaces the full distinct() shuffle of the
+    // ~2x-duplicated candidate stream.
+    val bands = withBands.select($"doc_id", $"s0", $"s1", $"s2", $"s3",
+      posexplode(array($"s0", $"s1", $"s2", $"s3")).as(Seq("band", "sig")))
+    val firstMatch =
+      when($"x.band" === 0, lit(true))
+        .when($"x.band" === 1, $"x.s0" =!= $"y.s0")
+        .when($"x.band" === 2, $"x.s0" =!= $"y.s0" && $"x.s1" =!= $"y.s1")
+        .otherwise($"x.s0" =!= $"y.s0" && $"x.s1" =!= $"y.s1" && $"x.s2" =!= $"y.s2")
+    val cand = bands.as("x").join(bands.as("y"),
         $"x.band" === $"y.band" && $"x.sig" === $"y.sig" && $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2")).distinct()
+      .filter(firstMatch)
+      .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2"))
     verifyJaccard(s, cand, toks, MinhashJaccardThreshold)
   }
 
@@ -148,13 +161,17 @@ object Extras {
   def x03DedupSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val th = tokIndex(s, dir).withColumn("th", TextFns.tokHash($"tok"))
-    val bits = th
-      .select($"doc_id", $"th", explode(sequence(lit(0), lit(31))).as("bit"))
-      .groupBy($"doc_id", $"bit")
-      .agg(sum(expr("(shiftright(th, CAST(bit AS INT)) & CAST(1 AS BIGINT)) * 2 - 1")).as("s"))
-    bits.groupBy($"doc_id")
-      .agg(sum(when($"s" > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
-        .otherwise(0L)).cast(LongType).as("simhash"))
+    // Weighted-bit sum s_b = Σ_tok ((th>>b & 1)*2 - 1) = 2·c_b − n, so
+    // 32 constant-shift count aggregates + one token count in a single
+    // groupBy replace the ×32 bit-explode (which shuffled 32× the token
+    // index). Sign test s_b > 0 ⟺ 2·c_b > n.
+    val bitCols = (0 until 32).map(b =>
+      sum(expr(s"shiftright(th, $b) & CAST(1 AS BIGINT)")).as(s"c$b"))
+    val g = th.groupBy($"doc_id").agg(bitCols.head, (bitCols.tail :+ cnt.as("n")): _*)
+    g.select($"doc_id",
+        (0 until 32).map { b =>
+          when(col(s"c$b") * 2 > $"n", lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _).cast(LongType).as("simhash"))
       .orderBy($"doc_id")
   }
 
@@ -167,8 +184,12 @@ object Extras {
     val sh = t(s, dir, "documents")
       .withColumn("toks", TextFns.tokenize($"text"))
       .select($"doc_id", explode(expr(
-        "transform(sequence(1, size(toks) - 2), i -> concat_ws(' '," +
-          " element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2)))"))
+        // guard: docs with <3 tokens have no shingles (sequence(1, n<1)
+        // would count DOWN and element_at(toks, 0) throws)
+        "CASE WHEN size(toks) >= 3 THEN" +
+          " transform(sequence(1, size(toks) - 2), i -> concat_ws(' '," +
+          " element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2)))" +
+          " ELSE array() END"))
         .as("tok"))
       .distinct()
     // PPJoin prefix filter: only the globally-rarest prefix of each

@@ -67,7 +67,8 @@ object ExtrasOracle {
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |sg AS (SELECT DISTINCT doc_id,
          |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS tok
-         |  FROM d, generate_series(1, 1000) t(i) WHERE i <= len(toks) - 2),
+         |  FROM (SELECT doc_id, toks,
+         |          unnest(generate_series(1, len(toks) - 2)) AS i FROM d)),
          |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
          |  FROM sg a JOIN sg b ON a.tok = b.tok AND a.doc_id < b.doc_id),
          |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sg GROUP BY 1),
@@ -167,7 +168,8 @@ object ExtrasOracle {
     "x10_fingerprint" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |pos AS (SELECT doc_id, i - 1 AS pos0, toks[i] AS tok
-        |  FROM d, generate_series(1, 1000) t(i) WHERE i <= len(toks)),
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(1, len(toks))) AS i FROM d)),
         |term AS (SELECT doc_id,
         |  ((CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 1000000)
         |    * (CASE (pos0 % 4) WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961

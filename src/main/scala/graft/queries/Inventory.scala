@@ -475,7 +475,12 @@ object Inventory {
     */
   def q24(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // TakeOrdered on the (unique) sort key FIRST, so the scalar battery
+    // runs on 2000 rows, not the whole table (same result — the battery
+    // is row-local; same trick as Q23).
     t(s, dir, "lineitem")
+      .orderBy($"l_orderkey", $"l_linenumber")
+      .limit(2000)
       .select(
         $"l_orderkey", $"l_linenumber".cast(LongType).as("l_linenumber"),
         upper(concat($"l_returnflag", lit("_"), $"l_linestatus")).as("flag_status"),
@@ -491,7 +496,6 @@ object Inventory {
           .as("days_since"),
         add_months($"l_shipdate", 2).as("ship_plus2m"))
       .orderBy($"l_orderkey", $"l_linenumber")
-      .limit(2000)
   }
 
   // ---------------------------------------------------------------- north star: text / vector
@@ -537,16 +541,14 @@ object Inventory {
     */
   def q26b(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val dotE = (a: String, b: String) =>
-      s"CAST(aggregate(zip_with($a, $b, (x, y) -> CAST(x*y AS DECIMAL(30,20)))," +
-        s" CAST(0 AS DECIMAL(30,20)), (acc, x) -> CAST(acc+x AS DECIMAL(30,20))) AS DOUBLE)"
+    graft.expressions.DecimalDot.register(s)
     val e = t(s, dir, "embeddings")
       .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("n1", expr(dotE("v", "v"))) // norm once per vector
+      .withColumn("n1", graft.functions.VectorFns.dotDec("v", "v")) // norm once per vector
     val probe = e.filter($"vec_id" === 0).select($"v".as("p"), $"n1".as("n2"))
     e.filter($"vec_id" =!= 0)
       .crossJoin(broadcast(probe))
-      .withColumn("dot", expr(dotE("v", "p")))
+      .withColumn("dot", graft.functions.VectorFns.dotDec("v", "p"))
       .select($"vec_id", ($"dot" / (sqrt($"n1") * sqrt($"n2"))).as("cosine"))
       .orderBy($"cosine".desc, $"vec_id")
       .limit(5)

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expressions.DecimalDot
+import graft.functions.VectorFns
+
+/** The codegen [[DecimalDot]] kernel must be bit-identical to the
+  * declarative zip_with/aggregate decimal form it replaces — that form
+  * is what the DuckDB oracle mirrors, so any divergence here is an
+  * oracle break at sf0.1.
+  */
+class ExpressionParitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def compare(rows: Seq[(Seq[Double], Seq[Double])]): Unit = {
+    DecimalDot.register(spark)
+    val bad = rows.toDF("a", "b")
+      .select(col("a"), col("b"),
+        DecimalDot.decimalDot(col("a"), col("b")).as("fast"),
+        VectorFns.dotDecHof("a", "b").as("ref"))
+      .filter(not(col("fast") <=> col("ref")))
+      .collect()
+    assert(bad.isEmpty, bad.take(3).mkString("; "))
+  }
+
+  test("decimal_dot == declarative decimal aggregate on 500 random vectors") {
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(500) {
+      val n = 1 + rnd.nextInt(64)
+      (Seq.fill(n)(rnd.nextDouble() * 2 - 1), Seq.fill(n)(rnd.nextDouble() * 2 - 1))
+    }
+    compare(rows)
+  }
+
+  test("decimal_dot edge values match (zeros, sub-scale, large, empty)") {
+    compare(Seq(
+      (Seq(0.0, -0.0, 1.0), Seq(1.0, 2.0, -1.0)),
+      (Seq(1e-21, 1e-21, 1e-21), Seq(1.0, -1.0, 0.5)), // below scale-20 -> rounds
+      (Seq(123456.789, -0.001), Seq(9876.5, 1000.0)),
+      (Seq(0.1, 0.2, 0.3), Seq(0.3, 0.2, 0.1)),
+      (Seq.empty[Double], Seq.empty[Double])))
+  }
+
+  test("decimal_dot null semantics: length mismatch poisons the sum") {
+    compare(Seq((Seq(1.0, 2.0), Seq(1.0))))
+    DecimalDot.register(spark)
+    val r = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
+      .select(DecimalDot.decimalDot(col("a"), col("b")).as("d")).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("decimal_dot survives the codegen path on a real plan") {
+    DecimalDot.register(spark)
+    val df = Seq((Seq(0.5, 0.25), Seq(2.0, 4.0)), (Seq(1.0, 1.0), Seq(1.0, 1.0)))
+      .toDF("a", "b")
+      .select(DecimalDot.decimalDot(col("a"), col("b")).as("d"))
+    assert(df.collect().map(_.getDouble(0)).toSeq == Seq(2.0, 2.0))
+  }
+}

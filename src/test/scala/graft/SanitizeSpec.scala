@@ -108,13 +108,33 @@ class SanitizeSpec extends AnyFunSuite {
     assert(eval(null, Sanitize.normalizeAccountId) == null)
   }
 
+  test("G11 coerceNumerics: int canonicalize, float branch, id exclusion") {
+    val df = Seq(("007", "3.50", "1e", "12345", "9.5"))
+      .toDF("qty", "rate", "junk", "account_id", "note")
+    val out = graft.functions.Sanitize.coerceNumerics(df).head()
+    assert(out.getString(0) == "7")      // digits -> long canonical form
+    assert(out.getString(1) == "3.5")    // decimal -> double canonical form
+    assert(out.getString(2) == "1e")     // non-numeric untouched
+    assert(out.getString(3) == "12345")  // *_id excluded from coercion
+    assert(out.getString(4) == "9.5")
+  }
+
   test("G6 brand-safety lists normalized per-field") {
-    val df = Seq(("""["cat_a","cat_b"]""", "p1, p2", "nonsense"))
-      .toDF("excluded_publisher_categories", "excluded_publisher_list_ids", "other")
+    val df = Seq(("""["FACEBOOK","AN"]""", "RELAXED, STANDARD", "nonsense"))
+      .toDF("brand_safety_content_filter_levels",
+        "brand_safety_content_severity_levels", "other")
     val out = Sanitize.normalizeBrandSafetyLists(df).head()
-    assert(out.getSeq[String](0) == Seq("cat_a", "cat_b"))
-    assert(out.getSeq[String](1) == Seq("p1", "p2"))
+    assert(out.getSeq[String](0) == Seq("FACEBOOK", "AN"))
+    assert(out.getSeq[String](1) == Seq("RELAXED", "STANDARD"))
     assert(out.getString(2) == "nonsense") // untouched non-list column
+  }
+
+  test("G6 brand-safety fields exist on the entity schemas") {
+    // the normalizer must not be a no-op on our own catalog
+    Sanitize.BrandSafetyFields.foreach { fname =>
+      assert(graft.model.Schemas.campaign.fieldNames.contains(fname), fname)
+      assert(graft.model.Schemas.adSet.fieldNames.contains(fname), fname)
+    }
   }
 
   test("G23 targeting parse: JSON string or null") {
@@ -131,11 +151,13 @@ class SanitizeSpec extends AnyFunSuite {
       ("image/png", "x.bin"), ("video/mp4", "x.bin"),
       ("application/octet-stream", "clip.MOV"),
       ("application/octet-stream", "pic.jpeg"),
+      ("application/octet-stream", "old.BMP"),
+      ("application/octet-stream", "clip.wmv"),
       ("application/octet-stream", "doc.pdf"))
       .toDF("mime", "path")
       .select(Sanitize.classifyAsset(col("mime"), col("path")).as("k"))
     assert(df.collect().map(_.getString(0)).toSeq ==
-      Seq("image", "video", "video", "image", null))
+      Seq("image", "video", "video", "image", "image", "video", null))
   }
 
   test("G27 clipboard record label/value fallbacks") {
