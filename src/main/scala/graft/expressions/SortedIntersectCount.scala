@@ -1,0 +1,74 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** |A ∩ B| for two SORTED `array<string>` columns (unique elements),
+  * as a native codegen Expression: a single O(|A|+|B|) merge scan over
+  * the two arrays.
+  *
+  * This is the exact-verification kernel behind candidate-driven set
+  * similarity (n-gram Jaccard, x04): candidates from the PPJoin prefix
+  * filter carry their sorted item arrays and the intersection is
+  * counted per pair, replacing the token-index double-join + groupBy
+  * whose intermediate is Σ_pair |items(d1)| rows (~16M at sf0.1 for
+  * 310k candidate pairs). Bit-exact equivalence: string equality on
+  * sorted unique arrays counts exactly the rows the equi-join would
+  * produce.
+  *
+  * Inputs MUST be sorted ascending in Spark's string ordering
+  * (`sort_array` does this) and duplicate-free (build from a DISTINCT
+  * item index); the merge scan silently undercounts otherwise.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCountOps.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.SortedIntersectCountOps.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
+    copy(left = l, right = r)
+  override def prettyName: String = "sorted_intersect_count"
+}
+
+object SortedIntersectCount {
+  /** Register in the session's function registry (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_count",
+      exprs => SortedIntersectCount(exprs(0), exprs(1)), "scala_udf")
+
+  /** Column API (requires [[register]] to have been called). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    call_function("sorted_intersect_count", a, b)
+}
+
+/** Static kernel (separate object so Scala emits static forwarders the
+  * generated Java can call directly).
+  */
+object SortedIntersectCountOps {
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+}

@@ -60,10 +60,16 @@ object Extras {
   }
 
   /** Exact Jaccard over a candidate-pair set (candidate-driven: only
-    * candidate pairs re-expand through the token index).
-    */
-  /** `tryMasks = false` skips the vocabulary probe when the caller
-    * already knows the item space is large (e.g. shingles).
+    * candidate pairs are ever scored).
+    *
+    * `tryMasks = false` skips the vocabulary probe when the caller
+    * already knows the item space is large (e.g. shingles); the general
+    * path then joins each pair to its two per-doc SORTED item arrays
+    * and counts the intersection with the
+    * [[graft.expressions.SortedIntersectCount]] merge kernel — one
+    * O(|A|+|B|) scan per pair instead of re-expanding candidates
+    * through the token index (a Σ_pair |items| intermediate plus a
+    * pair-keyed shuffle).
     */
   private def verifyJaccard(s: SparkSession, cand: DataFrame, toks: DataFrame,
       threshold: Double, tryMasks: Boolean = true): DataFrame = {
@@ -75,14 +81,14 @@ object Extras {
         // Jaccard = two bit_count instructions per candidate
         graft.operators.SetSimilarityJoin.verifyWithMasks(cand, toks, vocab, threshold)
       else {
-        val sz = toks.groupBy($"doc_id").agg(cnt.as("sz"))
-        val inter = cand
-          .join(toks.as("ta"), $"d1" === $"ta.doc_id")
-          .join(toks.as("tb"), $"d2" === $"tb.doc_id" && $"ta.tok" === $"tb.tok")
-          .groupBy($"d1", $"d2").agg(cnt.as("inter"))
-        inter
-          .join(sz.select($"doc_id".as("d1"), $"sz".as("sz1")), Seq("d1"))
-          .join(sz.select($"doc_id".as("d2"), $"sz".as("sz2")), Seq("d2"))
+        graft.expressions.SortedIntersectCount.register(s)
+        val arrs = toks.groupBy($"doc_id")
+          .agg(sort_array(collect_list($"tok")).as("arr"), cnt.as("sz"))
+        cand
+          .join(arrs.select($"doc_id".as("d1"), $"arr".as("a1"), $"sz".as("sz1")), Seq("d1"))
+          .join(arrs.select($"doc_id".as("d2"), $"arr".as("a2"), $"sz".as("sz2")), Seq("d2"))
+          .withColumn("inter",
+            graft.expressions.SortedIntersectCount.sortedIntersectCount($"a1", $"a2"))
           .withColumn("jaccard", $"inter".cast(DoubleType) / ($"sz1" + $"sz2" - $"inter"))
           .filter($"jaccard" >= threshold)
           .select($"d1", $"d2", $"jaccard")
@@ -132,9 +138,14 @@ object Extras {
       min((lit(a) * $"th" + lit(b)) % P).as(s"mh$j")
     }
     val sig = th.groupBy($"doc_id").agg(mhCols.head, mhCols.tail: _*)
+    // Lossless pack: each min-hash is in [0, P) with P < 2^30, so two
+    // fit in one long (mh_a·P + mh_b) — band signatures become a struct
+    // of two longs instead of a ~40-char string, and the candidate
+    // join hashes/compares longs, not strings.
     val withBands = sig.select($"doc_id" +: (0 until 4).map { b =>
-      concat_ws("-", (0 until 4).map(k => col(s"mh${4 * b + k}").cast(StringType)): _*)
-        .as(s"s$b")
+      struct(
+        (col(s"mh${4 * b}") * lit(P) + col(s"mh${4 * b + 1}")).as("hi"),
+        (col(s"mh${4 * b + 2}") * lit(P) + col(s"mh${4 * b + 3}")).as("lo")).as(s"s$b")
     }: _*)
     // Long form carries all four band signatures so a pair colliding in
     // several bands can be kept only at its FIRST colliding band — an

@@ -52,6 +52,22 @@ class ExpressionParitySpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("sorted_intersect_count == size(array_intersect) on random sets") {
+    graft.expressions.SortedIntersectCount.register(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(300) {
+      def set() = Seq.fill(1 + rnd.nextInt(40))(s"w${rnd.nextInt(60)}").distinct.sorted
+      (set(), set())
+    } ++ Seq((Seq.empty[String], Seq("a")), (Seq.empty[String], Seq.empty[String]))
+    val bad = rows.toDF("a", "b")
+      .select(
+        graft.expressions.SortedIntersectCount.sortedIntersectCount(col("a"), col("b")).as("fast"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .filter(not(col("fast") <=> col("ref")))
+      .collect()
+    assert(bad.isEmpty, bad.take(3).mkString("; "))
+  }
+
   test("decimal_dot survives the codegen path on a real plan") {
     DecimalDot.register(spark)
     val df = Seq((Seq(0.5, 0.25), Seq(2.0, 4.0)), (Seq(1.0, 1.0), Seq(1.0, 1.0)))
