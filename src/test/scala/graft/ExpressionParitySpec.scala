@@ -17,13 +17,41 @@ class ExpressionParitySpec extends AnyFunSuite {
 
   private def compare(rows: Seq[(Seq[Double], Seq[Double])]): Unit = {
     DecimalDot.register(spark)
-    val bad = rows.toDF("a", "b")
-      .select(col("a"), col("b"),
-        DecimalDot.decimalDot(col("a"), col("b")).as("fast"),
-        VectorFns.dotDecHof("a", "b").as("ref"))
-      .filter(not(col("fast") <=> col("ref")))
-      .collect()
-    assert(bad.isEmpty, bad.take(3).mkString("; "))
+    // keep the reference side genuinely interpreted: the injected
+    // DecimalDotRewrite rule would otherwise canonicalize it to the
+    // very kernel under test
+    spark.conf.set("spark.sql.optimizer.excludedRules", "graft.plans.DecimalDotRewrite")
+    try {
+      val bad = rows.toDF("a", "b")
+        .select(col("a"), col("b"),
+          DecimalDot.decimalDot(col("a"), col("b")).as("fast"),
+          VectorFns.dotDecHof("a", "b").as("ref"))
+        .filter(not(col("fast") <=> col("ref")))
+        .collect()
+      assert(bad.isEmpty, bad.take(3).mkString("; "))
+    } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+  }
+
+  test("DecimalDotRewrite canonicalizes the declarative HOF form to the kernel") {
+    // must come from a real scan — a literal LocalRelation constant-folds
+    // before the kernel is observable in the optimized plan
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .select(VectorFns.dotDecHof("v", "v").as("d"))
+    val optimized = df.queryExecution.optimizedPlan
+    assert(optimized.expressions.exists(_.exists(_.isInstanceOf[DecimalDot])),
+      s"kernel not found in optimized plan:\n$optimized")
+    assert(df.head().getDouble(0) > 0.0) // a vector's squared norm
+  }
+
+  test("GraftExtensions exposes the kernels to plain SQL") {
+    assert(spark.sql("SELECT decimal_dot(array(1.5D, 2D), array(2D, 3D)) d")
+      .head().getDouble(0) == 9.0)
+    assert(spark.sql(
+      "SELECT sorted_intersect_count(array('a','b','c'), array('b','c','d')) n")
+      .head().getLong(0) == 2L)
+    assert(spark.sql("SELECT unicode_unescape('\\\\u0041') s")
+      .head().getString(0) == "A")
   }
 
   test("decimal_dot == declarative decimal aggregate on 500 random vectors") {
