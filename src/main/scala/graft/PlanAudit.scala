@@ -74,6 +74,21 @@ object PlanAudit {
     // x05: probe-vs-all is a broadcast nested loop of 10 probes (OK),
     // never a shuffled cartesian of the corpus with itself
     audit("x05_ann_brute")(
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")),
+      "decimal_dot kernel in plan (not interpreted HOF)" ->
+        (_.contains("decimal_dot")))
+    // x12: pairwise similarity only through LSH buckets, scored by the
+    // codegen kernel
+    audit("x12_embed_neardup")(
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")),
+      "decimal_dot kernel in plan" -> (_.contains("decimal_dot")))
+    // x04: PPJoin-prefix candidates + merge-scan verify
+    audit("x04_ngram_jaccard")(
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")),
+      "sorted_intersect_count kernel in plan" ->
+        (_.contains("sorted_intersect_count")))
+    // x02: banded candidates, no global window, no cartesian
+    audit("x02_dedup_minhash_lsh")(
       "no cartesian product" -> (p => !p.contains("CartesianProduct")))
 
     println(s"\nPlan audit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
