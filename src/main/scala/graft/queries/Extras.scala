@@ -130,39 +130,68 @@ object Extras {
   def x02DedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toks = tokIndex(s, dir)
-    val th = toks.withColumn("th", TextFns.tokHash($"tok"))
     // The 16 permutations are compile-time constants, so all 16
     // min-hashes come out of ONE hash aggregate (no ×16 row explode, no
     // second shuffle — the doc_id shuffle is the only one).
     val mhCols = Perms.map { case (j, a, b) =>
       min((lit(a) * $"th" + lit(b)) % P).as(s"mh$j")
     }
-    val sig = th.groupBy($"doc_id").agg(mhCols.head, mhCols.tail: _*)
-    // Lossless pack: each min-hash is in [0, P) with P < 2^30, so two
-    // fit in one long (mh_a·P + mh_b) — band signatures become a struct
-    // of two longs instead of a ~40-char string, and the candidate
-    // join hashes/compares longs, not strings.
-    val withBands = sig.select($"doc_id" +: (0 until 4).map { b =>
-      struct(
-        (col(s"mh${4 * b}") * lit(P) + col(s"mh${4 * b + 1}")).as("hi"),
-        (col(s"mh${4 * b + 2}") * lit(P) + col(s"mh${4 * b + 3}")).as("lo")).as(s"s$b")
-    }: _*)
-    // Long form carries all four band signatures so a pair colliding in
-    // several bands can be kept only at its FIRST colliding band — an
-    // in-join filter that replaces the full distinct() shuffle of the
+    // Band candidates from a per-doc signature frame. Lossless pack:
+    // each min-hash is in [0, P) with P < 2^30, so two fit in one long
+    // (mh_a·P + mh_b) — band signatures are structs of two longs, and
+    // the candidate join hashes/compares longs, not strings. The long
+    // form carries all four band signatures so a pair colliding in
+    // several bands is kept only at its FIRST colliding band — an
+    // in-join filter replacing the full distinct() shuffle of the
     // ~2x-duplicated candidate stream.
-    val bands = withBands.select($"doc_id", $"s0", $"s1", $"s2", $"s3",
-      posexplode(array($"s0", $"s1", $"s2", $"s3")).as(Seq("band", "sig")))
-    val firstMatch =
-      when($"x.band" === 0, lit(true))
-        .when($"x.band" === 1, $"x.s0" =!= $"y.s0")
-        .when($"x.band" === 2, $"x.s0" =!= $"y.s0" && $"x.s1" =!= $"y.s1")
-        .otherwise($"x.s0" =!= $"y.s0" && $"x.s1" =!= $"y.s1" && $"x.s2" =!= $"y.s2")
-    val cand = bands.as("x").join(bands.as("y"),
-        $"x.band" === $"y.band" && $"x.sig" === $"y.sig" && $"x.doc_id" < $"y.doc_id")
-      .filter(firstMatch)
-      .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2"))
-    verifyJaccard(s, cand, toks, MinhashJaccardThreshold)
+    def bandCandidates(sig: DataFrame): DataFrame = {
+      val withBands = sig.select($"doc_id" +: (0 until 4).map { b =>
+        struct(
+          (col(s"mh${4 * b}") * lit(P) + col(s"mh${4 * b + 1}")).as("hi"),
+          (col(s"mh${4 * b + 2}") * lit(P) + col(s"mh${4 * b + 3}")).as("lo")).as(s"s$b")
+      }: _*)
+      val bands = withBands.select($"doc_id", $"s0", $"s1", $"s2", $"s3",
+        posexplode(array($"s0", $"s1", $"s2", $"s3")).as(Seq("band", "sig")))
+      val firstMatch =
+        when($"x.band" === 0, lit(true))
+          .when($"x.band" === 1, $"x.s0" =!= $"y.s0")
+          .when($"x.band" === 2, $"x.s0" =!= $"y.s0" && $"x.s1" =!= $"y.s1")
+          .otherwise($"x.s0" =!= $"y.s0" && $"x.s1" =!= $"y.s1" && $"x.s2" =!= $"y.s2")
+      bands.as("x").join(bands.as("y"),
+          $"x.band" === $"y.band" && $"x.sig" === $"y.sig" && $"x.doc_id" < $"y.doc_id")
+        .filter(firstMatch)
+        .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2"))
+    }
+    val vocab = toks.select($"tok").distinct()
+    if (vocab.count() <= 64) {
+      // Small vocabulary: ONE per-doc aggregate computes the 16
+      // min-hashes AND the 64-bit set mask, so both band sides and both
+      // verify sides reference the same shuffled aggregate (exchange
+      // reuse) — the token index is scanned once, not four times.
+      val varr = vocab.agg(sort_array(collect_list($"tok")).as("varr"))
+      val per = toks.crossJoin(broadcast(varr))
+        .withColumn("th", TextFns.tokHash($"tok"))
+        .groupBy($"doc_id")
+        .agg(mhCols.head, (mhCols.tail :+
+          sum(expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(array_position(varr, tok) - 1 AS INT))"))
+            .as("mask")): _*)
+      bandCandidates(per)
+        .join(per.select($"doc_id".as("d1"), $"mask".as("m1")), Seq("d1"))
+        .join(per.select($"doc_id".as("d2"), $"mask".as("m2")), Seq("d2"))
+        .withColumn("jaccard",
+          expr("bit_count(m1 & m2)").cast(DoubleType) / expr("bit_count(m1 | m2)"))
+        .filter($"jaccard" >= MinhashJaccardThreshold)
+        .select($"d1", $"d2", $"jaccard")
+        .orderBy($"d1", $"d2")
+    } else {
+      // Open vocabulary (the true 100 TB path): signatures only, exact
+      // verify via sorted-array merge intersect.
+      val sig = toks.withColumn("th", TextFns.tokHash($"tok"))
+        .groupBy($"doc_id").agg(mhCols.head, mhCols.tail: _*)
+      verifyJaccard(s, bandCandidates(sig), toks, MinhashJaccardThreshold,
+        tryMasks = false)
+    }
   }
 
   /** x03 — SimHash signatures: 32-bit sign-of-weighted-bits over token
