@@ -81,6 +81,60 @@ object Events {
       }
   }
 
+  case class OpenSession(start: Long, end: Long, n: Long, sum: Double)
+
+  /** H1 + I-surface: gap-based sessionization that emits a session ONLY
+    * once it is closed — either by a later event past the gap, or by
+    * the event-time watermark passing `end + gap` (state timeout). The
+    * `flatMapGroupsWithState` twin of [[sessions]]: `session_window`
+    * re-emits the growing session on updates; this append-mode form
+    * emits each session exactly once, which is the contract a
+    * downstream "completed sessions" table wants.
+    *
+    * Scale: state per user is one (start, end, n, sum) tuple; the
+    * watermark-driven timeout guarantees state is dropped as event time
+    * advances, so state size tracks ACTIVE users, not stream length.
+    */
+  def closedSessions(events: Dataset[Event], gapMinutes: Int = 30)
+      : Dataset[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    def emit(user: Long, s: OpenSession) =
+      (user, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end), s.n, s.sum)
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(emit(user, s))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var open = state.getOption
+            val closed = Seq.newBuilder[OpenSession]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open = open match {
+                case Some(s) if t - s.end <= gapMs =>
+                  Some(OpenSession(s.start, math.max(s.end, t), s.n + 1, s.sum + e.value))
+                case other =>
+                  other.foreach(closed += _)
+                  Some(OpenSession(t, t, 1, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // timeout must stay ahead of the current watermark
+              state.setTimeoutTimestamp(
+                math.max(s.end + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator.map(emit(user, _))
+          }
+      }
+  }
+
   /** Drain a streaming DataFrame synchronously into a memory table and
     * return it (test/verify harness; production uses a parquet sink
     * with checkpointing).

@@ -26,6 +26,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("closedSessions emits once per session: in-batch gap and watermark timeout") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Events.Event]
+    def ev(id: Long, min: Long, user: Long, v: Double) =
+      Events.Event(id, new java.sql.Timestamp(min * 60000L), user, "view", v, "{}")
+    val out = Events.closedSessions(input.toDS(), gapMinutes = 30)
+      .toDF("user_id", "start", "end", "n", "sum")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("closed_sessions").start()
+    try {
+      // batch 1: user 1 has two events 10 min apart -> one open session
+      // (times sit well above epoch 0 — an event at exactly the initial
+      // watermark would be dropped as late by the stateful operator)
+      input.addData(ev(1, 1000, 1L, 1.0), ev(2, 1010, 1L, 2.0))
+      q.processAllAvailable()
+      assert(spark.table("closed_sessions").count() == 0) // still open
+      // batch 2: user 2 at t=1400min advances the watermark (1h delay)
+      // to 1340min, past user 1's (end=1010)+gap=30min timeout
+      input.addData(ev(3, 1400, 2L, 5.0))
+      q.processAllAvailable()
+      // batch 3: any further data triggers timeout processing
+      input.addData(ev(4, 1410, 2L, 0.5))
+      q.processAllAvailable()
+      val rows = spark.table("closed_sessions")
+        .select("user_id", "n", "sum").collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set((1L, 2L, 3.0))) // user 1's session, exactly once
+    } finally q.stop()
+  }
+
   test("stateful dedupKeepLatest matches batch Q19 winners") {
     import spark.implicits._
     val events = Events.stream(spark, sf).as[Events.Event]
