@@ -49,6 +49,9 @@ object Extras {
     t(s, dir, "documents")
       .select($"doc_id", explode(TextFns.tokenize($"text")).as("tok"))
       .distinct()
+      // multi-consumer fan-out (signatures + masks + vocab) — persist
+      // so the scan+explode+distinct runs once, not per consumer
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** embeddings as (vec_id, v: array<double>). */
@@ -232,6 +235,14 @@ object Extras {
           " ELSE array() END"))
         .as("tok"))
       .distinct()
+      // The shingle index fans out to MANY consumers (frequency table,
+      // prefix windows, both self-join sides, both verify arrays) and
+      // Spark does not reuse the exchange across them — without a
+      // persist the documents scan + shingle explode + distinct runs
+      // 12x. Persisting the index before a multi-consumer fan-out is
+      // also the correct 100 TB pattern (checkpoint the token index,
+      // then generate + verify candidates from it).
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // PPJoin prefix filter: only the globally-rarest prefix of each
     // doc's shingles generates candidates (no false negatives at the
     // declared threshold); exact Jaccard verifies.
