@@ -566,6 +566,9 @@ object Inventory {
     import s.implicits._
     val toks = t(s, dir, "documents")
       .select($"doc_id", explode(split($"text", " ")).as("tok")).distinct()
+    // only two consumers (vocab probe + mask aggregate) — unlike the
+    // 12-consumer shingle index in x04, persisting here costs more in
+    // materialization than the one saved recompute
     graft.operators.SetSimilarityJoin.jaccardSelfJoin(toks, 0.9)
       .orderBy($"d1", $"d2")
   }
