@@ -26,23 +26,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
         "", "", "", "", "", "", "scala_udf")
 
+    def arity(name: String, n: Int)(children: Seq[Expression]): Seq[Expression] = {
+      if (children.length != n)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> name, "expectedNum" -> n.toString,
+            "actualNum" -> children.length.toString, "docroot" -> ""))
+      children
+    }
+
     ext.injectFunction((
       FunctionIdentifier("decimal_dot"),
       info("decimal_dot",
         "decimal_dot(a, b) - exact DECIMAL(30,20)-accumulated dot product of two array<double>"),
-      (children: Seq[Expression]) => DecimalDot(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        val c = arity("decimal_dot", 2)(children); DecimalDot(c(0), c(1))
+      }))
 
     ext.injectFunction((
       FunctionIdentifier("sorted_intersect_count"),
       info("sorted_intersect_count",
         "sorted_intersect_count(a, b) - |A ∩ B| of two sorted unique array<string>"),
-      (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        val c = arity("sorted_intersect_count", 2)(children)
+        SortedIntersectCount(c(0), c(1))
+      }))
 
     ext.injectFunction((
       FunctionIdentifier("unicode_unescape"),
       info("unicode_unescape",
         "unicode_unescape(s) - decode \\uXXXX / \\xNN escape sequences"),
-      (children: Seq[Expression]) => UnicodeUnescape(children.head)))
+      (children: Seq[Expression]) =>
+        UnicodeUnescape(arity("unicode_unescape", 1)(children).head)))
 
     // Canonicalize the declarative decimal-dot idiom to the codegen
     // kernel wherever it appears in a plan.

@@ -51,8 +51,10 @@ object Main {
       }
       val out = silver(Bronze.readJson(spark, json, schema))
         .withColumn("ingest_date", org.apache.spark.sql.functions.current_date())
+      // manifest records THIS batch's row count, not the cumulative
+      // table size after the dynamic-partition overwrite
+      val rows = out.count()
       Bronze.writePartitioned(out, s"$lake/$entity")
-      val rows = spark.read.parquet(s"$lake/$entity").count()
       val manifest = Manifest.record(out, s"$lake/$entity", entity, rows)
       println(s"[ingest] $entity: $rows rows -> $lake/$entity ($manifest)")
       spark.stop()

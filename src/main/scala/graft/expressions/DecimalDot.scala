@@ -67,9 +67,16 @@ object DecimalDot {
 object DecimalDotOps {
   private val Scale = 20
 
-  /** Null mirrors SQL semantics of the declarative form: length
-    * mismatch (zip_with pads with null), null elements, or a NaN/Inf
-    * product (CAST to DECIMAL yields null) poison the whole sum.
+  /** DECIMAL(30,20) holds 10 integral digits: |v| >= 1e10 overflows. */
+  private val OverflowBound = new java.math.BigDecimal(java.math.BigInteger.TEN.pow(10))
+
+  /** Null mirrors the (non-ANSI) SQL semantics of the declarative form:
+    * length mismatch (zip_with pads with null), null elements, a
+    * NaN/Inf product, or any per-product / running-sum DECIMAL(30,20)
+    * overflow (CheckOverflow yields null) poison the whole sum. Under
+    * ANSI mode the declarative form would instead THROW on overflow;
+    * the kernel stays null-on-overflow (try-semantics) — documented
+    * divergence, overflow needs |value| >= 1e10.
     */
   def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
@@ -81,7 +88,10 @@ object DecimalDotOps {
       val p = a.getDouble(i) * b.getDouble(i)
       if (java.lang.Double.isNaN(p) || java.lang.Double.isInfinite(p)) return null
       // valueOf = shortest-string repr, exactly Spark's double->decimal cast
-      acc = acc.add(java.math.BigDecimal.valueOf(p).setScale(Scale, java.math.RoundingMode.HALF_UP))
+      val pd = java.math.BigDecimal.valueOf(p).setScale(Scale, java.math.RoundingMode.HALF_UP)
+      if (pd.abs.compareTo(OverflowBound) >= 0) return null
+      acc = acc.add(pd)
+      if (acc.abs.compareTo(OverflowBound) >= 0) return null
       i += 1
     }
     java.lang.Double.valueOf(acc.doubleValue())

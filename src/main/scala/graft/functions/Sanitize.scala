@@ -172,9 +172,15 @@ object Sanitize {
         idAllowlist.contains(f.name)
       if (f.dataType == StringType && !isId) {
         val t = trim(c)
-        when(t.rlike("^-?\\d+$"), t.cast(LongType).cast(StringType))
+        // try_cast + coalesce: a numeric-looking value that overflows
+        // the target type (e.g. a 20-digit integer) passes through
+        // unchanged instead of becoming NULL (and never throws under
+        // ANSI mode). Doubles overflowing to Infinity mirror Python's
+        // float() — the reference stores inf too.
+        when(t.rlike("^-?\\d+$"),
+            coalesce(t.try_cast(LongType).cast(StringType), c))
           .when(t.rlike("^-?\\d*\\.\\d+([eE][+-]?\\d+)?$"),
-            t.cast(DoubleType).cast(StringType))
+            coalesce(t.try_cast(DoubleType).cast(StringType), c))
           .otherwise(c).as(f.name)
       } else c.as(f.name)
     }

@@ -33,9 +33,13 @@ object Manifest {
     val dir = new Path(lake, "_manifest")
     val f = fs(df, lake)
     f.mkdirs(dir)
-    val p = new Path(dir, s"${entity}-$atMillis.json")
+    // two ingests in the same millisecond must not overwrite each
+    // other's log entry — bump until the name is free
+    var at = atMillis
+    while (f.exists(new Path(dir, s"${entity}-$at.json"))) at += 1
+    val p = new Path(dir, s"${entity}-$at.json")
     val doc =
-      s"""{"entity":"${esc(entity)}","ingested_at_ms":$atMillis,""" +
+      s"""{"entity":"${esc(entity)}","ingested_at_ms":$at,""" +
         s""""rows":$rows,"schema":${df.schema.json}}"""
     val out = f.create(p, true)
     try out.write(doc.getBytes("UTF-8")) finally out.close()

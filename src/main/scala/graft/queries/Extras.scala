@@ -44,14 +44,17 @@ object Extras {
     * shares. At scale this is the one shuffle all candidates flow
     * through.
     */
-  private def tokIndex(s: SparkSession, dir: String): DataFrame = {
+  /** `persist = true` only pays when the index fans out to several
+    * consumers (x02: signatures + masks + vocab); single-consumer
+    * callers (x03) skip the materialization cost.
+    */
+  private def tokIndex(s: SparkSession, dir: String, persist: Boolean = true): DataFrame = {
     import s.implicits._
-    t(s, dir, "documents")
+    val idx = t(s, dir, "documents")
       .select($"doc_id", explode(TextFns.tokenize($"text")).as("tok"))
       .distinct()
-      // multi-consumer fan-out (signatures + masks + vocab) — persist
-      // so the scan+explode+distinct runs once, not per consumer
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (persist) idx.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else idx
   }
 
   /** embeddings as (vec_id, v: array<double>). */
@@ -203,7 +206,7 @@ object Extras {
     */
   def x03DedupSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val th = tokIndex(s, dir).withColumn("th", TextFns.tokHash($"tok"))
+    val th = tokIndex(s, dir, persist = false).withColumn("th", TextFns.tokHash($"tok"))
     // Weighted-bit sum s_b = Σ_tok ((th>>b & 1)*2 - 1) = 2·c_b − n, so
     // 32 constant-shift count aggregates + one token count in a single
     // groupBy replace the ×32 bit-explode (which shuffled 32× the token

@@ -111,26 +111,29 @@ object Events {
             state.remove()
             Iterator.single(emit(user, s))
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var open = state.getOption
-            val closed = Seq.newBuilder[OpenSession]
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              open = open match {
-                case Some(s) if t - s.end <= gapMs =>
-                  Some(OpenSession(s.start, math.max(s.end, t), s.n + 1, s.sum + e.value))
-                case other =>
-                  other.foreach(closed += _)
-                  Some(OpenSession(t, t, 1, e.value))
-              }
-            }
-            open.foreach { s =>
-              state.update(s)
-              // timeout must stay ahead of the current watermark
-              state.setTimeoutTimestamp(
-                math.max(s.end + gapMs, state.getCurrentWatermarkMs() + 1))
-            }
-            closed.result().iterator.map(emit(user, _))
+            // Out-of-order events within the watermark allowance are
+            // legal: treat every event as an interval seed, union with
+            // the open session from state, and interval-merge the
+            // sorted set — a session absorbs a neighbor within the gap
+            // on EITHER side (start moves back for late events; a late
+            // event more than a gap before the open session forms its
+            // own, already-closed session).
+            val seeds = rows.map(e =>
+              OpenSession(e.ts.getTime, e.ts.getTime, 1, e.value)).toSeq ++
+              state.getOption
+            val merged = seeds.sortBy(s => (s.start, s.end))
+              .foldLeft(List.empty[OpenSession]) {
+                case (cur :: done, s) if s.start - cur.end <= gapMs =>
+                  OpenSession(cur.start, math.max(cur.end, s.end),
+                    cur.n + s.n, cur.sum + s.sum) :: done
+                case (acc, s) => s :: acc
+              }.reverse
+            val open = merged.last
+            state.update(open)
+            // timeout must stay ahead of the current watermark
+            state.setTimeoutTimestamp(
+              math.max(open.end + gapMs, state.getCurrentWatermarkMs() + 1))
+            merged.init.iterator.map(emit(user, _))
           }
       }
   }

@@ -72,6 +72,27 @@ class ExpressionParitySpec extends AnyFunSuite {
       (Seq.empty[Double], Seq.empty[Double])))
   }
 
+  test("decimal_dot overflow semantics: DECIMAL(30,20) overflow -> null") {
+    DecimalDot.register(spark)
+    // kernel alone: |product| >= 1e10 overflows 10 integral digits
+    val r = Seq((Seq(1e6, 1.0), Seq(1e6, 1.0))).toDF("a", "b")
+      .select(DecimalDot.decimalDot(col("a"), col("b")).as("d")).head()
+    assert(r.isNullAt(0))
+    // running-sum overflow with in-range products
+    val r2 = Seq((Seq.fill(3)(9e9), Seq.fill(3)(1.0))).toDF("a", "b")
+      .select(DecimalDot.decimalDot(col("a"), col("b")).as("d")).head()
+    assert(r2.isNullAt(0))
+    // parity with the declarative form under non-ANSI (its CheckOverflow
+    // nulls; under ANSI it throws instead — documented divergence)
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try compare(Seq(
+      (Seq(1e6, 1.0), Seq(1e6, 1.0)),
+      (Seq.fill(3)(9e9), Seq.fill(3)(1.0)),
+      (Seq(9.999999e9), Seq(1.0)))) // just below the bound: non-null both
+    finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+  }
+
   test("decimal_dot null semantics: length mismatch poisons the sum") {
     compare(Seq((Seq(1.0, 2.0), Seq(1.0))))
     DecimalDot.register(spark)

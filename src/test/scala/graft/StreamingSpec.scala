@@ -43,17 +43,21 @@ class StreamingSpec extends AnyFunSuite {
       input.addData(ev(1, 1000, 1L, 1.0), ev(2, 1010, 1L, 2.0))
       q.processAllAvailable()
       assert(spark.table("closed_sessions").count() == 0) // still open
-      // batch 2: user 2 at t=1400min advances the watermark (1h delay)
-      // to 1340min, past user 1's (end=1010)+gap=30min timeout
-      input.addData(ev(3, 1400, 2L, 5.0))
+      // batch 2: an OUT-OF-ORDER user-1 event at t=995min (watermark is
+      // only 950min, so it is legal late data) must extend the open
+      // session backwards, plus user 2 at t=1400min pushes the
+      // watermark to 1340min, past user 1's (end=1010)+gap=30min timeout
+      input.addData(ev(5, 995, 1L, 1.5), ev(3, 1400, 2L, 5.0))
       q.processAllAvailable()
       // batch 3: any further data triggers timeout processing
       input.addData(ev(4, 1410, 2L, 0.5))
       q.processAllAvailable()
       val rows = spark.table("closed_sessions")
-        .select("user_id", "n", "sum").collect().map(r =>
-          (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-      assert(rows == Set((1L, 2L, 3.0))) // user 1's session, exactly once
+        .select("user_id", "start", "n", "sum").collect().map(r =>
+          (r.getLong(0), r.getTimestamp(1).getTime / 60000L,
+            r.getLong(2), r.getDouble(3))).toSet
+      // exactly one session for user 1, start moved back to the late event
+      assert(rows == Set((1L, 995L, 3L, 4.5)))
     } finally q.stop()
   }
 
