@@ -65,7 +65,8 @@ object SparkEntry {
     "x09_token_count" -> (X.x09TokenCount _),
     "x10_fingerprint" -> (X.x10Fingerprint _),
     "x11_multimodal" -> (X.x11Multimodal _),
-    "x12_embed_neardup" -> (X.x12EmbedNearDup _)
+    "x12_embed_neardup" -> (X.x12EmbedNearDup _),
+    "x13_ann_ivf" -> (X.x13AnnIvf _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

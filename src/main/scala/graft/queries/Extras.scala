@@ -318,6 +318,43 @@ object Extras {
       .limit(3)
   }
 
+  /** x13 — IVF-flavored ANN (the other classic scale path next to LSH
+    * x06): a coarse quantizer assigns every vector to its nearest of 16
+    * fixed seed centroids (vectors 1..16 of the table, so the oracle
+    * shares them deterministically — production would k-means-train
+    * these offline); the probe searches only the vectors assigned to
+    * its `nprobe = 2` nearest cells. One broadcast of 16 centroids +
+    * one corpus scan for assignment; probing touches ~nprobe/ncells of
+    * the data.
+    */
+  def x13AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).withColumn("n1", VectorFns.dotDec("v", "v"))
+    val seeds = e.filter($"vec_id".between(1, 16))
+      .select($"vec_id".as("cid"), $"v".as("c"), $"n1".as("cn"))
+    // assignment: nearest seed by exact cosine (ties -> smallest cid)
+    val scored = e.crossJoin(broadcast(seeds))
+      .withColumn("cos", VectorFns.dotDec("v", "c") / (sqrt($"n1") * sqrt($"cn")))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cid")
+    val assign = scored
+      .withColumn("rn", row_number().over(wAssign)).filter($"rn" === 1)
+      .select($"vec_id", $"cid".as("cell"))
+    // probe cells: the 2 seeds nearest to vector 0
+    val probeCells = scored.filter($"vec_id" === 0)
+      .orderBy($"cos".desc, $"cid").limit(2)
+      .select($"cid".as("cell"))
+    val probe = e.filter($"vec_id" === 0).select($"v".as("p"), $"n1".as("n2"))
+    assign.join(broadcast(probeCells), Seq("cell"))
+      .filter($"vec_id" =!= 0)
+      .join(e, Seq("vec_id"))
+      .crossJoin(broadcast(probe))
+      .withColumn("cosine",
+        VectorFns.dotDec("v", "p") / (sqrt($"n1") * sqrt($"n2")))
+      .select($"vec_id", $"cosine")
+      .orderBy($"cosine".desc, $"vec_id") // TakeOrdered — no global window
+      .limit(5)
+  }
+
   // ---------------------------------------------------------------- text analysis
 
   /** x07 — language ID via marker-token counts (n-gram heuristic

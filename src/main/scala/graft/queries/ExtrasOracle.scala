@@ -117,6 +117,32 @@ object ExtrasOracle {
          |SELECT vec_id, dot/(sqrt(n1)*sqrt(n2)) AS cosine
          |FROM cos ORDER BY cosine DESC, vec_id LIMIT 3""".stripMargin,
 
+    "x13_ann_ivf" ->
+      s"""WITH seeds AS (SELECT vec_id AS cid, embedding AS c FROM embeddings
+         |  WHERE vec_id BETWEEN 1 AND 16),
+         |sc AS (SELECT e.vec_id, s.cid, ${dot("e.embedding", "s.c")} AS dot,
+         |    ${dot("e.embedding", "e.embedding")} AS n1,
+         |    ${dot("s.c", "s.c")} AS cn
+         |  FROM embeddings e, seeds s, generate_series(1, 64) t(i)
+         |  GROUP BY e.vec_id, s.cid),
+         |cos AS (SELECT vec_id, cid, dot/(sqrt(n1)*sqrt(cn)) AS cos FROM sc),
+         |assign AS (SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, cid) AS rn FROM cos) WHERE rn = 1),
+         |pcells AS (SELECT cid AS cell FROM cos WHERE vec_id = 0
+         |  ORDER BY cos DESC, cid LIMIT 2),
+         |cand AS (SELECT a.vec_id FROM assign a JOIN pcells USING(cell)
+         |  WHERE a.vec_id <> 0),
+         |probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+         |fin AS (SELECT e.vec_id, ${dot("e.embedding", "probe.pe")} AS dot,
+         |    ${dot("e.embedding", "e.embedding")} AS n1,
+         |    ${dot("probe.pe", "probe.pe")} AS n2
+         |  FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id,
+         |    probe, generate_series(1, 64) t(i)
+         |  GROUP BY e.vec_id)
+         |SELECT vec_id, dot/(sqrt(n1)*sqrt(n2)) AS cosine FROM fin
+         |ORDER BY cosine DESC, vec_id LIMIT 5""".stripMargin,
+
     "x07_lang_id" ->
       """WITH sc AS (SELECT doc_id, lang,
         |  CAST(len(list_filter(string_split(text, ' '),
