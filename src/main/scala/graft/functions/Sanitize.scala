@@ -116,7 +116,10 @@ object Sanitize {
 
   /** G6: brand-safety list normalize — apply G4 to the three named
     * list fields, nulling any that stay unparseable
-    * (api_helpers.py:197-209).
+    * (api_helpers.py:197-209). Type-aware: a column already typed
+    * array<string> (bronze parsed a JSON list) just gets its elements
+    * trimmed and empties dropped; a raw string column goes through the
+    * full G4 JSON-or-CSV parse.
     */
   val BrandSafetyFields: Seq[String] =
     Seq("brand_safety_content_filter_levels",
@@ -124,7 +127,12 @@ object Sanitize {
       "excluded_brand_safety_content_types")
   def normalizeBrandSafetyLists(df: DataFrame): DataFrame =
     BrandSafetyFields.filter(df.columns.contains).foldLeft(df) { (d, f) =>
-      d.withColumn(f, normalizeStringCollection(col(f)))
+      val normalized = d.schema(f).dataType match {
+        case ArrayType(StringType, _) =>
+          filter(transform(col(f), x => trim(x)), x => x =!= "")
+        case _ => normalizeStringCollection(col(f))
+      }
+      d.withColumn(f, normalized)
     }
 
   /** G23: targeting payload parse — struct/JSON-string → typed struct,

@@ -78,6 +78,7 @@ object Bronze {
       .withColumn("updated_time", Sanitize.parseDatetime(col("updated_time")))
       .withColumn("special_ad_categories",
         coalesce(col("special_ad_categories"), array().cast(ArrayType(StringType))))
+      .transform(Sanitize.normalizeBrandSafetyLists) // G6
       .drop("_corrupt_record")
   }
 

@@ -129,6 +129,13 @@ class SanitizeSpec extends AnyFunSuite {
     assert(out.getString(2) == "nonsense") // untouched non-list column
   }
 
+  test("G6 on array-typed columns: trim elements, drop empties") {
+    val df = Seq((Seq(" FACEBOOK ", "", "AN"), "x"))
+      .toDF("brand_safety_content_filter_levels", "other")
+    val out = Sanitize.normalizeBrandSafetyLists(df).head()
+    assert(out.getSeq[String](0) == Seq("FACEBOOK", "AN"))
+  }
+
   test("G6 brand-safety fields exist on the entity schemas") {
     // the normalizer must not be a no-op on our own catalog
     Sanitize.BrandSafetyFields.foreach { fname =>
