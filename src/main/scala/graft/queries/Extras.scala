@@ -171,9 +171,7 @@ object Extras {
     val vocab = toks.select($"tok").distinct()
     if (vocab.count() <= 64) {
       // Small vocabulary: ONE per-doc aggregate computes the 16
-      // min-hashes AND the 64-bit set mask, so both band sides and both
-      // verify sides reference the same shuffled aggregate (exchange
-      // reuse) — the token index is scanned once, not four times.
+      // min-hashes AND the 64-bit set mask (= exact set identity).
       val varr = vocab.agg(sort_array(collect_list($"tok")).as("varr"))
       val per = toks.crossJoin(broadcast(varr))
         .withColumn("th", TextFns.tokHash($"tok"))
@@ -182,14 +180,36 @@ object Extras {
           sum(expr(
             "shiftleft(CAST(1 AS BIGINT), CAST(array_position(varr, tok) - 1 AS INT))"))
             .as("mask")): _*)
-      bandCandidates(per)
-        .join(per.select($"doc_id".as("d1"), $"mask".as("m1")), Seq("d1"))
-        .join(per.select($"doc_id".as("d2"), $"mask".as("m2")), Seq("d2"))
+      // Compress identical token sets BEFORE the quadratic stage: docs
+      // sharing a mask share the whole signature vector, so the band
+      // join runs on distinct-set representatives (~0.6x the quadratic
+      // volume at sf0.1) and member lists expand back afterwards.
+      // Equivalence: same-set docs collide in every band (J=1 always
+      // passes); a cross-set pair collides iff its representatives do.
+      val gCols = (0 until 16).map(j => min(col(s"mh$j")).as(s"mh$j")) ++ Seq(
+        min($"doc_id").as("doc_id"), collect_list($"doc_id").as("members"))
+      val groups = per.groupBy($"mask").agg(gCols.head, gCols.tail: _*)
+      val cand = bandCandidates(groups)
+      val gsel = groups.select($"doc_id".as("rid"), $"mask", $"members")
+      val cross = cand
+        .join(gsel.select($"rid".as("d1"), $"mask".as("m1"), $"members".as("mem1")), Seq("d1"))
+        .join(gsel.select($"rid".as("d2"), $"mask".as("m2"), $"members".as("mem2")), Seq("d2"))
         .withColumn("jaccard",
           expr("bit_count(m1 & m2)").cast(DoubleType) / expr("bit_count(m1 | m2)"))
         .filter($"jaccard" >= MinhashJaccardThreshold)
-        .select($"d1", $"d2", $"jaccard")
-        .orderBy($"d1", $"d2")
+        .select(explode($"mem1").as("a"), $"mem2", $"jaccard")
+        .select($"a", explode($"mem2").as("b"), $"jaccard")
+        .select(least($"a", $"b").as("d1"), greatest($"a", $"b").as("d2"), $"jaccard")
+      // within-group pairs: identical sets, Jaccard exactly 1.0 (the
+      // double ratio sz/sz the oracle computes). At open-web scale a
+      // mega-group of byte-identical docs is possible — the pair
+      // explosion is inherent to the query's output, not this plan.
+      val within = groups.filter(size($"members") > 1)
+        .select(explode($"members").as("a"), $"members")
+        .select($"a", explode($"members").as("b"))
+        .filter($"a" < $"b")
+        .select($"a".as("d1"), $"b".as("d2"), lit(1.0).as("jaccard"))
+      cross.unionByName(within).orderBy($"d1", $"d2")
     } else {
       // Open vocabulary (the true 100 TB path): signatures only, exact
       // verify via sorted-array merge intersect.
