@@ -59,6 +59,12 @@ object Sanitize {
     (when(d.isNotNull, d), when(d.isNull && l.isNotNull, l))
   }
 
+  /** Element-cleaning tail shared by the string and array G4/G6 paths:
+    * trim every element, drop empties.
+    */
+  private def cleanElements(arr: Column): Column =
+    filter(transform(arr, x => trim(x)), x => x =!= "")
+
   /** G4: string -> cleaned array<string>. JSON-array strings are parsed;
     * anything else is comma-split; elements trimmed, empties dropped.
     */
@@ -66,7 +72,7 @@ object Sanitize {
     val s = trim(c.cast(StringType))
     val arr = when(s.startsWith("["), from_json(s, ArrayType(StringType)))
       .otherwise(split(s, ","))
-    filter(transform(arr, x => trim(x)), x => x =!= "")
+    cleanElements(arr)
   }
 
   /** G5: force a top-level array field to [] when absent/invalid. */
@@ -128,8 +134,7 @@ object Sanitize {
   def normalizeBrandSafetyLists(df: DataFrame): DataFrame =
     BrandSafetyFields.filter(df.columns.contains).foldLeft(df) { (d, f) =>
       val normalized = d.schema(f).dataType match {
-        case ArrayType(StringType, _) =>
-          filter(transform(col(f), x => trim(x)), x => x =!= "")
+        case ArrayType(StringType, _) => cleanElements(col(f))
         case _ => normalizeStringCollection(col(f))
       }
       d.withColumn(f, normalized)

@@ -18,10 +18,13 @@ import org.apache.spark.sql.types._
   *    (key, salt), so a hot key's rows spread over `salts` reducers
   *    instead of one. Cost: small side shuffled/broadcast ×salts.
   *
-  *  - [[saltedAgg]]: two-phase aggregation — partial per (key, salt),
-  *    final per key — for aggregates whose merge is associative
-  *    (sum/count/min/max). A hot group's rows combine in `salts`
-  *    partial buckets before one tiny final merge.
+  *  - [[saltedSumCount]]: two-phase aggregation — partial per
+  *    (key, salt), final per key — for aggregates whose merge is
+  *    associative (sum/count/min/max). A hot group's rows combine in
+  *    `salts` partial buckets before one tiny final merge. Note that
+  *    for floating-point sums "associative" holds only up to ulps:
+  *    the regrouped addition order can differ from a direct groupBy
+  *    in the last bit (exact for longs/decimals).
   */
 object SkewSalt {
 

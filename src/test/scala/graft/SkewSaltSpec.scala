@@ -34,12 +34,19 @@ class SkewSaltSpec extends AnyFunSuite {
   }
 
   test("saltedSumCount == plain groupBy aggregation") {
-    val plain = skewed.groupBy($"k")
+    def toMap(rows: Seq[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val plain = toMap(skewed.groupBy($"k")
       .agg(sum($"v").as("sum_v"), count(lit(1)).as("cnt"))
-      .orderBy("k").collect().toSeq
-    val salted = SkewSalt.saltedSumCount(skewed, "k", "v", salts = 8,
+      .orderBy("k").collect().toSeq)
+    val salted = toMap(SkewSalt.saltedSumCount(skewed, "k", "v", salts = 8,
         distinguisher = "row_id")
-      .orderBy("k").collect().toSeq
-    assert(salted == plain)
+      .orderBy("k").collect().toSeq)
+    assert(salted.keySet == plain.keySet)
+    plain.foreach { case (k, (s, n)) =>
+      assert(salted(k)._2 == n, s"count for $k")
+      // double sums regroup additions — equal up to ulps, not bit-exact
+      assert(math.abs(salted(k)._1 - s) <= math.ulp(s) * 8, s"sum for $k")
+    }
   }
 }
