@@ -90,6 +90,12 @@ object PlanAudit {
     // x02: banded candidates, no global window, no cartesian
     audit("x02_dedup_minhash_lsh")(
       "no cartesian product" -> (p => !p.contains("CartesianProduct")))
+    // x13: cell assignment is a max_by hash aggregate, never a
+    // sort-based window over corpus×16 rows (VERDICT r03 #2)
+    audit("x13_ann_ivf")(
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")),
+      "no window in assignment (max_by aggregate)" ->
+        (p => !p.contains("Window")))
 
     println(s"\nPlan audit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()

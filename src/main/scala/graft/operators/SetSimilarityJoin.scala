@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -101,30 +100,59 @@ object SetSimilarityJoin {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
-  /** PPJoin-style prefix-filtered candidate generation for large item
-    * spaces (shingles, n-grams): if J(A,B) ≥ t then A and B must share
-    * an item within each one's *prefix* — the |d| − ⌈t·|d|⌉ + 1 items
-    * that are globally rarest (any total order works; we use
+  /** PPJoin-style prefix-filtered exact Jaccard self-join for large
+    * item spaces (shingles, n-grams): if J(A,B) ≥ t then A and B must
+    * share an item within each one's *prefix* — the |d| − ⌈t·|d|⌉ + 1
+    * items that are globally rarest (any total order works; we use
     * (frequency asc, item) for determinism). Only prefixes enter the
-    * pair join, and a size filter (|B| ∈ [t|A|, |A|/t]) prunes further
-    * — candidate volume collapses from Σ_item n_item² over the whole
-    * index to the same sum over rare-prefix items only. No false
-    * negatives; callers verify exact Jaccard on candidates.
+    * pair join, a size filter (|B| ∈ [t|A|, |A|/t]) prunes further —
+    * candidate volume collapses from Σ_item n_item² over the whole
+    * index to the same sum over rare-prefix items only (no false
+    * negatives) — and the survivors are verified with the
+    * [[graft.expressions.SortedIntersectCount]] merge kernel.
+    *
+    * ONE grouped pass builds everything per doc (VERDICT r03 #2 — the
+    * r03 form paid two sort-based windows for the prefix plus a
+    * separate collect_list pass for the verify arrays): sorting the
+    * (freq, tok) structs once yields the rarity prefix by `slice`, the
+    * verify array by re-sorting the projected toks, and the set size
+    * by `size`. The per-doc frame is persisted because it fans out to
+    * four consumers (both candidate sides, both verify sides); callers
+    * running in a shared session should `clearCache()` after the
+    * terminal action (see SCALE.md "Unpersist discipline").
     */
-  def prefixFilteredCandidates(items: DataFrame, threshold: Double): DataFrame = {
+  def prefixJaccardSelfJoin(items: DataFrame, threshold: Double): DataFrame = {
+    graft.expressions.SortedIntersectCount.register(items.sparkSession)
     val freq = items.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-    val sized = items.join(freq, Seq("tok"))
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("freq"), col("tok"))))
-      .filter(col("rnk") <= col("sz") - ceil(col("sz") * lit(threshold)) + 1)
-      .select(col("doc_id"), col("tok"), col("sz"))
-    sized.as("a").join(sized.as("b"),
+    val docs = items.join(freq, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("freq"), col("tok")))).as("ft"))
+      .withColumn("sz", size(col("ft")))
+      .select(col("doc_id"), col("sz"),
+        sort_array(transform(col("ft"), _.getField("tok"))).as("arr"),
+        transform(
+          slice(col("ft"), lit(1),
+            (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast(IntegerType)),
+          _.getField("tok")).as("prefix"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pre = docs.select(col("doc_id"), col("sz"), explode(col("prefix")).as("tok"))
+    val cand = pre.as("a").join(pre.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
           col("b.sz") >= ceil(col("a.sz") * lit(threshold)) &&
           col("b.sz") <= floor(col("a.sz") / lit(threshold)))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("d1"), col("arr").as("a1"),
+        col("sz").as("sz1")), Seq("d1"))
+      .join(docs.select(col("doc_id").as("d2"), col("arr").as("a2"),
+        col("sz").as("sz2")), Seq("d2"))
+      .withColumn("inter",
+        graft.expressions.SortedIntersectCount.sortedIntersectCount(col("a1"), col("a2")))
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / (col("sz1") + col("sz2") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
   }
 
   /** Exact Jaccard for a given candidate-pair set via bitset masks

