@@ -11,15 +11,30 @@ import org.apache.spark.sql.SparkSession
   * (VERDICT r01 "What's wrong").
   *
   * Reproducibility (VERDICT r03 "What's wrong" #1/#4): each query runs
-  * `SPARK_GRAFT_BENCH_RUNS` times (default 3) and reports the MEDIAN;
-  * `spark.catalog.clearCache()` runs after every execution so a
-  * query's persisted intermediates (x02/x04 token indexes) never squat
-  * in the heap across queries or repetitions — every timed run pays
-  * its own full cost from parquet. The JSON also records the heap so
-  * memory pressure is visible in the artifact.
+  * `SPARK_GRAFT_BENCH_RUNS` times (default 3, clamped to >= 1) and
+  * reports the MEDIAN of the SUCCESSFUL runs (even-sized samples
+  * average the two middle values); `spark.catalog.clearCache()` runs
+  * after every execution so a query's persisted intermediates
+  * (x02/x04 token indexes) never squat in the heap across queries or
+  * repetitions — every timed run pays its own full cost from parquet.
+  *
+  * Failure visibility (ADVICE r04): a run whose query throws is NOT
+  * folded into the median — its time is discarded, `failed_runs`
+  * counts it in the artifact, and a query with zero successful runs
+  * reports `null` (excluded from the total) so a crash can never
+  * deflate the numbers silently.
+  *
+  * The JSON line goes to stdout AND, when `BENCH_OUT` is set, to that
+  * file verbatim — so the artifact doesn't depend on scraping the sbt
+  * log (VERDICT r04 #8).
   */
 object Bench {
-  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+  /** Median of a non-empty sample; even sizes average the middle two. */
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.size
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -38,28 +53,41 @@ object Bench {
     // doesn't absorb session bootstrap cost.
     spark.range(1000000L).selectExpr("sum(id)").write.format("noop")
       .mode("overwrite").save()
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    var failedRuns = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+      val samples = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
+        val ok =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            true
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              false
+          }
         val t = (System.nanoTime() - t0) / 1e9
         // drop this query's persisted intermediates before the next run
         spark.catalog.clearCache()
-        t
+        (t, ok)
       }
-      name -> median(times)
+      val good = samples.collect { case (t, true) => t }
+      failedRuns += samples.size - good.size
+      name -> (if (good.nonEmpty) Some(median(good)) else None)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(_.toString).getOrElse("null")
+    }.mkString("{", ",", "}")
+    val total = results.flatMap(_._2).sum
     val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"max_heap_mb":$heapMb}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"failed_runs":$failedRuns,"max_heap_mb":$heapMb}"""
+    println(line)
+    sys.env.get("BENCH_OUT").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (line + "\n").getBytes("UTF-8"))
+    }
     spark.stop()
   }
 }

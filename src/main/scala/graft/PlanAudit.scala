@@ -82,11 +82,15 @@ object PlanAudit {
     audit("x12_embed_neardup")(
       "no cartesian product" -> (p => !p.contains("CartesianProduct")),
       "decimal_dot kernel in plan" -> (_.contains("decimal_dot")))
-    // x04: PPJoin-prefix candidates + merge-scan verify
+    // x04: PPJoin-prefix candidates + merge-scan verify. The r04
+    // rewrite removed both sort-based windows (prefix + verify arrays
+    // now come out of one grouped sort) — pin that shape.
     audit("x04_ngram_jaccard")(
       "no cartesian product" -> (p => !p.contains("CartesianProduct")),
       "sorted_intersect_count kernel in plan" ->
-        (_.contains("sorted_intersect_count")))
+        (_.contains("sorted_intersect_count")),
+      "no window (one-pass PPJoin, VERDICT r04 #7)" ->
+        (p => !p.contains("Window")))
     // x02: banded candidates, no global window, no cartesian
     audit("x02_dedup_minhash_lsh")(
       "no cartesian product" -> (p => !p.contains("CartesianProduct")))

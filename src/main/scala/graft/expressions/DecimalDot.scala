@@ -52,10 +52,15 @@ case class DecimalDot(left: Expression, right: Expression) extends BinaryExpress
 }
 
 object DecimalDot {
-  /** Register in the session's function registry (idempotent). */
+  /** Register in the session's function registry. Idempotent: the
+    * functionExists guard keeps per-query re-registration from spamming
+    * "replaced a previously registered function" warnings.
+    */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "decimal_dot", exprs => DecimalDot(exprs(0), exprs(1)), "scala_udf")
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("decimal_dot")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "decimal_dot", exprs => DecimalDot(exprs(0), exprs(1)), "scala_udf")
 
   /** Column API (requires [[register]] to have been called). */
   def decimalDot(a: Column, b: Column): Column = call_function("decimal_dot", a, b)

@@ -42,11 +42,16 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 }
 
 object SortedIntersectCount {
-  /** Register in the session's function registry (idempotent). */
+  /** Register in the session's function registry. Idempotent: the
+    * functionExists guard keeps per-query re-registration from spamming
+    * "replaced a previously registered function" warnings.
+    */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_intersect_count",
-      exprs => SortedIntersectCount(exprs(0), exprs(1)), "scala_udf")
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_intersect_count")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "sorted_intersect_count",
+        exprs => SortedIntersectCount(exprs(0), exprs(1)), "scala_udf")
 
   /** Column API (requires [[register]] to have been called). */
   def sortedIntersectCount(a: Column, b: Column): Column =

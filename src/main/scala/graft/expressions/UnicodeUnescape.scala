@@ -37,10 +37,15 @@ object UnicodeUnescape {
       java.util.regex.Matcher.quoteReplacement(new String(Character.toChars(cp)))
     })
 
-  /** Register in the session's function registry (idempotent). */
+  /** Register in the session's function registry. Idempotent: the
+    * functionExists guard keeps per-query re-registration from spamming
+    * "replaced a previously registered function" warnings.
+    */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "unicode_unescape", exprs => UnicodeUnescape(exprs.head), "scala_udf")
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("unicode_unescape")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "unicode_unescape", exprs => UnicodeUnescape(exprs.head), "scala_udf")
 
   /** Column API (requires [[register]] to have been called). */
   def unicodeUnescape(c: Column): Column = call_function("unicode_unescape", c)

@@ -32,7 +32,10 @@ object SetSimilarityJoin {
   /** items: (doc_id, tok) DISTINCT pairs. */
   def jaccardSelfJoin(items: DataFrame, threshold: Double): DataFrame = {
     val vocab = items.select(col("tok")).distinct()
-    if (vocab.count() <= 64) bitsetPath(items, vocab, threshold)
+    // limit(65) short-circuits the strategy probe: the aggregation stops
+    // as soon as a 65th distinct token exists instead of counting the
+    // whole vocabulary (a full extra shuffle at scale)
+    if (vocab.limit(65).count() <= 64) bitsetPath(items, vocab, threshold)
     else tokenJoinPath(items, threshold)
   }
 
@@ -116,15 +119,16 @@ object SetSimilarityJoin {
     * separate collect_list pass for the verify arrays): sorting the
     * (freq, tok) structs once yields the rarity prefix by `slice`, the
     * verify array by re-sorting the projected toks, and the set size
-    * by `size`. The per-doc frame is persisted because it fans out to
-    * four consumers (both candidate sides, both verify sides); callers
-    * running in a shared session should `clearCache()` after the
-    * terminal action (see SCALE.md "Unpersist discipline").
+    * by `size`. The per-doc frame fans out to four consumers (both
+    * candidate sides, both verify sides), so it is persisted through
+    * [[graft.Caching.withPersisted]], which unpersists it after the
+    * caller's first terminal action — no cached blocks leak into a
+    * shared session (SCALE.md "Unpersist discipline").
     */
   def prefixJaccardSelfJoin(items: DataFrame, threshold: Double): DataFrame = {
     graft.expressions.SortedIntersectCount.register(items.sparkSession)
     val freq = items.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-    val docs = items.join(freq, Seq("tok"))
+    val perDoc = items.join(freq, Seq("tok"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("freq"), col("tok")))).as("ft"))
       .withColumn("sz", size(col("ft")))
@@ -134,25 +138,26 @@ object SetSimilarityJoin {
           slice(col("ft"), lit(1),
             (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast(IntegerType)),
           _.getField("tok")).as("prefix"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pre = docs.select(col("doc_id"), col("sz"), explode(col("prefix")).as("tok"))
-    val cand = pre.as("a").join(pre.as("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
-          col("b.sz") >= ceil(col("a.sz") * lit(threshold)) &&
-          col("b.sz") <= floor(col("a.sz") / lit(threshold)))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-    cand
-      .join(docs.select(col("doc_id").as("d1"), col("arr").as("a1"),
-        col("sz").as("sz1")), Seq("d1"))
-      .join(docs.select(col("doc_id").as("d2"), col("arr").as("a2"),
-        col("sz").as("sz2")), Seq("d2"))
-      .withColumn("inter",
-        graft.expressions.SortedIntersectCount.sortedIntersectCount(col("a1"), col("a2")))
-      .withColumn("jaccard",
-        col("inter").cast(DoubleType) / (col("sz1") + col("sz2") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("d1"), col("d2"), col("jaccard"))
+    graft.Caching.withPersisted(perDoc) { docs =>
+      val pre = docs.select(col("doc_id"), col("sz"), explode(col("prefix")).as("tok"))
+      val cand = pre.as("a").join(pre.as("b"),
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+            col("b.sz") >= ceil(col("a.sz") * lit(threshold)) &&
+            col("b.sz") <= floor(col("a.sz") / lit(threshold)))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      cand
+        .join(docs.select(col("doc_id").as("d1"), col("arr").as("a1"),
+          col("sz").as("sz1")), Seq("d1"))
+        .join(docs.select(col("doc_id").as("d2"), col("arr").as("a2"),
+          col("sz").as("sz2")), Seq("d2"))
+        .withColumn("inter",
+          graft.expressions.SortedIntersectCount.sortedIntersectCount(col("a1"), col("a2")))
+        .withColumn("jaccard",
+          col("inter").cast(DoubleType) / (col("sz1") + col("sz2") - col("inter")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("d1"), col("d2"), col("jaccard"))
+    }
   }
 
   /** Exact Jaccard for a given candidate-pair set via bitset masks
