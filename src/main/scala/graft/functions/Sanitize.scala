@@ -102,6 +102,21 @@ object Sanitize {
   def clampStartTime(ts: Column, now: Column = current_timestamp()): Column =
     when(ts.isNull, lit(null).cast(TimestampType)).otherwise(greatest(ts, now))
 
+  /** G10: per-entity time-field policy (api_helpers.py:220-236).
+    * campaign → stop_time; adset → end_time AND stop_time; any other
+    * entity → both (the reference's fallback). Normalize-or-drop:
+    * parseable values normalize to UTC timestamps, empty/unparseable
+    * become null (the columnar "drop").
+    */
+  val TimeFieldPolicy: Map[String, Seq[String]] = Map(
+    "campaign" -> Seq("stop_time"),
+    "adset" -> Seq("end_time", "stop_time"))
+
+  def normalizeEntityTimes(df: DataFrame, entity: String): DataFrame =
+    TimeFieldPolicy.getOrElse(entity, Seq("stop_time", "end_time"))
+      .filter(df.columns.contains)
+      .foldLeft(df)((d, f) => d.withColumn(f, parseDatetime(col(f))))
+
   /** G14 truthy/falsy boolean parse (pages/1_Campaign_Cloner.py:68-69). */
   private val Truthy = Seq("true", "1", "yes", "y")
   private val Falsy  = Seq("false", "0", "no", "n")
@@ -141,10 +156,32 @@ object Sanitize {
     }
 
   /** G23: targeting payload parse — struct/JSON-string → typed struct,
-    * null when unparseable (pages/4_AdSet_Creator.py:83-102).
+    * null when unparseable (pages/4_AdSet_Creator.py:83-102). Permissive
+    * from_json yields a struct of nulls for junk; routing the corrupt
+    * record through a sentinel field and nulling on it restores the
+    * reference's "not a JSON object → None" contract.
     */
-  def parseTargeting(c: Column, schema: StructType): Column =
-    from_json(c.cast(StringType), schema)
+  def parseTargeting(c: Column, schema: StructType): Column = {
+    val withCorrupt = schema.add("_corrupt_record", StringType)
+    val parsed = from_json(c.cast(StringType), withCorrupt,
+      Map("columnNameOfCorruptRecord" -> "_corrupt_record"))
+    when(parsed.getField("_corrupt_record").isNull,
+      parsed.dropFields("_corrupt_record"))
+  }
+
+  /** G23 wiring for ingest: `targeting` arrives either already typed
+    * (bronze parsed the JSON object — the reference's dict/`to_dict`
+    * branches) or as an embedded JSON string (form input / drifted
+    * producer — the `json.loads` branch). Structs pass through; string
+    * columns parse into `schema`; unparseable → null (the reference
+    * returns None and drops the field).
+    */
+  def normalizeTargeting(df: DataFrame, schema: StructType): DataFrame =
+    if (!df.columns.contains("targeting")) df
+    else df.schema("targeting").dataType match {
+      case _: StructType => df
+      case _ => df.withColumn("targeting", parseTargeting(col("targeting"), schema))
+    }
 
   /** G25: asset classification by mime prefix or file extension
     * (pages/2_Creative_Uploader.py:42-53).
@@ -167,6 +204,90 @@ object Sanitize {
       coalesce(label, name, title, value.cast(StringType)).as("label"),
       coalesce(value.cast(StringType), id.cast(StringType)).as("value"))
 
+  /** G12: recursive sanitize over nested payloads — the reference's
+    * `_sanitize` applies the scalar rules depth-first through nested
+    * dicts/lists (api_helpers.py:268-280) and `_decode_nested`
+    * unescapes every nested string (api_helpers.py:292-299). Spark
+    * re-expression: rebuild each struct-typed column bottom-up, with
+    * per-leaf rules dispatched on field name exactly like
+    * `_apply_dict_rules` at each dict level:
+    *  - string leaves: G13 unicode unescape, then G11 numeric
+    *    canonicalization (digit/float strings through long/double,
+    *    ids excluded),
+    *  - money leaves (daily_budget / lifetime_budget / spend_cap /
+    *    bid_amount): G1 positive-amount parse (stays a string — the
+    *    struct leaf keeps its declared type),
+    *  - `*_time` leaves: G7 multi-format parse + G8 ISO format,
+    *    normalize-or-drop,
+    *  - G2 budget mutual exclusion where a level carries both budgets,
+    *  - arrays recurse element-wise; non-string typed leaves pass.
+    * A null struct stays null (the rebuild is null-propagating).
+    */
+  def sanitizeNested(df: DataFrame): DataFrame = {
+    graft.expressions.UnicodeUnescape.register(df.sparkSession)
+    val cols = df.schema.fields.map { f =>
+      (f.dataType match {
+        case st: StructType => deepSanitize(col(f.name), st)
+        case ArrayType(st: StructType, _) =>
+          transform(col(f.name), x => deepSanitize(x, st))
+        case _ => col(f.name)
+      }).as(f.name)
+    }
+    df.select(cols.toSeq: _*)
+  }
+
+  /** Money minor-unit fields G1 applies to at any nesting level. */
+  private val MoneyFields = Set("daily_budget", "lifetime_budget", "spend_cap", "bid_amount")
+
+  private def isIdName(n: String): Boolean =
+    n == "id" || n.endsWith("_id") || n.endsWith("_ids")
+
+  /** G11 value rule for one string leaf: canonicalize numeric-looking
+    * strings (type stays string), pass everything else through.
+    */
+  private def coerceNumericString(c: Column): Column = {
+    val t = trim(c)
+    when(t.rlike("^-?\\d+$"),
+        coalesce(t.try_cast(LongType).cast(StringType), c))
+      .when(t.rlike("^-?\\d*\\.\\d+([eE][+-]?\\d+)?$"),
+        coalesce(t.try_cast(DoubleType).cast(StringType), c))
+      .otherwise(c)
+  }
+
+  private def stringLeafRule(name: String, c: Column): Column =
+    if (isIdName(name)) c
+    else if (MoneyFields.contains(name)) parsePositiveAmount(c).cast(StringType)
+    else if (name.endsWith("_time")) isoFormat(parseDatetime(c))
+    else coerceNumericString(graft.expressions.UnicodeUnescape.unicodeUnescape(c))
+
+  private def deepSanitize(c: Column, st: StructType): Column = {
+    val vals: Seq[(String, Column)] = st.fields.toSeq.map { f =>
+      val child = c.getField(f.name)
+      val v = f.dataType match {
+        case s: StructType => deepSanitize(child, s)
+        case ArrayType(s: StructType, _) => transform(child, x => deepSanitize(x, s))
+        case ArrayType(StringType, _) =>
+          transform(child, x => graft.expressions.UnicodeUnescape.unicodeUnescape(x))
+        case StringType => stringLeafRule(f.name, child)
+        case _ => child
+      }
+      f.name -> v
+    }
+    val byName = vals.toMap
+    // G2 at this level: a valid daily budget evicts lifetime
+    val hasBothBudgets =
+      Seq("daily_budget", "lifetime_budget").forall(n =>
+        st.fields.exists(f => f.name == n && f.dataType == StringType))
+    val adjusted =
+      if (!hasBothBudgets) vals
+      else vals.map {
+        case ("lifetime_budget", v) =>
+          "lifetime_budget" -> when(byName("daily_budget").isNull, v)
+        case other => other
+      }
+    when(c.isNotNull, struct(adjusted.map { case (n, v) => v.as(n) }: _*))
+  }
+
   /** G11: schema-driven numeric coercion with id exclusion. String columns
     * whose names end in `_id`/`_ids` (or are in `idAllowlist`) stay
     * strings; other string columns are numerically normalized in place
@@ -183,19 +304,13 @@ object Sanitize {
       val c = col(f.name)
       val isId = f.name.endsWith("_id") || f.name.endsWith("_ids") ||
         idAllowlist.contains(f.name)
-      if (f.dataType == StringType && !isId) {
-        val t = trim(c)
-        // try_cast + coalesce: a numeric-looking value that overflows
-        // the target type (e.g. a 20-digit integer) passes through
-        // unchanged instead of becoming NULL (and never throws under
-        // ANSI mode). Doubles overflowing to Infinity mirror Python's
-        // float() — the reference stores inf too.
-        when(t.rlike("^-?\\d+$"),
-            coalesce(t.try_cast(LongType).cast(StringType), c))
-          .when(t.rlike("^-?\\d*\\.\\d+([eE][+-]?\\d+)?$"),
-            coalesce(t.try_cast(DoubleType).cast(StringType), c))
-          .otherwise(c).as(f.name)
-      } else c.as(f.name)
+      // coerceNumericString: try_cast + coalesce — a numeric-looking
+      // value that overflows the target type (e.g. a 20-digit integer)
+      // passes through unchanged instead of becoming NULL (and never
+      // throws under ANSI mode). Doubles overflowing to Infinity mirror
+      // Python's float() — the reference stores inf too.
+      if (f.dataType == StringType && !isId) coerceNumericString(c).as(f.name)
+      else c.as(f.name)
     }
     df.select(cols.toSeq: _*)
   }

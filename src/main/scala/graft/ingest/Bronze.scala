@@ -60,8 +60,17 @@ object Bronze {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Apply a per-column rule only when the column exists — the
+    * reference's `if field_name not in values: continue` pattern
+    * (api_helpers.py:220-236 and friends); a silver builder then
+    * accepts any bronze subset without failing analysis.
+    */
+  private def whenPresent(df: DataFrame, c: String)(f: Column => Column): DataFrame =
+    if (df.columns.contains(c)) df.withColumn(c, f(col(c))) else df
+
   /** campaign silver: sanitize budgets (G1/G2/G3), timestamps (G7),
-    * account id (G26). Ids remain strings (G11 exclusion).
+    * stop_time policy (G10), account id (G26). Ids remain strings
+    * (G11 exclusion).
     */
   def campaignSilver(bronze: DataFrame): DataFrame = {
     val (daily, lifetime) =
@@ -73,12 +82,51 @@ object Bronze {
       .withColumn("lifetime_budget", lifetime)
       .withColumn("spend_cap", Sanitize.normalizeSpendCap(col("spend_cap")))
       .withColumn("start_time", Sanitize.parseDatetime(col("start_time")))
-      .withColumn("stop_time", Sanitize.parseDatetime(col("stop_time")))
+      .transform(Sanitize.normalizeEntityTimes(_, "campaign")) // G10: stop_time
       .withColumn("created_time", Sanitize.parseDatetime(col("created_time")))
       .withColumn("updated_time", Sanitize.parseDatetime(col("updated_time")))
       .withColumn("special_ad_categories",
         coalesce(col("special_ad_categories"), array().cast(ArrayType(StringType))))
       .transform(Sanitize.normalizeBrandSafetyLists) // G6
+      .transform(Sanitize.sanitizeNested) // G12: promoted_object etc.
+      .drop("_corrupt_record")
+  }
+
+  /** ad_set silver — the reference's richest entity:
+    *  - B5 id guards (id AND the campaign FK, main_extractor.py:102-104),
+    *  - G26 account id, G1/G2 budget mutual exclusion, G1 bid_amount,
+    *  - G10 adset time policy: `end_time` AND `stop_time`
+    *    normalize-or-drop (api_helpers.py:220-236),
+    *  - G23 targeting wiring: struct passes, JSON-string parses, junk
+    *    nulls (pages/4_AdSet_Creator.py:83-102),
+    *  - G6 brand-safety list normalize.
+    * Column rules apply only where the column exists, so schema-drifted
+    * bronzes (a missing optional field) still silver cleanly.
+    */
+  def adSetSilver(bronze: DataFrame): DataFrame = {
+    val guarded = bronze
+      .filter(col("id").isNotNull)
+      .filter(col("campaign_id").isNotNull)
+    val budgeted =
+      if (Seq("daily_budget", "lifetime_budget").forall(guarded.columns.contains)) {
+        val (daily, lifetime) =
+          Sanitize.budgetMutualExclusion(col("daily_budget"), col("lifetime_budget"))
+        guarded.withColumn("daily_budget", daily).withColumn("lifetime_budget", lifetime)
+      } else guarded
+    val typed = Seq(
+      "account_id" -> Sanitize.normalizeAccountId _,
+      "bid_amount" -> Sanitize.parsePositiveAmount _,
+      "budget_remaining" -> ((c: Column) => c.try_cast(LongType)),
+      "start_time" -> Sanitize.parseDatetime _,
+      "created_time" -> Sanitize.parseDatetime _,
+      "updated_time" -> Sanitize.parseDatetime _
+    ).foldLeft(budgeted) { case (df, (name, rule)) => whenPresent(df, name)(rule) }
+    typed
+      .transform(Sanitize.normalizeEntityTimes(_, "adset")) // G10
+      .transform(Sanitize.normalizeTargeting(_,
+        Schemas.adSet("targeting").dataType.asInstanceOf[StructType])) // G23
+      .transform(Sanitize.normalizeBrandSafetyLists) // G6
+      .transform(Sanitize.sanitizeNested) // G12: promoted_object, targeting
       .drop("_corrupt_record")
   }
 

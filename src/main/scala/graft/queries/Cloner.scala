@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Nested, Sanitize}
+import graft.ingest.{Bronze, Manifest}
 
 /** Campaign-clone round-trip — the reference's Streamlit cloner
   * (pages/1_Campaign_Cloner.py, GET → EDIT → sanitize → POST) as a
@@ -65,6 +66,44 @@ object Cloner {
       .drop(ServerComputed.filter(ads.columns.contains): _*)
 
     ClonedCampaign(newCampaign, newAdSets, newAds)
+  }
+
+  /** A7: the POST leg of the round-trip — append the cloned hierarchy
+    * into the lake it was read from (the reference's `create_ad_object`
+    * write loop, api_helpers.py:395-451, re-expressed as partitioned
+    * appends). Each entity frame is schema-aligned to its existing lake
+    * table: the server-computed columns the clone stripped come back as
+    * nulls, because the lake — like the remote server in the
+    * reference — owns those fields; then the frame is stamped with the
+    * ingest date, written via dynamic partition overwrite (idempotent
+    * per day, A5 semantics), and recorded in the schema manifest.
+    *
+    * Unlike the reference's sequential parent-then-children POST loop
+    * (children need server-assigned parent ids), the clone's ids are
+    * deterministic, so all three appends are independent whole-frame
+    * writes — no driver-side row loop.
+    */
+  def appendToLake(cloned: ClonedCampaign, lakeDir: String, ingestDate: String): Unit =
+    Seq(cloned.campaign -> "campaigns", cloned.adSets -> "ad_sets", cloned.ads -> "ads")
+      .foreach { case (df, entity) => appendEntity(df, lakeDir, entity, ingestDate) }
+
+  /** Append one entity frame to an EXISTING lake table, aligned to the
+    * table's schema (missing columns null, types cast), and record the
+    * ingest in the manifest.
+    */
+  def appendEntity(df: DataFrame, lakeDir: String, entity: String,
+      ingestDate: String): Unit = {
+    val spark = df.sparkSession
+    val path = s"$lakeDir/$entity"
+    val target = spark.read.parquet(path).schema
+    val cols = target.fields.toSeq.filter(_.name != "ingest_date").map { f =>
+      (if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+       else lit(null).cast(f.dataType)).as(f.name)
+    } :+ lit(ingestDate).as("ingest_date")
+    val aligned = df.select(cols: _*)
+    val rows = aligned.count()
+    Bronze.writePartitioned(aligned, path)
+    Manifest.record(aligned, lakeDir, entity, rows)
   }
 
   /** Clone a creative with edited text/link (G20 rewrite + G21 strip):

@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ingest.Bronze
+import graft.ingest.{Bronze, Manifest}
 import graft.model.Schemas
-import graft.queries.Cloner
+import graft.queries.{Cloner, Inspector}
 
 /** GET → EDIT → sanitize → POST round-trip over the fixtures. */
 class ClonerSpec extends AnyFunSuite {
@@ -49,6 +49,45 @@ class ClonerSpec extends AnyFunSuite {
     assert(r.getLong(0) == 150000L)
     assert(r.isNullAt(1))
     assert(r.isNullAt(2)) // spend_cap '0' -> unset
+  }
+
+  test("A7 POST round-trip: append clone to the lake, re-read, inspect") {
+    val lake = java.nio.file.Files.createTempDirectory("cloner_lake").toString
+    def seed(df: org.apache.spark.sql.DataFrame, entity: String): Unit = {
+      val stamped = df.withColumn("ingest_date", lit("2025-09-01"))
+      Bronze.writePartitioned(stamped, s"$lake/$entity")
+      Manifest.record(stamped, lake, entity, stamped.count())
+    }
+    seed(Bronze.campaignSilver(
+      Bronze.readJson(spark, fixture("campaigns"), Schemas.campaign)), "campaigns")
+    seed(Bronze.adSetSilver(adSets), "ad_sets")
+    seed(ads, "ads")
+    seed(creatives.drop("_corrupt_record"), "creatives")
+    seed(Bronze.readJson(spark, fixture("pixels"), Schemas.pixel)
+      .drop("_corrupt_record"), "pixels")
+
+    // GET from the lake, EDIT/sanitize, POST back as an append
+    def tb(n: String) = spark.read.parquet(s"$lake/$n")
+    val cloned = Cloner.cloneCampaign(tb("campaigns"), tb("ad_sets"), tb("ads"),
+      campaignId = "120200000000001", idPrefix = "c2_", newName = lit(null))
+    Cloner.appendToLake(cloned, lake, ingestDate = "2025-09-02")
+
+    // re-read: the template partition is untouched, the clone appended
+    assert(tb("campaigns").filter(col("id") === "120200000000001").count() == 1)
+    assert(tb("campaigns").filter(col("id") === "c2_120200000000001").count() == 1)
+
+    // the inspector report over the CLONE matches the template's,
+    // modulo the rewired ids and the clone-is-PAUSED status policy
+    val rTemplate = Inspector.fromLake(spark, lake, "act_123456789",
+      "120200000000001").toJSON.head()
+    val rClone = Inspector.fromLake(spark, lake, "act_123456789",
+      "c2_120200000000001").toJSON.head()
+    def norm(j: String) =
+      j.replaceAll("\"status\":\"[A-Z_]+\"", "\"status\":\"*\"")
+    assert(norm(rClone.replace("c2_", "")) == norm(rTemplate))
+
+    // the manifest logged the append as a second schema version
+    assert(Manifest.history(tb("campaigns"), lake, "campaigns").size == 2)
   }
 
   test("creative clone rewrites text and strips server fields") {

@@ -19,7 +19,8 @@ class GoldenPipelineSpec extends AnyFunSuite {
 
   private lazy val campaigns =
     Bronze.campaignSilver(Bronze.readJson(spark, fixture("campaigns"), Schemas.campaign))
-  private lazy val adSets = Bronze.readJson(spark, fixture("ad_sets"), Schemas.adSet)
+  private lazy val adSets =
+    Bronze.adSetSilver(Bronze.readJson(spark, fixture("ad_sets"), Schemas.adSet))
   private lazy val ads =
     Bronze.adSilver(Bronze.readJson(spark, fixture("ads"), Schemas.ad))
   private lazy val creatives = Bronze.readJson(spark, fixture("creatives"), Schemas.creative)
@@ -36,6 +37,59 @@ class GoldenPipelineSpec extends AnyFunSuite {
     assert(rows(0).getString(4) == "act_123456789")
     // C2: daily '0' invalid -> lifetime kept, spend_cap '' -> unset
     assert(rows(1).isNullAt(1) && rows(1).getLong(2) == 900000L && rows(1).isNullAt(3))
+  }
+
+  test("ad_set silver: budgets, G10 end_time policy, targeting, account id") {
+    val rows = adSets.orderBy("id")
+      .withColumn("end_time_s", date_format(col("end_time"), "yyyy-MM-dd HH:mm:ss"))
+      .collect()
+    val as1 = rows(0)
+    assert(as1.getString(as1.fieldIndex("account_id")) == "act_123456789")
+    // budget mutual exclusion: daily wins
+    assert(as1.getLong(as1.fieldIndex("daily_budget")) == 50000L)
+    assert(as1.isNullAt(as1.fieldIndex("lifetime_budget")))
+    // G10: empty end_time is dropped (null), not an empty string
+    assert(as1.isNullAt(as1.fieldIndex("end_time")))
+    assert(as1.getLong(as1.fieldIndex("budget_remaining")) == 12345L)
+    assert(as1.isNullAt(as1.fieldIndex("bid_amount")))
+    // typed targeting passes through intact
+    val t1 = as1.getStruct(as1.fieldIndex("targeting"))
+    assert(t1.getLong(t1.fieldIndex("age_min")) == 25L)
+    val as2 = rows(1)
+    assert(as2.isNullAt(as2.fieldIndex("daily_budget")))
+    assert(as2.getLong(as2.fieldIndex("lifetime_budget")) == 300000L)
+    // G10: parseable end_time normalizes to a UTC timestamp
+    assert(as2.getString(as2.fieldIndex("end_time_s")) == "2025-09-30 00:00:00")
+    assert(as2.getLong(as2.fieldIndex("bid_amount")) == 120L)
+  }
+
+  test("ad_set silver parses a JSON-string targeting column (G23 drift)") {
+    import spark.implicits._
+    val drifted = Seq(
+      ("as_x", "c_1", """{"geo_locations":{"countries":["TW"]},"age_min":30,"age_max":50}"""),
+      ("as_y", "c_1", "not json"),
+      ("as_z", null, """{"age_min":1}""")).toDF("id", "campaign_id", "targeting")
+    val rows = Bronze.adSetSilver(drifted).orderBy("id").collect()
+    assert(rows.length == 2) // null campaign_id FK is guarded out (B5)
+    val t = rows(0).getStruct(rows(0).fieldIndex("targeting"))
+    assert(t.getLong(t.fieldIndex("age_min")) == 30L)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("targeting"))) // junk -> null
+  }
+
+  test("ad_set silver applies G12 inside promoted_object (nested unescape)") {
+    import spark.implicits._
+    // literal é sequence embedded in the nested value (the JSON
+    // \\ keeps it from being decoded by the JSON parser itself)
+    val drifted = Seq(
+      ("as_n", "c_1", """{"pixel_id":"55","custom_event_type":"caf\\u00e9_evt"}"""))
+      .toDF("id", "campaign_id", "po")
+      .withColumn("promoted_object",
+        from_json(col("po"), Schemas.adSet("promoted_object").dataType))
+      .drop("po")
+    val r = Bronze.adSetSilver(drifted).head()
+    val po = r.getStruct(r.fieldIndex("promoted_object"))
+    assert(po.getString(po.fieldIndex("pixel_id")) == "55") // id untouched
+    assert(po.getString(po.fieldIndex("custom_event_type")) == "café_evt")
   }
 
   test("ad silver: nested creative{id} flattened to creative_id FK") {

@@ -181,6 +181,56 @@ class SanitizeSpec extends AnyFunSuite {
     assert(rows(2).getString(0) == "v3" && rows(2).getString(1) == "v3")
   }
 
+  test("G12 recursive sanitize: rules reach nested struct/array levels") {
+    // a dirty nested payload: string budget + escaped unicode + zero-
+    // padded numeric + a *_time field, one level down; deeper array of
+    // structs two levels down (api_helpers.py:268-280 recursion)
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row("c1",
+          Row("888", "1500.4", "2000", "Caf\\u00e9", "0042",
+            "2025-09-18 10:00:00",
+            Seq(Row("\\u4e2d", "007"))))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("promoted_object",
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("pixel_id",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("daily_budget",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("lifetime_budget",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("name",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("note",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("event_time",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("tags",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.StructType(Seq(
+                  org.apache.spark.sql.types.StructField("label",
+                    org.apache.spark.sql.types.StringType),
+                  org.apache.spark.sql.types.StructField("rank",
+                    org.apache.spark.sql.types.StringType)))))))))))
+    val p = Sanitize.sanitizeNested(df).select("promoted_object").head().getStruct(0)
+    assert(p.getString(p.fieldIndex("pixel_id")) == "888")       // id excluded
+    assert(p.getString(p.fieldIndex("daily_budget")) == "1500")  // G1 half-up... 1500.4 -> 1500
+    assert(p.isNullAt(p.fieldIndex("lifetime_budget")))          // G2 at depth
+    assert(p.getString(p.fieldIndex("name")) == "Café")          // G13 at depth
+    assert(p.getString(p.fieldIndex("note")) == "42")            // G11 at depth
+    assert(p.getString(p.fieldIndex("event_time")) == "2025-09-18T10:00:00+00:00") // G7+G8
+    val tag = p.getSeq[Row](p.fieldIndex("tags")).head
+    assert(tag.getString(0) == "中")                             // two levels down
+    assert(tag.getString(1) == "7")
+    // null struct stays null
+    val withNull = df.withColumn("promoted_object",
+      lit(null).cast(df.schema("promoted_object").dataType))
+    assert(Sanitize.sanitizeNested(withNull).head().isNullAt(1))
+  }
+
   test("G13 unicode unescape: \\uXXXX, \\xNN, mixed, passthrough") {
     assert(UnicodeUnescape.decode("\\u0041") == "A")
     assert(UnicodeUnescape.decode("\\x41") == "A")
