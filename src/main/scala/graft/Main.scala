@@ -11,6 +11,10 @@ import graft.model.Schemas
   * {{{
   *   graft.Main inventory <sfDir>             run every query, print row counts
   *   graft.Main ingest <entity> <json> <lake> bronze→silver ingest + manifest
+  *   graft.Main clone <lake> <campaignId> <idPrefix> <ingestDate>
+  *                                            GET→sanitize→POST: clone a
+  *                                            campaign hierarchy back into
+  *                                            the lake (A7 round-trip)
   *   graft.Main verify <sfDir> <outDir>       correctness dump (Verify.main)
   *   graft.Main bench                         benchmark JSON line (Bench.main)
   *   graft.Main audit [sfDir]                 plan assertions (PlanAudit.main)
@@ -43,20 +47,33 @@ object Main {
     case "ingest" :: entity :: json :: lake :: Nil =>
       val spark = session()
       spark.sparkContext.setLogLevel("WARN")
-      val (schema, silver) = entity match {
-        case "campaign" => (Schemas.campaign, Bronze.campaignSilver _)
-        case "ad" => (Schemas.ad, Bronze.adSilver _)
-        case "insights" => (Schemas.insights, Bronze.insightsSilver _)
-        case other => sys.error(s"unknown entity '$other' (campaign|ad|insights)")
+      // table names are the plural forms Inspector.fromLake / clone read
+      val (schema, silver, table) = entity match {
+        case "campaign" => (Schemas.campaign, Bronze.campaignSilver _, "campaigns")
+        case "ad_set" => (Schemas.adSet, Bronze.adSetSilver _, "ad_sets")
+        case "ad" => (Schemas.ad, Bronze.adSilver _, "ads")
+        case "insights" => (Schemas.insights, Bronze.insightsSilver _, "insights")
+        case other => sys.error(s"unknown entity '$other' (campaign|ad_set|ad|insights)")
       }
       val out = silver(Bronze.readJson(spark, json, schema))
         .withColumn("ingest_date", org.apache.spark.sql.functions.current_date())
       // manifest records THIS batch's row count, not the cumulative
       // table size after the dynamic-partition overwrite
       val rows = out.count()
-      Bronze.writePartitioned(out, s"$lake/$entity")
-      val manifest = Manifest.record(out, s"$lake/$entity", entity, rows)
-      println(s"[ingest] $entity: $rows rows -> $lake/$entity ($manifest)")
+      Bronze.writePartitioned(out, s"$lake/$table")
+      val manifest = Manifest.record(out, s"$lake/$table", entity, rows)
+      println(s"[ingest] $entity: $rows rows -> $lake/$table ($manifest)")
+      spark.stop()
+
+    case "clone" :: lake :: campaignId :: idPrefix :: ingestDate :: Nil =>
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      def tb(n: String) = spark.read.parquet(s"$lake/$n")
+      val cloned = graft.queries.Cloner.cloneCampaign(
+        tb("campaigns"), tb("ad_sets"), tb("ads"), campaignId, idPrefix,
+        newName = org.apache.spark.sql.functions.lit(null))
+      graft.queries.Cloner.appendToLake(cloned, lake, ingestDate)
+      println(s"[clone] $campaignId -> $idPrefix$campaignId appended at $ingestDate")
       spark.stop()
 
     case "verify" :: rest => Verify.main(rest.toArray)
@@ -66,6 +83,7 @@ object Main {
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
            |usage: inventory <sfDir> | ingest <entity> <json> <lake> |
+           |       clone <lake> <campaignId> <idPrefix> <ingestDate> |
            |       verify <sfDir> <outDir> | bench | audit [sfDir]""".stripMargin)
       sys.exit(2)
   }

@@ -181,40 +181,34 @@ class SanitizeSpec extends AnyFunSuite {
     assert(rows(2).getString(0) == "v3" && rows(2).getString(1) == "v3")
   }
 
+  // dirty-nested-payload shape shared by the G12 tests: string budgets,
+  // escaped unicode, zero-padded numerics, a *_time field one level
+  // down, an array of structs two levels down (api_helpers.py:268-280)
+  private lazy val nestedSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("id", StringType),
+      StructField("promoted_object", StructType(Seq(
+        StructField("pixel_id", StringType),
+        StructField("daily_budget", StringType),
+        StructField("lifetime_budget", StringType),
+        StructField("name", StringType),
+        StructField("note", StringType),
+        StructField("event_time", StringType),
+        StructField("tags", ArrayType(StructType(Seq(
+          StructField("label", StringType),
+          StructField("rank", StringType))))))))))
+  }
+
+  private def nestedDf(rows: Row*) =
+    spark.createDataFrame(java.util.List.of(rows: _*), nestedSchema)
+
   test("G12 recursive sanitize: rules reach nested struct/array levels") {
-    // a dirty nested payload: string budget + escaped unicode + zero-
-    // padded numeric + a *_time field, one level down; deeper array of
-    // structs two levels down (api_helpers.py:268-280 recursion)
-    val df = spark.createDataFrame(
-      java.util.List.of(
-        Row("c1",
-          Row("888", "1500.4", "2000", "Caf\\u00e9", "0042",
-            "2025-09-18 10:00:00",
-            Seq(Row("\\u4e2d", "007"))))),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("id",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("promoted_object",
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("pixel_id",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("daily_budget",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("lifetime_budget",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("name",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("note",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("event_time",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("tags",
-              org.apache.spark.sql.types.ArrayType(
-                org.apache.spark.sql.types.StructType(Seq(
-                  org.apache.spark.sql.types.StructField("label",
-                    org.apache.spark.sql.types.StringType),
-                  org.apache.spark.sql.types.StructField("rank",
-                    org.apache.spark.sql.types.StringType)))))))))))
+    val df = nestedDf(
+      Row("c1",
+        Row("888", "1500.4", "2000", "Caf\\u00e9", "0042",
+          "2025-09-18 10:00:00",
+          Seq(Row("\\u4e2d", "007")))))
     val p = Sanitize.sanitizeNested(df).select("promoted_object").head().getStruct(0)
     assert(p.getString(p.fieldIndex("pixel_id")) == "888")       // id excluded
     assert(p.getString(p.fieldIndex("daily_budget")) == "1500")  // G1 half-up... 1500.4 -> 1500
@@ -229,6 +223,20 @@ class SanitizeSpec extends AnyFunSuite {
     val withNull = df.withColumn("promoted_object",
       lit(null).cast(df.schema("promoted_object").dataType))
     assert(Sanitize.sanitizeNested(withNull).head().isNullAt(1))
+  }
+
+  test("G12 recursive sanitize is idempotent (SURVEY §5.2.4)") {
+    val df = nestedDf(
+      Row("1", Row("9", "1500.4", "2000", "Caf\\u00e9", "0042",
+        "2025-09-18 10:00:00", Seq(Row("\\u4e2d", "007")))),
+      Row("2", Row(null, "abc", "99.9", "plain text", "-3.50",
+        "1758190400", Seq.empty[Row])),
+      Row("3", Row("8", null, null, "", "1e3", "junk-time", null)),
+      Row("4", null))
+    val once = Sanitize.sanitizeNested(df).orderBy("id").collect().toSeq
+    val twice = Sanitize.sanitizeNested(Sanitize.sanitizeNested(df))
+      .orderBy("id").collect().toSeq
+    assert(twice == once)
   }
 
   test("G13 unicode unescape: \\uXXXX, \\xNN, mixed, passthrough") {
