@@ -101,6 +101,17 @@ object PlanAudit {
       "no window in assignment (max_by aggregate)" ->
         (p => !p.contains("Window")))
 
+    // x14: clustering reaches its labels through signature/star/label
+    // equi-joins only — a within-group pair explosion would surface as
+    // a cartesian here (the final plan embeds the converged star join)
+    audit("x14_dedup_clusters")(
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")))
+    // x16: the eval-vs-train probe must be a semi-join on the shingle
+    // hash, bounded by eval's shingles — never eval×train
+    audit("x16_contamination")(
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")),
+      "shingle probe is a semi-join" -> (p => p.contains("LeftSemi")))
+
     println(s"\nPlan audit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -66,7 +66,12 @@ object SparkEntry {
     "x10_fingerprint" -> (X.x10Fingerprint _),
     "x11_multimodal" -> (X.x11Multimodal _),
     "x12_embed_neardup" -> (X.x12EmbedNearDup _),
-    "x13_ann_ivf" -> (X.x13AnnIvf _)
+    "x13_ann_ivf" -> (X.x13AnnIvf _),
+    "x14_dedup_clusters" -> (X.x14DedupClusters _),
+    "x15_sample_uniform" -> (X.x15SampleUniform _),
+    "x15_sample_stratified" -> (X.x15SampleStratified _),
+    "x16_contamination" -> (X.x16Contamination _),
+    "x17_vocab_topk" -> (X.x17VocabTopk _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

@@ -225,25 +225,33 @@ object Extras {
     }
   }
 
+  /** Per-doc SimHash signature frame (doc_id, simhash) — shared by x03
+    * (the signature dump) and x14 (signature-equality dedup edges).
+    *
+    * Weighted-bit sum s_b = Σ_tok ((th>>b & 1)*2 - 1) = 2·c_b − n, so
+    * 32 constant-shift count aggregates + one token count in a single
+    * groupBy replace the ×32 bit-explode (which shuffled 32× the token
+    * index). Sign test s_b > 0 ⟺ 2·c_b > n.
+    */
+  private def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val th = tokIndex(s, dir).withColumn("th", TextFns.tokHash($"tok"))
+    val bitCols = (0 until 32).map(b =>
+      sum(expr(s"shiftright(th, $b) & CAST(1 AS BIGINT)")).as(s"c$b"))
+    val g = th.groupBy($"doc_id").agg(bitCols.head, (bitCols.tail :+ cnt.as("n")): _*)
+    g.select($"doc_id",
+      (0 until 32).map { b =>
+        when(col(s"c$b") * 2 > $"n", lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _).cast(LongType).as("simhash"))
+  }
+
   /** x03 — SimHash signatures: 32-bit sign-of-weighted-bits over token
     * hashes. Near-dups share signatures (or low Hamming distance);
     * grouping by signature is a pure hash-shuffle at any scale.
     */
   def x03DedupSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val th = tokIndex(s, dir).withColumn("th", TextFns.tokHash($"tok"))
-    // Weighted-bit sum s_b = Σ_tok ((th>>b & 1)*2 - 1) = 2·c_b − n, so
-    // 32 constant-shift count aggregates + one token count in a single
-    // groupBy replace the ×32 bit-explode (which shuffled 32× the token
-    // index). Sign test s_b > 0 ⟺ 2·c_b > n.
-    val bitCols = (0 until 32).map(b =>
-      sum(expr(s"shiftright(th, $b) & CAST(1 AS BIGINT)")).as(s"c$b"))
-    val g = th.groupBy($"doc_id").agg(bitCols.head, (bitCols.tail :+ cnt.as("n")): _*)
-    g.select($"doc_id",
-        (0 until 32).map { b =>
-          when(col(s"c$b") * 2 > $"n", lit(1L << b)).otherwise(lit(0L))
-        }.reduce(_ + _).cast(LongType).as("simhash"))
-      .orderBy($"doc_id")
+    simhashSignatures(s, dir).orderBy($"doc_id")
   }
 
   /** x04 — n-gram (3-token shingle) Jaccard near-dup ≥ 0.5: stricter
@@ -294,6 +302,37 @@ object Extras {
       .filter($"cosine" >= EmbedCosThreshold)
       .select($"d1", $"d2", $"cosine")
       .orderBy($"d1", $"d2")
+  }
+
+  /** x14 — dedup CLUSTERING: the stage after pair generation. Two O(n)
+    * signature relations (SimHash equality + leading-8-token
+    * fingerprint equality) emit star edges — k duplicates cost k−1
+    * edges, never the k²/2 within-group pairs — and
+    * [[graft.operators.ConnectedComponents]] (alternating large-star/
+    * small-star, O(log) rounds) collapses the union into components, so
+    * a doc that matches A on one signature and B on the other lands in
+    * ONE cluster. Output: every doc with its canonical keeper (the
+    * component's min doc_id) and cluster size — the frame a training
+    * pipeline filters to `doc_id = cluster_id` to dedup the corpus.
+    */
+  def x14DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.ConnectedComponents
+    val docs = t(s, dir, "documents")
+    val bySimhash = ConnectedComponents.starEdges(
+      simhashSignatures(s, dir), "doc_id", "simhash")
+    val byFp8 = ConnectedComponents.starEdges(
+      docs.select($"doc_id",
+        md5(concat_ws(" ", slice(TextFns.tokenize($"text"), 1, 8))).as("sig")),
+      "doc_id", "sig")
+    val labels = ConnectedComponents.run(bySimhash.unionByName(byFp8))
+    val lab = docs.select($"doc_id")
+      .join(labels, $"doc_id" === $"node", "left")
+      .select($"doc_id", coalesce($"label", $"doc_id").as("cluster_id"))
+    val sizes = lab.groupBy($"cluster_id").agg(cnt.as("cluster_size"))
+    lab.join(sizes, Seq("cluster_id"))
+      .select($"doc_id", $"cluster_id", $"cluster_size")
+      .orderBy($"doc_id")
   }
 
   // ---------------------------------------------------------------- similarity search
@@ -458,6 +497,109 @@ object Extras {
     d.select($"doc_id", md5(concat_ws(" ", slice($"toks", 1, 8))).as("fp8"))
       .join(roll, Seq("doc_id"))
       .orderBy($"doc_id")
+  }
+
+  /** Deterministic 0–99 bucket from a doc id: md5-derived, so (a) the
+    * same doc lands in the same bucket on any cluster size, any run —
+    * sampling and splits are REPRODUCIBLE, the property `rand()`-based
+    * sampling loses the moment a partition boundary moves — and (b)
+    * the DuckDB oracle recomputes it exactly.
+    */
+  private def idBucket(id: Column): Column =
+    conv(substring(md5(id.cast(StringType)), 1, 4), 16, 10)
+      .cast(LongType) % 100
+
+  /** x15a — uniform deterministic sample: keep the 10% of docs whose
+    * id-hash bucket < 10. A pure filter — no shuffle, no state, pushes
+    * into the scan's output pipeline; at 100 TB it is exactly one pass.
+    */
+  def x15SampleUniform(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", $"lang", idBucket($"doc_id").as("bucket"))
+      .filter($"bucket" < 10)
+      .orderBy($"doc_id")
+  }
+
+  /** x15b — stratified deterministic sample: per-language rates
+    * (downsample the dominant `en`, keep more of the long-tail
+    * languages — the standard rebalancing move for multilingual
+    * training mixes). Same hash-bucket mechanism, still a pure filter.
+    */
+  def x15SampleStratified(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rate = when($"lang" === "en", lit(10L)).otherwise(lit(40L))
+    t(s, dir, "documents")
+      .select($"doc_id", $"lang", idBucket($"doc_id").as("bucket"))
+      .filter($"bucket" < rate)
+      .orderBy($"doc_id")
+  }
+
+  /** x16 — train/eval contamination check: split the corpus
+    * deterministically (id-hash bucket < 10 ⇒ eval), hash every
+    * 8-token shingle, and report, per eval doc, how many of its
+    * shingles appear anywhere in train. The decontamination gate every
+    * LLM data pipeline runs before training.
+    *
+    * Scale shape: distinct train shingles are one hash shuffle; the
+    * eval⋉train probe is a LEFT SEMI equi-join on the shingle hash
+    * (bounded by eval's shingle count, never |eval|×|train|); the
+    * per-doc rollup is one more hash aggregate. Docs shorter than the
+    * shingle width contribute their full text as one shingle, so every
+    * eval doc is scored (zero-hit docs included via left join).
+    */
+  def x16Contamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents")
+      .select($"doc_id", idBucket($"doc_id").as("bucket"),
+        TextFns.tokenize($"text").as("toks"))
+    val sh = d.select($"doc_id", $"bucket", explode(expr(
+        "CASE WHEN size(toks) >= 8 THEN" +
+          " transform(sequence(1, size(toks) - 7), i -> md5(concat_ws(' ', slice(toks, i, 8))))" +
+          " ELSE array(md5(concat_ws(' ', toks))) END")).as("sh"))
+      .distinct()
+    val trainSh = sh.filter($"bucket" >= 10).select($"sh").distinct()
+    val evalSh = sh.filter($"bucket" < 10).select($"doc_id", $"sh")
+    val hits = evalSh.join(trainSh, Seq("sh"), "left_semi")
+      .groupBy($"doc_id").agg(cnt.as("n_hit"))
+    evalSh.groupBy($"doc_id").agg(cnt.as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_shingles",
+        coalesce($"n_hit", lit(0L)).as("n_hit"),
+        (coalesce($"n_hit", lit(0L)).cast(DoubleType) / $"n_shingles")
+          .as("contamination"))
+      .orderBy($"doc_id")
+  }
+
+  /** x17 — vocabulary stats: top-10 tokens per language by frequency,
+    * with per-language token and vocab totals (the tokenizer-training
+    * / corpus-audit view).
+    *
+    * Top-k is TWO-PHASE: counts first rank within (lang, salt) groups
+    * — 32-way parallel, no single reducer sees a whole language — and
+    * only the ≤ 32·k salt winners meet the final per-lang ranking. A
+    * single window over `lang` would sort every (lang, token) count
+    * row through 5 reducers at a billion-token vocabulary; the salted
+    * pre-rank is equivalent because a global top-k row is necessarily
+    * in its salt group's top-k (same total order).
+    */
+  def x17VocabTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = t(s, dir, "documents")
+      .select($"lang", explode(TextFns.tokenize($"text")).as("tok"))
+      .groupBy($"lang", $"tok").agg(cnt.as("cnt"))
+    val stats = counts.groupBy($"lang")
+      .agg(sum($"cnt").cast(LongType).as("lang_tokens"), cnt.as("lang_vocab"))
+    val localW = Window.partitionBy($"lang", pmod(hash($"tok"), lit(32)))
+      .orderBy($"cnt".desc, $"tok")
+    val globalW = Window.partitionBy($"lang").orderBy($"cnt".desc, $"tok")
+    counts
+      .withColumn("lr", row_number().over(localW)).filter($"lr" <= 10)
+      .withColumn("rank", row_number().over(globalW).cast(LongType))
+      .filter($"rank" <= 10)
+      .join(stats, Seq("lang"))
+      .select($"lang", $"rank", $"tok", $"cnt", $"lang_tokens", $"lang_vocab")
+      .orderBy($"lang", $"rank")
   }
 
   // ---------------------------------------------------------------- multimodal

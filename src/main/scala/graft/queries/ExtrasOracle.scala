@@ -13,6 +13,12 @@ object ExtrasOracle {
   /** Portable token hash, DuckDB form. */
   private val TH = s"CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % $P"
 
+  /** Deterministic 0–99 doc-id bucket, DuckDB twin of
+    * [[Extras]]'s `idBucket` (sampling / split assignment).
+    */
+  private val Bucket =
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100"
+
   /** Exact decimal dot product over duckdb list columns a·b (64 dims),
     * VARCHAR-routed for bit parity with Spark (see OracleSql notes).
     */
@@ -80,6 +86,40 @@ object ExtrasOracle {
          |FROM inter JOIN sz sa ON sa.doc_id = d1 JOIN sz sb ON sb.doc_id = d2
          |WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= ${Extras.NgramJaccardThreshold}
          |ORDER BY d1, d2""".stripMargin,
+
+    // Recursive CTE = the clustering ground truth: min label reachable
+    // over the symmetrized star-edge union (UNION dedups, so the
+    // fixpoint terminates). Mirrors x14's two signature relations.
+    "x14_dedup_clusters" ->
+      s"""WITH RECURSIVE
+         |toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |th AS (SELECT doc_id, $TH AS th FROM toks),
+         |bits AS (SELECT doc_id, bit, SUM(((th >> bit) & 1)*2 - 1) AS s
+         |  FROM th, generate_series(0, 31) t(bit) GROUP BY doc_id, bit),
+         |sh AS (SELECT doc_id, CAST(SUM(CASE WHEN s > 0
+         |    THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT)
+         |  AS simhash FROM bits GROUP BY doc_id),
+         |r1 AS (SELECT a.doc_id AS u, m.v FROM sh a
+         |  JOIN (SELECT simhash, MIN(doc_id) AS v FROM sh GROUP BY 1) m
+         |  USING(simhash) WHERE a.doc_id <> m.v),
+         |fp AS (SELECT doc_id,
+         |    md5(array_to_string((string_split(text, ' '))[1:8], ' ')) AS sig
+         |  FROM documents),
+         |r2 AS (SELECT a.doc_id AS u, m.v FROM fp a
+         |  JOIN (SELECT sig, MIN(doc_id) AS v FROM fp GROUP BY 1) m
+         |  USING(sig) WHERE a.doc_id <> m.v),
+         |edges AS (SELECT u, v FROM r1 UNION SELECT u, v FROM r2),
+         |sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+         |cc(node, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT s.v, c.lab FROM cc c JOIN sym s ON s.u = c.node),
+         |lab AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM cc GROUP BY node),
+         |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |  FROM lab GROUP BY 1)
+         |SELECT l.doc_id, l.cluster_id, s.cluster_size
+         |FROM lab l JOIN sz s USING(cluster_id) ORDER BY doc_id""".stripMargin,
 
     "x05_ann_brute" ->
       s"""WITH pr AS (SELECT e1.vec_id AS p_id, e2.vec_id AS vec_id,
@@ -205,6 +245,51 @@ object ExtrasOracle {
         |  FROM term GROUP BY doc_id)
         |SELECT d.doc_id AS doc_id, md5(array_to_string(toks[1:8], ' ')) AS fp8, rolling
         |FROM d JOIN roll ON d.doc_id = roll.doc_id ORDER BY doc_id""".stripMargin,
+
+    "x15_sample_uniform" ->
+      s"""SELECT doc_id, lang, $Bucket AS bucket FROM documents
+         |WHERE $Bucket < 10 ORDER BY doc_id""".stripMargin,
+
+    "x15_sample_stratified" ->
+      s"""SELECT doc_id, lang, $Bucket AS bucket FROM documents
+         |WHERE $Bucket < (CASE WHEN lang = 'en' THEN 10 ELSE 40 END)
+         |ORDER BY doc_id""".stripMargin,
+
+    "x16_contamination" ->
+      s"""WITH d AS (SELECT doc_id, $Bucket AS bucket,
+         |    string_split(text, ' ') AS toks FROM documents),
+         |shg AS (
+         |  SELECT DISTINCT doc_id, bucket,
+         |      md5(array_to_string(toks[i:i+7], ' ')) AS sh
+         |    FROM (SELECT doc_id, bucket, toks,
+         |            unnest(generate_series(1, len(toks) - 7)) AS i
+         |          FROM d WHERE len(toks) >= 8)
+         |  UNION
+         |  SELECT doc_id, bucket, md5(array_to_string(toks, ' ')) AS sh
+         |    FROM d WHERE len(toks) < 8),
+         |tr AS (SELECT DISTINCT sh FROM shg WHERE bucket >= 10),
+         |ev AS (SELECT doc_id, sh FROM shg WHERE bucket < 10),
+         |hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit FROM ev
+         |  WHERE sh IN (SELECT sh FROM tr) GROUP BY 1),
+         |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+         |  FROM ev GROUP BY 1)
+         |SELECT t.doc_id, t.n_shingles, COALESCE(h.n_hit, 0) AS n_hit,
+         |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_shingles AS contamination
+         |FROM tot t LEFT JOIN hits h USING(doc_id) ORDER BY doc_id""".stripMargin,
+
+    "x17_vocab_topk" ->
+      """WITH tk AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM tk GROUP BY 1, 2),
+        |st AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS lang_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS lang_vocab FROM c GROUP BY 1),
+        |r AS (SELECT lang, tok, cnt, row_number() OVER (PARTITION BY lang
+        |    ORDER BY cnt DESC, tok) AS rn FROM c)
+        |SELECT r.lang, CAST(r.rn AS BIGINT) AS rank, r.tok, r.cnt,
+        |  st.lang_tokens, st.lang_vocab
+        |FROM r JOIN st USING(lang) WHERE r.rn <= 10
+        |ORDER BY lang, rank""".stripMargin,
 
     "x11_multimodal" ->
       """SELECT doc_id, 'text/plain' AS mime,
