@@ -26,7 +26,22 @@ import org.apache.spark.sql.SparkSession
   *
   * The JSON line goes to stdout AND, when `BENCH_OUT` is set, to that
   * file verbatim — so the artifact doesn't depend on scraping the sbt
-  * log (VERDICT r04 #8).
+  * log (VERDICT r04 #8). It is also always written to
+  * `BENCH_LAST.json` in the working directory so every run leaves a
+  * machine-readable artifact even when the env var is absent.
+  *
+  * Contention evidence (BENCH_r05 post-mortem): the shared VM can be
+  * loaded by other tenants mid-run — r5's driver bench reported 213 s
+  * where the identical commit measures 58 s on an idle box, with
+  * uniform ~1x q-queries and 3-22x inflation concentrated in whichever
+  * queries ran during the load spike. Two fields make that failure
+  * mode self-evident in the artifact: `queries_min` / `total_min`
+  * (the minimum of the runs — a far better estimator of inherent plan
+  * cost under transient external load, since a query's floor cannot be
+  * faked by noise) and `loadavg_start`/`loadavg_end` (the 1-minute
+  * /proc/loadavg, which on a quiet 32-cpu box stays near the bench's
+  * own parallelism). A median >> min spread plus an elevated loadavg
+  * reads as "machine was busy", not "plan got slower".
   */
 object Bench {
   /** Median of a non-empty sample; even sizes average the middle two. */
@@ -35,6 +50,12 @@ object Bench {
     val n = s.size
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
+
+  /** 1-minute load average from /proc/loadavg ("n/a" off Linux). */
+  private def loadavg(): String =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").split(" ").head
+    catch { case _: Throwable => "n/a" }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -54,6 +75,7 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").write.format("noop")
       .mode("overwrite").save()
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    val loadStart = loadavg()
     var failedRuns = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val samples = (1 to runs).map { _ =>
@@ -74,19 +96,25 @@ object Bench {
       }
       val good = samples.collect { case (t, true) => t }
       failedRuns += samples.size - good.size
-      name -> (if (good.nonEmpty) Some(median(good)) else None)
+      name -> good
     }
-    val qs = results.map { case (k, v) =>
-      "\"" + k + "\":" + v.map(_.toString).getOrElse("null")
+    def obj(f: Seq[Double] => Double): String = results.map { case (k, good) =>
+      "\"" + k + "\":" + (if (good.nonEmpty) f(good).toString else "null")
     }.mkString("{", ",", "}")
-    val total = results.flatMap(_._2).sum
+    val medians = obj(median)
+    val mins = obj(_.min)
+    val total = results.collect { case (_, g) if g.nonEmpty => median(g) }.sum
+    val totalMin = results.collect { case (_, g) if g.nonEmpty => g.min }.sum
     val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"failed_runs":$failedRuns,"max_heap_mb":$heapMb}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$medians,"queries_min":$mins,"total_min":$totalMin,"sf":"$sfDir","runs":$runs,"failed_runs":$failedRuns,"max_heap_mb":$heapMb,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}"}"""
     println(line)
-    sys.env.get("BENCH_OUT").foreach { p =>
-      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+    (sys.env.get("BENCH_OUT").toSeq :+ "BENCH_LAST.json").foreach { p =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
         (line + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $p: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

@@ -60,6 +60,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         UnicodeUnescape(arity("unicode_unescape", 1)(children).head)))
 
+    // Spark's own bloom sketch expressions (the pair the AQE
+    // runtime-filter rule uses internally) surfaced for SQL users —
+    // the incremental-dedup router (operators/BloomIncrementalDedup)
+    // and `SELECT bloom_agg(xxhash64(k), 1000000, 8388608) ...` both
+    // work natively.
+    ext.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      info("bloom_agg",
+        "bloom_agg(longCol[, estItems, numBits]) - bloom filter sketch (binary) of a long column"),
+      {
+        case Seq(c) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+        case Seq(c, est, bits) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, est, bits)
+        case other => throw new IllegalArgumentException(
+          s"bloom_agg expects 1 or 3 args, got ${other.length}")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_contains"),
+      info("bloom_contains",
+        "bloom_contains(bloomBinary, longCol) - bloom filter membership probe"),
+      (children: Seq[Expression]) => {
+        val c = arity("bloom_contains", 2)(children)
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(c(0), c(1))
+      }))
+
     // Canonicalize the declarative decimal-dot idiom to the codegen
     // kernel wherever it appears in a plan.
     ext.injectOptimizerRule(_ => graft.plans.DecimalDotRewrite)

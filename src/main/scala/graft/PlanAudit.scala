@@ -111,6 +111,14 @@ object PlanAudit {
     audit("x16_contamination")(
       "no cartesian product" -> (p => !p.contains("CartesianProduct")),
       "shingle probe is a semi-join" -> (p => p.contains("LeftSemi")))
+    // x20: the bloom probe must reach the plan as a scan-side filter
+    // (the definitely-new branch pays zero shuffle), and only the
+    // bloom-positive sliver goes through the LeftAnti verify
+    audit("x20_bloom_dedup")(
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")),
+      "bloom probe is a filter in the plan" ->
+        (p => p.contains("might_contain") || p.contains("bloom_contains")),
+      "exact verify is a left anti join" -> (p => p.contains("LeftAnti")))
 
     println(s"\nPlan audit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()

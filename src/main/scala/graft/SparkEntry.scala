@@ -71,7 +71,10 @@ object SparkEntry {
     "x15_sample_uniform" -> (X.x15SampleUniform _),
     "x15_sample_stratified" -> (X.x15SampleStratified _),
     "x16_contamination" -> (X.x16Contamination _),
-    "x17_vocab_topk" -> (X.x17VocabTopk _)
+    "x17_vocab_topk" -> (X.x17VocabTopk _),
+    "x18_repetition" -> (X.x18Repetition _),
+    "x19_pii_scrub" -> (X.x19PiiScrub _),
+    "x20_bloom_dedup" -> (X.x20BloomDedup _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

@@ -315,6 +315,31 @@ object Sanitize {
     df.select(cols.toSeq: _*)
   }
 
+  /** PII scrub patterns — deliberately lookaround-free so the same
+    * pattern string runs identically under Java regex (Spark) and RE2
+    * (DuckDB, the oracle). Order matters at apply time: card before
+    * phone (a 16-digit card is phone-shaped), ip before phone (dotted
+    * octets can satisfy the phone separator classes).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val CardRe = "[0-9]{4}([- ][0-9]{4}){3}"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PhoneRe = "\\+?[0-9]{1,3}([-. ][0-9]{2,4}){2,4}"
+
+  /** PII scrub: redact emails, payment-card numbers, IPv4 addresses
+    * and phone numbers with typed placeholder tokens. Pure
+    * `regexp_replace` chain — row-local, codegen'd, no shuffle; the
+    * per-document redaction counts a pipeline audits on come from
+    * counting placeholders in the OUTPUT (so overlapping patterns are
+    * never double-counted).
+    */
+  def scrubPii(c: Column): Column = {
+    val noEmail = regexp_replace(c, EmailRe, "<EMAIL>")
+    val noCard = regexp_replace(noEmail, CardRe, "<CARD>")
+    val noIp = regexp_replace(noCard, Ipv4Re, "<IP>")
+    regexp_replace(noIp, PhoneRe, "<PHONE>")
+  }
+
   /** Typed variant of G11: cast string columns to a target schema with
     * try-cast semantics, keeping `*_id` columns as strings.
     */

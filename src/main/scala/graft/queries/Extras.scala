@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.{TextFns, VectorFns}
+import graft.functions.{Sanitize, TextFns, VectorFns}
 import graft.operators.Multimodal
 import Inventory.{t, cnt, dsum}
 
@@ -600,6 +600,94 @@ object Extras {
       .join(stats, Seq("lang"))
       .select($"lang", $"rank", $"tok", $"cnt", $"lang_tokens", $"lang_vocab")
       .orderBy($"lang", $"rank")
+  }
+
+  /** x18 — intra-document repetition scoring (the Gopher/MassiveText
+    * repetition-filter family): fraction of duplicate 2-grams and the
+    * most-frequent-token share, per document. Catches the
+    * boilerplate/spam pages inter-document dedup can't (a UNIQUE page
+    * that repeats its own nav bar 50 times).
+    *
+    * Scale shape: the 2-gram stats are computed INSIDE the row
+    * (transform over an index sequence + array_distinct — no explode,
+    * no shuffle); the token-frequency stats go through two hash
+    * aggregates with map-side combine. Nothing is quadratic in
+    * document length except the row-local distinct.
+    */
+  def x18Repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents")
+      .select($"doc_id", TextFns.tokenize($"text").as("toks"))
+    val bigr = d.withColumn("bg",
+        when(size($"toks") >= 2, expr(
+          "transform(sequence(1, size(toks) - 1)," +
+            " i -> concat_ws(' ', toks[i-1], toks[i]))"))
+          .otherwise(expr("CAST(array() AS array<string>)")))
+      .select($"doc_id",
+        size($"bg").cast(LongType).as("n_2g"),
+        (size($"bg") - size(array_distinct($"bg"))).cast(LongType).as("n_dup_2g"))
+    val tokStats = d.select($"doc_id", explode($"toks").as("tok"))
+      .groupBy($"doc_id", $"tok").agg(cnt.as("n"))
+      .groupBy($"doc_id").agg(
+        sum($"n").cast(LongType).as("n_toks"),
+        max($"n").cast(LongType).as("top_tok_n"))
+    val dup2gRatio =
+      when($"n_2g" > 0, $"n_dup_2g".cast(DoubleType) / $"n_2g").otherwise(lit(0.0))
+    val topTokRatio = $"top_tok_n".cast(DoubleType) / $"n_toks"
+    bigr.join(tokStats, Seq("doc_id"))
+      .select($"doc_id", $"n_2g", $"n_dup_2g", $"n_toks", $"top_tok_n",
+        dup2gRatio.as("dup_2gram_ratio"),
+        topTokRatio.as("top_tok_ratio"),
+        (dup2gRatio > 0.2 || topTokRatio > 0.2).cast(LongType)
+          .as("repetition_flag"))
+      .orderBy($"doc_id")
+  }
+
+  /** x19 — PII scrubbing battery over [[graft.functions.Sanitize.scrubPii]]:
+    * emails, card numbers, IPv4s, phone numbers → typed placeholders,
+    * plus per-row redaction counts. The synthetic corpus carries no
+    * PII, so (q23-style) the dirty text is CONSTRUCTED
+    * deterministically from customer rows — the scrubber itself is the
+    * operator under test, and it is a pure row-local regexp chain
+    * (codegen'd, no shuffle, linear in bytes — the only shape that
+    * survives 100 TB of raw text).
+    */
+  def x19PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = t(s, dir, "customer")
+    val id4 = lpad(pmod($"c_custkey", lit(10000)).cast(StringType), 4, "0")
+    val dirty = concat(
+      lit("user"), $"c_custkey".cast(StringType),
+      lit("@example.com said call +1-555-"), id4,
+      lit(" or pay 4242 4242 4242 "), id4,
+      lit(" from 10.0."), pmod($"c_custkey", lit(256)).cast(StringType),
+      lit(".99 re "), $"c_mktsegment")
+    c.select($"c_custkey", Sanitize.scrubPii(dirty).as("scrubbed"))
+      .select($"c_custkey", $"scrubbed",
+        regexp_count($"scrubbed", lit("<EMAIL>")).cast(LongType).as("n_emails"),
+        regexp_count($"scrubbed", lit("<CARD>")).cast(LongType).as("n_cards"),
+        regexp_count($"scrubbed", lit("<IP>")).cast(LongType).as("n_ips"),
+        regexp_count($"scrubbed", lit("<PHONE>")).cast(LongType).as("n_phones"))
+      .orderBy($"c_custkey")
+  }
+
+  /** x20 — incremental (cross-run) dedup via
+    * [[graft.operators.BloomIncrementalDedup]]: the corpus splits
+    * deterministically into "history" (id bucket ≥ 50) and "incoming"
+    * (bucket < 50); incoming docs whose 8-token-prefix fingerprint
+    * already exists in history are dropped. Bloom-route + exact
+    * verify — result is exact (oracle = plain NOT IN), the sketch only
+    * decides which rows pay the anti-join shuffle.
+    */
+  def x20BloomDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents")
+      .select($"doc_id", idBucket($"doc_id").as("bucket"),
+        md5(concat_ws(" ", slice(TextFns.tokenize($"text"), 1, 8))).as("fp8"))
+    val hist = d.filter($"bucket" >= 50).select($"fp8")
+    val inc = d.filter($"bucket" < 50).select($"doc_id", $"fp8")
+    graft.operators.BloomIncrementalDedup.newRows(inc, hist, "fp8")
+      .orderBy($"doc_id")
   }
 
   // ---------------------------------------------------------------- multimodal

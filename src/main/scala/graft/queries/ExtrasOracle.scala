@@ -291,6 +291,69 @@ object ExtrasOracle {
         |FROM r JOIN st USING(lang) WHERE r.rn <= 10
         |ORDER BY lang, rank""".stripMargin,
 
+    // Spark computes 2-gram stats row-locally (transform over an index
+    // sequence); the twin unnests — different shapes, same arithmetic.
+    "x18_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bg AS (SELECT doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_2g,
+        |    CAST(COUNT(*) - COUNT(DISTINCT g) AS BIGINT) AS n_dup_2g
+        |  FROM (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+        |        FROM (SELECT doc_id, toks,
+        |                unnest(generate_series(1, len(toks) - 1)) AS i FROM d))
+        |  GROUP BY doc_id),
+        |tc AS (SELECT doc_id, tok, COUNT(*) AS n
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM d) GROUP BY 1, 2),
+        |ts AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_toks,
+        |    CAST(MAX(n) AS BIGINT) AS top_tok_n FROM tc GROUP BY 1)
+        |SELECT bg.doc_id, n_2g, n_dup_2g, n_toks, top_tok_n,
+        |  CASE WHEN n_2g > 0 THEN CAST(n_dup_2g AS DOUBLE) / n_2g
+        |       ELSE 0.0 END AS dup_2gram_ratio,
+        |  CAST(top_tok_n AS DOUBLE) / n_toks AS top_tok_ratio,
+        |  CAST((CASE WHEN n_2g > 0 THEN CAST(n_dup_2g AS DOUBLE) / n_2g
+        |             ELSE 0.0 END) > 0.2
+        |    OR (CAST(top_tok_n AS DOUBLE) / n_toks) > 0.2 AS BIGINT)
+        |  AS repetition_flag
+        |FROM bg JOIN ts ON ts.doc_id = bg.doc_id ORDER BY bg.doc_id""".stripMargin,
+
+    // Same construct + scrub chain as the Spark side; patterns are
+    // shared via Sanitize's regex constants (lookaround-free so Java
+    // regex and RE2 agree).
+    "x19_pii_scrub" -> {
+      import graft.functions.Sanitize._
+      s"""WITH base AS (SELECT c_custkey,
+         |    'user' || CAST(c_custkey AS VARCHAR) || '@example.com said call +1-555-'
+         |    || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+         |    || ' or pay 4242 4242 4242 '
+         |    || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+         |    || ' from 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.99 re '
+         |    || c_mktsegment AS dirty
+         |  FROM customer),
+         |scr AS (SELECT c_custkey, regexp_replace(regexp_replace(regexp_replace(
+         |    regexp_replace(dirty,
+         |      '$EmailRe', '<EMAIL>', 'g'),
+         |      '$CardRe', '<CARD>', 'g'),
+         |      '$Ipv4Re', '<IP>', 'g'),
+         |      '$PhoneRe', '<PHONE>', 'g') AS scrubbed
+         |  FROM base)
+         |SELECT c_custkey, scrubbed,
+         |  CAST(len(regexp_extract_all(scrubbed, '<EMAIL>')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(scrubbed, '<CARD>')) AS BIGINT) AS n_cards,
+         |  CAST(len(regexp_extract_all(scrubbed, '<IP>')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(scrubbed, '<PHONE>')) AS BIGINT) AS n_phones
+         |FROM scr ORDER BY c_custkey""".stripMargin
+    },
+
+    // The bloom filter is only a router; the exact answer is a plain
+    // NOT IN on the fingerprint.
+    "x20_bloom_dedup" ->
+      s"""WITH d AS (SELECT doc_id, $Bucket AS b,
+         |    md5(array_to_string((string_split(text, ' '))[1:8], ' ')) AS fp8
+         |  FROM documents)
+         |SELECT doc_id, fp8 FROM d
+         |WHERE b < 50 AND fp8 NOT IN (SELECT fp8 FROM d WHERE b >= 50)
+         |ORDER BY doc_id""".stripMargin,
+
     "x11_multimodal" ->
       """SELECT doc_id, 'text/plain' AS mime,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,

@@ -249,4 +249,24 @@ class SanitizeSpec extends AnyFunSuite {
     UnicodeUnescape.register(spark)
     assert(eval("\\u0041_x", UnicodeUnescape.unicodeUnescape) == "A_x")
   }
+
+  test("PII scrub: email, card, ip, phone, overlaps, passthrough") {
+    def scrub(s: String): Any = eval(s, Sanitize.scrubPii)
+    assert(scrub("mail bob.smith+x@sub.example.co.uk now") ==
+      "mail <EMAIL> now")
+    assert(scrub("card 4242 4242 4242 4242.") == "card <CARD>.")
+    assert(scrub("card 4242-4242-4242-4242.") == "card <CARD>.")
+    assert(scrub("host 192.168.0.1 up") == "host <IP> up")
+    assert(scrub("call +1-555-0042 or 555-123-4567 now") ==
+      "call <PHONE> or <PHONE> now")
+    // a card is phone-shaped: card scrub must win (runs first)
+    assert(scrub("pay 4242 4242 4242 4242 or call +44-20-7946-0958") ==
+      "pay <CARD> or call <PHONE>")
+    // dotted IP octets can satisfy the phone separator class: ip first
+    assert(scrub("from 10.0.255.77 port") == "from <IP> port")
+    assert(scrub("clean text with words only") ==
+      "clean text with words only")
+    assert(scrub("a@b.co x@y.io") == "<EMAIL> <EMAIL>") // global, not first
+    assert(eval(null, Sanitize.scrubPii) == null)
+  }
 }
