@@ -60,6 +60,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         UnicodeUnescape(arity("unicode_unescape", 1)(children).head)))
 
+    ext.injectFunction((
+      FunctionIdentifier("int_dot"),
+      info("int_dot",
+        "int_dot(a, b) - exact i64 dot product of two array<int> (quantized-vector scoring)"),
+      (children: Seq[Expression]) => {
+        val c = arity("int_dot", 2)(children)
+        graft.expressions.IntDot(c(0), c(1))
+      }))
+
     // Spark's own bloom sketch expressions (the pair the AQE
     // runtime-filter rule uses internally) surfaced for SQL users —
     // the incremental-dedup router (operators/BloomIncrementalDedup)

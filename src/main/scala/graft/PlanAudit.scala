@@ -114,6 +114,15 @@ object PlanAudit {
     // x20: the bloom probe must reach the plan as a scan-side filter
     // (the definitely-new branch pays zero shuffle), and only the
     // bloom-positive sliver goes through the LeftAnti verify
+    // x21: quantized scoring must run through the integer codegen
+    // kernel (probe side broadcast, TakeOrdered cut — no cartesian,
+    // no global sort window)
+    audit("x21_ann_sq")(
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")),
+      "int_dot kernel in plan" -> (_.contains("int_dot")),
+      "decimal_dot re-rank in plan" -> (_.contains("decimal_dot")),
+      "candidate cut is TakeOrdered, not a window" ->
+        (p => !p.contains("Window")))
     audit("x20_bloom_dedup")(
       "no cartesian product" -> (p => !p.contains("CartesianProduct")),
       "bloom probe is a filter in the plan" ->

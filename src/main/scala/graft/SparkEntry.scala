@@ -74,7 +74,9 @@ object SparkEntry {
     "x17_vocab_topk" -> (X.x17VocabTopk _),
     "x18_repetition" -> (X.x18Repetition _),
     "x19_pii_scrub" -> (X.x19PiiScrub _),
-    "x20_bloom_dedup" -> (X.x20BloomDedup _)
+    "x20_bloom_dedup" -> (X.x20BloomDedup _),
+    "x21_ann_sq" -> (X.x21AnnSq _),
+    "x22_length_quantiles" -> (X.x22LengthQuantiles _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

@@ -421,6 +421,43 @@ object Extras {
       .limit(5)
   }
 
+  /** x21 — scalar-quantized ANN (the memory-bound regime's scale path,
+    * complementing LSH x06 / IVF x13): each vector quantizes
+    * symmetrically to ints in [-127, 127] (4-8x smaller than floats —
+    * at 100 TB of embeddings the quantized corpus is what fits in
+    * cluster RAM), candidates are scored with the exact-integer
+    * [[graft.expressions.IntDot]] codegen kernel, and only the top-20
+    * approx candidates pay the exact decimal re-rank.
+    *
+    * Every stage is deterministic (floor quantization — no rounding
+    * ties; i64 dot — no float accumulation order), so the DuckDB twin
+    * reproduces the whole pipeline including the candidate cut.
+    */
+  def x21AnnSq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.expressions.IntDot.register(s)
+    val q = emb(s, dir)
+      .withColumn("m", array_max(expr("transform(v, x -> abs(x))")))
+      // zero vector: scale 0 -> all-zero q -> qn = 0 (guarded below)
+      .withColumn("qsc", when($"m" > 0, lit(127.0) / $"m").otherwise(lit(0.0)))
+      .withColumn("qv", expr("transform(v, x -> CAST(floor(x * qsc) AS INT))"))
+      .withColumn("qn", graft.expressions.IntDot.intDot($"qv", $"qv"))
+    val probe = q.filter($"vec_id" === 0)
+      .select($"qv".as("pq"), $"qn".as("pn"), $"v".as("pv"))
+    val scored = q.filter($"vec_id" =!= 0).crossJoin(broadcast(probe))
+      .withColumn("qdot", graft.expressions.IntDot.intDot($"qv", $"pq"))
+      .withColumn("approx", when($"qn" > 0 && $"pn" > 0,
+        $"qdot".cast(DoubleType) /
+          (sqrt($"qn".cast(DoubleType)) * sqrt($"pn".cast(DoubleType))))
+        .otherwise(lit(-2.0)))
+    // TakeOrdered candidate cut, then exact re-rank on 20 rows only
+    scored.orderBy($"approx".desc, $"vec_id").limit(20)
+      .withColumn("cosine", VectorFns.dotDec("v", "pv") /
+        (sqrt(VectorFns.dotDec("v", "v")) * sqrt(VectorFns.dotDec("pv", "pv"))))
+      .select($"vec_id", $"approx", $"cosine")
+      .orderBy($"cosine".desc, $"vec_id").limit(5)
+  }
+
   // ---------------------------------------------------------------- text analysis
 
   /** x07 — language ID via marker-token counts (n-gram heuristic
@@ -600,6 +637,26 @@ object Extras {
       .join(stats, Seq("lang"))
       .select($"lang", $"rank", $"tok", $"cnt", $"lang_tokens", $"lang_vocab")
       .orderBy($"lang", $"rank")
+  }
+
+  /** x22 — corpus length distribution: exact per-language p50/p90/p99
+    * of document length (chars), the audit view behind every length
+    * filter threshold. Exact `percentile` is a sort-based aggregate —
+    * fine per language group; the sketch alternative for truly
+    * unbounded groups is `approx_percentile` (same shape as Q10's
+    * exact/approx distinct pair).
+    */
+  def x22LengthQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .groupBy($"lang")
+      .agg(cnt.as("n_docs"),
+        expr("percentile(n_chars, array(0.5D, 0.9D, 0.99D))").as("q"))
+      .select($"lang", $"n_docs",
+        element_at($"q", 1).as("p50"),
+        element_at($"q", 2).as("p90"),
+        element_at($"q", 3).as("p99"))
+      .orderBy($"lang")
   }
 
   /** x18 — intra-document repetition scoring (the Gopher/MassiveText

@@ -291,6 +291,53 @@ object ExtrasOracle {
         |FROM r JOIN st USING(lang) WHERE r.rn <= 10
         |ORDER BY lang, rank""".stripMargin,
 
+    // Floor quantization and i64 dots are exactly reproducible; the
+    // double approx score and the decimal re-rank reuse the
+    // established parity routes, so even the top-20 candidate CUT
+    // matches the Spark side.
+    "x21_ann_sq" ->
+      s"""WITH sc AS (SELECT vec_id, embedding AS v,
+         |    (SELECT MAX(abs(CAST(x AS DOUBLE))) FROM unnest(embedding) u(x)) AS m
+         |  FROM embeddings),
+         |qq AS (SELECT vec_id, v,
+         |    CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END AS qsc FROM sc),
+         |qn AS (SELECT a.vec_id,
+         |    SUM(CAST(floor(CAST(a.v[i] AS DOUBLE) * a.qsc) AS BIGINT)
+         |      * CAST(floor(CAST(a.v[i] AS DOUBLE) * a.qsc) AS BIGINT)) AS qn
+         |  FROM qq a, generate_series(1, 64) t(i) GROUP BY a.vec_id),
+         |qd AS (SELECT a.vec_id,
+         |    SUM(CAST(floor(CAST(a.v[i] AS DOUBLE) * a.qsc) AS BIGINT)
+         |      * CAST(floor(CAST(p.v[i] AS DOUBLE) * p.qsc) AS BIGINT)) AS qdot
+         |  FROM qq a, qq p, generate_series(1, 64) t(i)
+         |  WHERE p.vec_id = 0 AND a.vec_id <> 0 GROUP BY a.vec_id),
+         |ap AS (SELECT qd.vec_id,
+         |    CASE WHEN qn.qn > 0 AND pn.qn > 0
+         |      THEN CAST(qd.qdot AS DOUBLE)
+         |        / (sqrt(CAST(qn.qn AS DOUBLE)) * sqrt(CAST(pn.qn AS DOUBLE)))
+         |      ELSE -2.0 END AS approx
+         |  FROM qd JOIN qn ON qn.vec_id = qd.vec_id
+         |  JOIN qn pn ON pn.vec_id = 0),
+         |cand AS (SELECT vec_id, approx FROM (SELECT *, row_number()
+         |    OVER (ORDER BY approx DESC, vec_id) AS rn FROM ap) WHERE rn <= 20),
+         |rr AS (SELECT c.vec_id, c.approx,
+         |    ${dot("e.embedding", "p.embedding")} AS d,
+         |    ${dot("e.embedding", "e.embedding")} AS n1,
+         |    ${dot("p.embedding", "p.embedding")} AS n2
+         |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+         |  JOIN embeddings p ON p.vec_id = 0, generate_series(1, 64) t(i)
+         |  GROUP BY c.vec_id, c.approx)
+         |SELECT vec_id, approx, d/(sqrt(n1)*sqrt(n2)) AS cosine
+         |FROM rr ORDER BY cosine DESC, vec_id LIMIT 5""".stripMargin,
+
+    // Spark's exact `percentile` and DuckDB's `quantile_cont` share
+    // the same definition (linear interpolation at p*(n-1)).
+    "x22_length_quantiles" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  quantile_cont(n_chars, 0.5) AS p50,
+        |  quantile_cont(n_chars, 0.9) AS p90,
+        |  quantile_cont(n_chars, 0.99) AS p99
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     // Spark computes 2-gram stats row-locally (transform over an index
     // sequence); the twin unnests — different shapes, same arithmetic.
     "x18_repetition" ->

@@ -124,4 +124,31 @@ class ExpressionParitySpec extends AnyFunSuite {
       .select(DecimalDot.decimalDot(col("a"), col("b")).as("d"))
     assert(df.collect().map(_.getDouble(0)).toSeq == Seq(2.0, 2.0))
   }
+
+  test("int_dot == aggregate(zip_with) on random int vectors") {
+    graft.expressions.IntDot.register(spark)
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(300) {
+      def vec() = Seq.fill(64)(rnd.nextInt(255) - 127)
+      (vec(), vec())
+    } ++ Seq((Seq.empty[Int], Seq.empty[Int]), (Seq(127), Seq(-127)))
+    val bad = rows.toDF("a", "b")
+      .select(
+        graft.expressions.IntDot.intDot(col("a"), col("b")).as("fast"),
+        expr("aggregate(zip_with(a, b, (x, y) -> CAST(x AS BIGINT) * y)," +
+          " CAST(0 AS BIGINT), (acc, p) -> acc + p)").as("ref"))
+      .filter(not(col("fast") <=> col("ref")))
+      .collect()
+    assert(bad.isEmpty, bad.take(3).mkString("; "))
+  }
+
+  test("int_dot nulls on length mismatch and null elements") {
+    graft.expressions.IntDot.register(spark)
+    val r = Seq((Seq(1, 2), Seq(1))).toDF("a", "b")
+      .select(graft.expressions.IntDot.intDot(col("a"), col("b")).as("d")).head()
+    assert(r.isNullAt(0))
+    val r2 = Seq((Seq(Some(1), None), Seq(Some(1), Some(2)))).toDF("a", "b")
+      .select(graft.expressions.IntDot.intDot(col("a"), col("b")).as("d")).head()
+    assert(r2.isNullAt(0))
+  }
 }
