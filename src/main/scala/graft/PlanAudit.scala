@@ -114,6 +114,15 @@ object PlanAudit {
     // x20: the bloom probe must reach the plan as a scan-side filter
     // (the definitely-new branch pays zero shuffle), and only the
     // bloom-positive sliver goes through the LeftAnti verify
+    // x24: lexical candidates must be pruned by the broadcast query
+    // terms before the df join (posting-list bound), and the vector
+    // leg scores through the decimal kernel; RRF joins two 10-row
+    // frames — nothing corpus-sized past the rankings
+    audit("x24_hybrid_search")(
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")),
+      "query-term prune is a broadcast join" ->
+        (_.contains("BroadcastHashJoin")),
+      "decimal_dot kernel in the vector leg" -> (_.contains("decimal_dot")))
     // x21: quantized scoring must run through the integer codegen
     // kernel (probe side broadcast, TakeOrdered cut — no cartesian,
     // no global sort window)

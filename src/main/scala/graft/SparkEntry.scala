@@ -76,7 +76,9 @@ object SparkEntry {
     "x19_pii_scrub" -> (X.x19PiiScrub _),
     "x20_bloom_dedup" -> (X.x20BloomDedup _),
     "x21_ann_sq" -> (X.x21AnnSq _),
-    "x22_length_quantiles" -> (X.x22LengthQuantiles _)
+    "x22_length_quantiles" -> (X.x22LengthQuantiles _),
+    "x23_bpe_pairs" -> (X.x23BpePairs _),
+    "x24_hybrid_search" -> (X.x24HybridSearch _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

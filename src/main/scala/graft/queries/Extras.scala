@@ -458,6 +458,64 @@ object Extras {
       .orderBy($"cosine".desc, $"vec_id").limit(5)
   }
 
+  /** x24 — hybrid retrieval: lexical tf·idf and vector cosine ranked
+    * independently, fused by Reciprocal Rank Fusion
+    * (rrf = Σ 1/(60+rank) over the lists that contain the doc) — the
+    * standard composition a retrieval-augmented pipeline runs over a
+    * corpus that has both text and embeddings. Query = doc 0 (its 4
+    * alphabetically-first distinct tokens + its embedding).
+    *
+    * Parity/scale notes: idf is the RATIONAL form (N−df+0.5)/(df+0.5)
+    * — log-free, so both engines compute identical doubles (ln is not
+    * correctly-rounded in either); per-doc tf·idf sums route through
+    * the decimal `dsum` (order-independent); both top-10 rankings use
+    * the x17 salted two-phase pattern; lexical candidates are bounded
+    * by the query terms' posting lists (the broadcast `qt` semi-join),
+    * never the corpus.
+    */
+  def x24HybridSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .select($"doc_id", TextFns.tokenize($"text").as("toks"))
+    val n = docs.agg(cnt.as("n"))
+    val qt = docs.filter($"doc_id" === 0)
+      .select(explode($"toks").as("tok")).distinct()
+      .orderBy($"tok").limit(4)
+    val tf = docs.select($"doc_id", explode($"toks").as("tok"))
+      .groupBy($"doc_id", $"tok").agg(cnt.as("tf"))
+    val dfreq = tf.groupBy($"tok").agg(cnt.as("df"))
+    val lexScores = tf.join(broadcast(qt), Seq("tok"))
+      .join(dfreq, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .filter($"doc_id" =!= 0)
+      .groupBy($"doc_id")
+      .agg(dsum($"tf".cast(DoubleType) *
+        (($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))).as("score"))
+    def topK(df: DataFrame, id: String, key: Column, rankName: String,
+        k: Int): DataFrame = {
+      val localW = Window.partitionBy(pmod(hash(col(id)), lit(32)))
+        .orderBy(key.desc, col(id))
+      val globalW = Window.orderBy(key.desc, col(id))
+      df.withColumn("lr0", row_number().over(localW)).filter($"lr0" <= k)
+        .withColumn(rankName, row_number().over(globalW).cast(LongType))
+        .filter(col(rankName) <= k)
+        .select(col(id).as("doc_id"), col(rankName))
+    }
+    val lexTop = topK(lexScores, "doc_id", $"score", "lex_rank", 10)
+    val e = emb(s, dir).withColumn("nn", VectorFns.dotDec("v", "v"))
+    val probe = e.filter($"vec_id" === 0).select($"v".as("pv"), $"nn".as("pn"))
+    val cos = e.filter($"vec_id" =!= 0).crossJoin(broadcast(probe))
+      .withColumn("cosine",
+        VectorFns.dotDec("v", "pv") / (sqrt($"nn") * sqrt($"pn")))
+    val vecTop = topK(cos, "vec_id", $"cosine", "vec_rank", 10)
+    lexTop.join(vecTop, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + $"lex_rank"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + $"vec_rank"), lit(0.0)))
+      .select($"doc_id", $"lex_rank", $"vec_rank", $"rrf")
+      .orderBy($"rrf".desc, $"doc_id").limit(10)
+  }
+
   // ---------------------------------------------------------------- text analysis
 
   /** x07 — language ID via marker-token counts (n-gram heuristic
@@ -657,6 +715,34 @@ object Extras {
         element_at($"q", 2).as("p90"),
         element_at($"q", 3).as("p99"))
       .orderBy($"lang")
+  }
+
+  /** x23 — BPE merge-candidate mining: corpus-wide adjacent-pair
+    * frequencies, the statistic every byte-pair-encoding tokenizer
+    * training round maximizes. Pairs are built INSIDE the row (same
+    * index-transform as x18 — no self-join of a positional token
+    * table), then one map-side-combined count and the salted two-phase
+    * top-k from x17 (no single reducer ever sees the full pair
+    * vocabulary).
+    */
+  def x23BpePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = t(s, dir, "documents")
+      .select(TextFns.tokenize($"text").as("toks"))
+      .filter(size($"toks") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1)," +
+          " i -> concat_ws(' ', toks[i-1], toks[i]))")).as("pair"))
+      .groupBy($"pair").agg(cnt.as("cnt"))
+    val localW = Window.partitionBy(pmod(hash($"pair"), lit(32)))
+      .orderBy($"cnt".desc, $"pair")
+    val globalW = Window.orderBy($"cnt".desc, $"pair")
+    counts
+      .withColumn("lr", row_number().over(localW)).filter($"lr" <= 20)
+      .withColumn("rank", row_number().over(globalW).cast(LongType))
+      .filter($"rank" <= 20)
+      .select($"rank", $"pair", $"cnt")
+      .orderBy($"rank")
   }
 
   /** x18 — intra-document repetition scoring (the Gopher/MassiveText

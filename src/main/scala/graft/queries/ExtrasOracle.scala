@@ -329,6 +329,54 @@ object ExtrasOracle {
          |SELECT vec_id, approx, d/(sqrt(n1)*sqrt(n2)) AS cosine
          |FROM rr ORDER BY cosine DESC, vec_id LIMIT 5""".stripMargin,
 
+    // Rational idf (log-free), decimal-routed tf*idf sum, and the
+    // same RRF constant — every ranked double is bit-identical.
+    "x24_hybrid_search" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |qt AS (SELECT DISTINCT tok FROM
+         |    (SELECT unnest(toks) AS tok FROM d WHERE doc_id = 0)
+         |  ORDER BY tok LIMIT 4),
+         |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM d) GROUP BY 1, 2),
+         |dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |lex AS (SELECT doc_id,
+         |    CAST(CAST(SUM(CAST(CAST((CAST(tf AS DOUBLE)
+         |        * ((n - df + 0.5) / (df + 0.5))) AS VARCHAR)
+         |      AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS score
+         |  FROM tf JOIN qt USING(tok) JOIN dfreq USING(tok) CROSS JOIN tot
+         |  WHERE doc_id <> 0 GROUP BY doc_id),
+         |lexr AS (SELECT doc_id, CAST(rn AS BIGINT) AS lex_rank
+         |  FROM (SELECT doc_id, row_number()
+         |      OVER (ORDER BY score DESC, doc_id) AS rn FROM lex)
+         |  WHERE rn <= 10),
+         |pr AS (SELECT e.vec_id AS doc_id,
+         |    ${dot("e.embedding", "p.embedding")} AS dt,
+         |    ${dot("e.embedding", "e.embedding")} AS n1,
+         |    ${dot("p.embedding", "p.embedding")} AS n2
+         |  FROM embeddings e JOIN embeddings p ON p.vec_id = 0,
+         |    generate_series(1, 64) t(i)
+         |  WHERE e.vec_id <> 0 GROUP BY e.vec_id),
+         |vecr AS (SELECT doc_id, CAST(rn AS BIGINT) AS vec_rank
+         |  FROM (SELECT doc_id, row_number()
+         |      OVER (ORDER BY dt/(sqrt(n1)*sqrt(n2)) DESC, doc_id) AS rn FROM pr)
+         |  WHERE rn <= 10)
+         |SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+         |  COALESCE(1.0/(60 + l.lex_rank), 0.0)
+         |    + COALESCE(1.0/(60 + v.vec_rank), 0.0) AS rrf
+         |FROM lexr l FULL OUTER JOIN vecr v ON v.doc_id = l.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+
+    "x23_bpe_pairs" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |pr AS (SELECT toks[i] || ' ' || toks[i+1] AS pair
+        |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |        FROM d WHERE len(toks) >= 2)),
+        |c AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt FROM pr GROUP BY 1)
+        |SELECT CAST(rn AS BIGINT) AS rank, pair, cnt
+        |FROM (SELECT *, row_number() OVER (ORDER BY cnt DESC, pair) AS rn FROM c)
+        |WHERE rn <= 20 ORDER BY rank""".stripMargin,
+
     // Spark's exact `percentile` and DuckDB's `quantile_cont` share
     // the same definition (linear interpolation at p*(n-1)).
     "x22_length_quantiles" ->
