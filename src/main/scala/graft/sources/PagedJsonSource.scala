@@ -1,0 +1,164 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.{Map => JMap}
+
+import scala.collection.mutable.ArrayBuffer
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 connector for the reference's core ingest shape: a
+  * paginated cursor scan over an entity collection
+  * (`collect_cursor_data`, reference `src/main_extractor.py:65-76` —
+  * fetch a page of `limit` JSON records, follow the cursor, repeat).
+  *
+  * Spark-native re-expression: one API PAGE = one `InputPartition`,
+  * so pages are fetched in parallel by executors instead of
+  * accumulated into a driver-side list (the reference's Python loop —
+  * the first thing that dies at 100 TB). Records arrive as the
+  * all-string JSON dicts an ads API returns; typed coercion is the
+  * silver layer's job ([[graft.functions.Sanitize.coerceNumerics]]),
+  * exactly as in the reference's bronze→silver split.
+  *
+  * This offline build backs the "API" with a JSON-lines file (the
+  * driver indexes newline offsets once — the analog of walking the
+  * cursor to enumerate page tokens); a live connector swaps
+  * [[PageReader]]'s line loop for an HTTP page fetch and keeps every
+  * other moving part. Column pruning is pushed into the reader
+  * (`SupportsPushDownRequiredColumns`): only requested fields are
+  * extracted from each record — the connector-level analog of the
+  * reference's `fields=` request parameter
+  * (`src/main_extractor.py:364-371`).
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format(classOf[PagedJsonSource].getName)
+  *     .schema(allStringSchema)
+  *     .option("path", jsonl).option("pageSize", "500")
+  *     .load()
+  * }}}
+  */
+class PagedJsonSource extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+
+  /** Schema is caller-declared (the reference declares `fields=` per
+    * entity the same way); inference would require a full pre-scan.
+    */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new IllegalArgumentException(
+      "paged-json requires an explicit all-string schema (.schema(...)); " +
+        "typed coercion belongs to the silver layer")
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    require(schema.fields.forall(_.dataType == StringType),
+      s"paged-json serves raw API strings; got ${schema.simpleString}")
+    new PagedJsonTable(schema, properties.get("path"),
+      Option(properties.get("pageSize")).map(_.toInt).getOrElse(1000))
+  }
+}
+
+private[sources] class PagedJsonTable(schema: StructType, path: String,
+    pageSize: Int) extends Table with SupportsRead {
+  require(path != null, "paged-json requires option(\"path\", ...)")
+  require(pageSize > 0, "pageSize must be positive")
+  override def name(): String = s"paged-json($path, pageSize=$pageSize)"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PagedJsonScanBuilder(schema, path, pageSize)
+}
+
+private[sources] class PagedJsonScanBuilder(fullSchema: StructType,
+    path: String, pageSize: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // keep only fields we actually serve (Spark may ask in any order)
+    required = StructType(requiredSchema.fields.filter(f =>
+      fullSchema.fieldNames.contains(f.name)))
+
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+
+    /** One partition per page: the driver walks the newline offsets
+      * once (the cursor-enumeration analog) and hands each executor an
+      * independent byte range — no driver-side row accumulation.
+      */
+    override def planInputPartitions(): Array[InputPartition] = {
+      val bytes = Files.readAllBytes(Paths.get(path))
+      val starts = ArrayBuffer(0L)
+      var i = 0
+      while (i < bytes.length) {
+        if (bytes(i) == '\n' && i + 1 < bytes.length) starts += (i + 1).toLong
+        i += 1
+      }
+      val lineStarts = starts.toArray
+      val pages = lineStarts.indices.by(pageSize).map { p =>
+        val endLine = math.min(p + pageSize, lineStarts.length)
+        val endByte =
+          if (endLine == lineStarts.length) bytes.length.toLong
+          else lineStarts(endLine)
+        JsonPage(path, lineStarts(p), endByte): InputPartition
+      }
+      pages.toArray
+    }
+
+    override def createReaderFactory(): PartitionReaderFactory =
+      new PartitionReaderFactory {
+        private val schema = required
+        override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+          new PageReader(partition.asInstanceOf[JsonPage], schema)
+      }
+  }
+}
+
+/** A page of the cursor scan: a byte range of whole lines. */
+private[sources] case class JsonPage(path: String, start: Long, end: Long)
+  extends InputPartition
+
+/** Executor-side page reader: Jackson-parses each record, projects the
+  * pruned fields. A live connector replaces the byte-range read with
+  * the page's HTTP fetch; the row production is identical.
+  */
+private[sources] class PageReader(page: JsonPage, schema: StructType)
+    extends PartitionReader[InternalRow] {
+  private val mapper = new ObjectMapper()
+  private val lines: Iterator[String] = {
+    val all = Files.readAllBytes(Paths.get(page.path))
+    val slice = java.util.Arrays.copyOfRange(
+      all, page.start.toInt, page.end.toInt)
+    new String(slice, StandardCharsets.UTF_8)
+      .split("\n").iterator.filter(_.nonEmpty)
+  }
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (!lines.hasNext) false
+    else {
+      val node = mapper.readTree(lines.next())
+      val values = schema.fields.map { f =>
+        val v = node.get(f.name)
+        if (v == null || v.isNull) null
+        else UTF8String.fromString(if (v.isTextual) v.asText() else v.toString)
+      }
+      current = new GenericInternalRow(values.asInstanceOf[Array[Any]])
+      true
+    }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
