@@ -55,6 +55,22 @@ object Events {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 6))).as("sum_value"))
 
+  /** H5 (first-wins form): streaming ingest dedup via the built-in
+    * `dropDuplicatesWithinWatermark` — each `event_id` is emitted once;
+    * a replay of the same id arriving within the watermark horizon is
+    * dropped, and the watermark EXPIRES the per-id state (bounded
+    * memory — the property a plain streaming `dropDuplicates` lacks
+    * and the reason it dies on an unbounded ingest). This is the
+    * streaming twin of x20's incremental dedup: same question
+    * ("have I ingested this already?"), state horizon traded for the
+    * bloom's full-history sketch.
+    */
+  def dedupStreamingIngest(events: DataFrame,
+      horizon: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** H5: keep-latest-per-(user, type) upsert as explicit keyed state.
     * Emits the current winner on every update — the streaming form of
     * the daily-mode overwrite (and of batch Q19).

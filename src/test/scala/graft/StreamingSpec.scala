@@ -61,6 +61,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark ingest dedup: replays dropped, state expires") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Events.Event]
+    def ev(id: Long, min: Long, v: Double) =
+      Events.Event(id, new java.sql.Timestamp(min * 60000L), 1L, "view", v, "{}")
+    val out = Events.dedupStreamingIngest(input.toDF(), horizon = "30 minutes")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("stream_dedup").start()
+    try {
+      // batch 1: id 10 arrives twice in-batch (value differs) + id 11
+      input.addData(ev(10, 1000, 1.0), ev(10, 1000, 9.9), ev(11, 1005, 2.0))
+      q.processAllAvailable()
+      // batch 2: id 10 REPLAYED within the horizon -> dropped; id 12
+      // advances the watermark far past 1000+30min, expiring id 10's
+      // dedup state
+      input.addData(ev(10, 1001, 7.7), ev(12, 2000, 3.0))
+      q.processAllAvailable()
+      // batch 3: id 10 again, now BEYOND the expired horizon -> re-admitted
+      // (bounded state means horizon-scoped dedup, x20 covers full history)
+      input.addData(ev(10, 2001, 5.0))
+      q.processAllAvailable()
+      val ids = spark.table("stream_dedup")
+        .groupBy("event_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(ids(11L) == 1 && ids(12L) == 1)
+      assert(ids(10L) == 2) // once per horizon window, not three times
+    } finally q.stop()
+  }
+
   test("stateful dedupKeepLatest matches batch Q19 winners") {
     import spark.implicits._
     val events = Events.stream(spark, sf).as[Events.Event]
