@@ -78,22 +78,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bloom_agg"),
       info("bloom_agg",
         "bloom_agg(longCol[, estItems, numBits]) - bloom filter sketch (binary) of a long column"),
-      {
-        case Seq(c) =>
-          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
-        case Seq(c, est, bits) =>
-          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, est, bits)
-        case other => throw new IllegalArgumentException(
-          s"bloom_agg expects 1 or 3 args, got ${other.length}")
-      }))
+      graft.operators.BloomIncrementalDedup.aggBuilder))
     ext.injectFunction((
       FunctionIdentifier("bloom_contains"),
       info("bloom_contains",
         "bloom_contains(bloomBinary, longCol) - bloom filter membership probe"),
-      (children: Seq[Expression]) => {
-        val c = arity("bloom_contains", 2)(children)
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(c(0), c(1))
-      }))
+      graft.operators.BloomIncrementalDedup.containsBuilder))
 
     // Canonicalize the declarative decimal-dot idiom to the codegen
     // kernel wherever it appears in a plan.

@@ -1,11 +1,12 @@
 package graft.expressions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /** Exact integer dot product of two `array<int>` columns as a native
   * codegen Expression — the scoring kernel for scalar-quantized
@@ -27,6 +28,19 @@ import org.apache.spark.sql.types.{DataType, LongType}
 case class IntDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
+
+  /** Analysis-time type check: int_dot is SQL-exposed, and `getInt` on
+    * an `array<bigint>` would read wrong 4-byte slots (silently wrong
+    * sums) — reject anything but `array<int>` before execution.
+    */
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"int_dot requires two array<int> arguments, got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any =
     IntDotOps.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

@@ -45,6 +45,27 @@ import org.apache.spark.sql.functions._
   */
 object BloomIncrementalDedup {
 
+  /** The single source of truth for the two function builders —
+    * GraftExtensions injects these same closures, so the SQL-extension
+    * path and this programmatic path can never diverge.
+    */
+  private[graft] val aggBuilder
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression = {
+    case Seq(c) => new BloomFilterAggregate(c)
+    case Seq(c, est, bits) => new BloomFilterAggregate(c, est, bits)
+    case other => throw new IllegalArgumentException(
+      s"bloom_agg expects 1 or 3 args, got ${other.length}")
+  }
+
+  private[graft] val containsBuilder
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression = {
+    case Seq(bf, v) => BloomFilterMightContain(bf, v)
+    case other => throw new IllegalArgumentException(
+      s"bloom_contains expects 2 args, got ${other.length}")
+  }
+
   /** Register `bloom_agg(longCol, estItems, numBits)` and
     * `bloom_contains(bloomBinary, longCol)` in the session registry.
     * Idempotent (same guard discipline as [[graft.expressions.DecimalDot]]).
@@ -52,18 +73,9 @@ object BloomIncrementalDedup {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(FunctionIdentifier("bloom_agg")))
-      reg.createOrReplaceTempFunction("bloom_agg", {
-        case Seq(c) => new BloomFilterAggregate(c)
-        case Seq(c, est, bits) => new BloomFilterAggregate(c, est, bits)
-        case other => throw new IllegalArgumentException(
-          s"bloom_agg expects 1 or 3 args, got ${other.length}")
-      }, "scala_udf")
+      reg.createOrReplaceTempFunction("bloom_agg", aggBuilder, "scala_udf")
     if (!reg.functionExists(FunctionIdentifier("bloom_contains")))
-      reg.createOrReplaceTempFunction("bloom_contains", {
-        case Seq(bf, v) => BloomFilterMightContain(bf, v)
-        case other => throw new IllegalArgumentException(
-          s"bloom_contains expects 2 args, got ${other.length}")
-      }, "scala_udf")
+      reg.createOrReplaceTempFunction("bloom_contains", containsBuilder, "scala_udf")
   }
 
   /** Incoming rows whose `key` column value appears nowhere in

@@ -492,15 +492,9 @@ object Extras {
       .agg(dsum($"tf".cast(DoubleType) *
         (($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))).as("score"))
     def topK(df: DataFrame, id: String, key: Column, rankName: String,
-        k: Int): DataFrame = {
-      val localW = Window.partitionBy(pmod(hash(col(id)), lit(32)))
-        .orderBy(key.desc, col(id))
-      val globalW = Window.orderBy(key.desc, col(id))
-      df.withColumn("lr0", row_number().over(localW)).filter($"lr0" <= k)
-        .withColumn(rankName, row_number().over(globalW).cast(LongType))
-        .filter(col(rankName) <= k)
+        k: Int): DataFrame =
+      saltedTopK(df, Nil, col(id), key, rankName, k)
         .select(col(id).as("doc_id"), col(rankName))
-    }
     val lexTop = topK(lexScores, "doc_id", $"score", "lex_rank", 10)
     val e = emb(s, dir).withColumn("nn", VectorFns.dotDec("v", "v"))
     val probe = e.filter($"vec_id" === 0).select($"v".as("pv"), $"nn".as("pn"))
@@ -685,16 +679,31 @@ object Extras {
       .groupBy($"lang", $"tok").agg(cnt.as("cnt"))
     val stats = counts.groupBy($"lang")
       .agg(sum($"cnt").cast(LongType).as("lang_tokens"), cnt.as("lang_vocab"))
-    val localW = Window.partitionBy($"lang", pmod(hash($"tok"), lit(32)))
-      .orderBy($"cnt".desc, $"tok")
-    val globalW = Window.partitionBy($"lang").orderBy($"cnt".desc, $"tok")
-    counts
-      .withColumn("lr", row_number().over(localW)).filter($"lr" <= 10)
-      .withColumn("rank", row_number().over(globalW).cast(LongType))
-      .filter($"rank" <= 10)
+    saltedTopK(counts, Seq($"lang"), $"tok", $"cnt", "rank", 10)
       .join(stats, Seq("lang"))
       .select($"lang", $"rank", $"tok", $"cnt", $"lang_tokens", $"lang_vocab")
       .orderBy($"lang", $"rank")
+  }
+
+  /** Salted two-phase top-k (shared by x17/x23/x24): counts first rank
+    * within (partCols, salt) groups — 32-way parallel, no single
+    * reducer sees a whole partition's item space — and only the
+    * ≤ 32·k salt winners meet the final ranking. Equivalent to the
+    * single-window form because a global top-k row is necessarily in
+    * its salt group's top-k (same total order: key desc, id asc).
+    */
+  private def saltedTopK(df: DataFrame, partCols: Seq[Column], id: Column,
+      key: Column, rankName: String, k: Int): DataFrame = {
+    val localW = Window
+      .partitionBy(partCols :+ pmod(hash(id), lit(32)): _*)
+      .orderBy(key.desc, id)
+    val globalW =
+      if (partCols.isEmpty) Window.orderBy(key.desc, id)
+      else Window.partitionBy(partCols: _*).orderBy(key.desc, id)
+    df.withColumn("_lr", row_number().over(localW)).filter(col("_lr") <= k)
+      .withColumn(rankName, row_number().over(globalW).cast(LongType))
+      .filter(col(rankName) <= k)
+      .drop("_lr")
   }
 
   /** x22 — corpus length distribution: exact per-language p50/p90/p99
@@ -734,13 +743,7 @@ object Extras {
         "transform(sequence(1, size(toks) - 1)," +
           " i -> concat_ws(' ', toks[i-1], toks[i]))")).as("pair"))
       .groupBy($"pair").agg(cnt.as("cnt"))
-    val localW = Window.partitionBy(pmod(hash($"pair"), lit(32)))
-      .orderBy($"cnt".desc, $"pair")
-    val globalW = Window.orderBy($"cnt".desc, $"pair")
-    counts
-      .withColumn("lr", row_number().over(localW)).filter($"lr" <= 20)
-      .withColumn("rank", row_number().over(globalW).cast(LongType))
-      .filter($"rank" <= 20)
+    saltedTopK(counts, Nil, $"pair", $"cnt", "rank", 20)
       .select($"rank", $"pair", $"cnt")
       .orderBy($"rank")
   }

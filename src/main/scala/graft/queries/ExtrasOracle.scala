@@ -301,13 +301,20 @@ object ExtrasOracle {
          |  FROM embeddings),
          |qq AS (SELECT vec_id, v,
          |    CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END AS qsc FROM sc),
+         |-- COUNT(v[i]) = 64 guards null elements: SUM silently skips a
+         |-- null product where Spark's int_dot nulls the whole dot; the
+         |-- guard reproduces that null-poisoning
          |qn AS (SELECT a.vec_id,
-         |    SUM(CAST(floor(CAST(a.v[i] AS DOUBLE) * a.qsc) AS BIGINT)
-         |      * CAST(floor(CAST(a.v[i] AS DOUBLE) * a.qsc) AS BIGINT)) AS qn
+         |    CASE WHEN COUNT(a.v[i]) = 64 THEN
+         |      SUM(CAST(floor(CAST(a.v[i] AS DOUBLE) * a.qsc) AS BIGINT)
+         |        * CAST(floor(CAST(a.v[i] AS DOUBLE) * a.qsc) AS BIGINT))
+         |    END AS qn
          |  FROM qq a, generate_series(1, 64) t(i) GROUP BY a.vec_id),
          |qd AS (SELECT a.vec_id,
-         |    SUM(CAST(floor(CAST(a.v[i] AS DOUBLE) * a.qsc) AS BIGINT)
-         |      * CAST(floor(CAST(p.v[i] AS DOUBLE) * p.qsc) AS BIGINT)) AS qdot
+         |    CASE WHEN COUNT(a.v[i]) = 64 AND COUNT(p.v[i]) = 64 THEN
+         |      SUM(CAST(floor(CAST(a.v[i] AS DOUBLE) * a.qsc) AS BIGINT)
+         |        * CAST(floor(CAST(p.v[i] AS DOUBLE) * p.qsc) AS BIGINT))
+         |    END AS qdot
          |  FROM qq a, qq p, generate_series(1, 64) t(i)
          |  WHERE p.vec_id = 0 AND a.vec_id <> 0 GROUP BY a.vec_id),
          |ap AS (SELECT qd.vec_id,
@@ -401,15 +408,21 @@ object ExtrasOracle {
         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM d) GROUP BY 1, 2),
         |ts AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_toks,
         |    CAST(MAX(n) AS BIGINT) AS top_tok_n FROM tc GROUP BY 1)
-        |SELECT bg.doc_id, n_2g, n_dup_2g, n_toks, top_tok_n,
-        |  CASE WHEN n_2g > 0 THEN CAST(n_dup_2g AS DOUBLE) / n_2g
+        |-- ts covers every doc (>=1 token always); bg only docs with >=2
+        |-- tokens, so LEFT JOIN + COALESCE keeps short docs with n_2g=0,
+        |-- matching Spark's otherwise(empty-array) branch
+        |SELECT ts.doc_id, COALESCE(n_2g, 0) AS n_2g,
+        |  COALESCE(n_dup_2g, 0) AS n_dup_2g, n_toks, top_tok_n,
+        |  CASE WHEN COALESCE(n_2g, 0) > 0
+        |       THEN CAST(n_dup_2g AS DOUBLE) / n_2g
         |       ELSE 0.0 END AS dup_2gram_ratio,
         |  CAST(top_tok_n AS DOUBLE) / n_toks AS top_tok_ratio,
-        |  CAST((CASE WHEN n_2g > 0 THEN CAST(n_dup_2g AS DOUBLE) / n_2g
+        |  CAST((CASE WHEN COALESCE(n_2g, 0) > 0
+        |             THEN CAST(n_dup_2g AS DOUBLE) / n_2g
         |             ELSE 0.0 END) > 0.2
         |    OR (CAST(top_tok_n AS DOUBLE) / n_toks) > 0.2 AS BIGINT)
         |  AS repetition_flag
-        |FROM bg JOIN ts ON ts.doc_id = bg.doc_id ORDER BY bg.doc_id""".stripMargin,
+        |FROM ts LEFT JOIN bg ON bg.doc_id = ts.doc_id ORDER BY ts.doc_id""".stripMargin,
 
     // Same construct + scrub chain as the Spark side; patterns are
     // shared via Sanitize's regex constants (lookaround-free so Java

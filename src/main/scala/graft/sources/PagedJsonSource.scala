@@ -99,19 +99,26 @@ private[sources] class PagedJsonScanBuilder(fullSchema: StructType,
       * independent byte range — no driver-side row accumulation.
       */
     override def planInputPartitions(): Array[InputPartition] = {
-      val bytes = Files.readAllBytes(Paths.get(path))
+      // stream the newline index (no whole-file buffer on the driver;
+      // long offsets keep > 2 GB files splittable)
       val starts = ArrayBuffer(0L)
-      var i = 0
-      while (i < bytes.length) {
-        if (bytes(i) == '\n' && i + 1 < bytes.length) starts += (i + 1).toLong
-        i += 1
-      }
+      var total = 0L
+      val in = new java.io.BufferedInputStream(
+        Files.newInputStream(Paths.get(path)), 1 << 20)
+      try {
+        var b = in.read()
+        while (b >= 0) {
+          total += 1
+          if (b == '\n') starts += total
+          b = in.read()
+        }
+      } finally in.close()
+      if (starts.last == total) starts.dropRightInPlace(1) // trailing \n
       val lineStarts = starts.toArray
       val pages = lineStarts.indices.by(pageSize).map { p =>
         val endLine = math.min(p + pageSize, lineStarts.length)
         val endByte =
-          if (endLine == lineStarts.length) bytes.length.toLong
-          else lineStarts(endLine)
+          if (endLine == lineStarts.length) total else lineStarts(endLine)
         JsonPage(path, lineStarts(p), endByte): InputPartition
       }
       pages.toArray
@@ -138,11 +145,24 @@ private[sources] class PageReader(page: JsonPage, schema: StructType)
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
   private val lines: Iterator[String] = {
-    val all = Files.readAllBytes(Paths.get(page.path))
-    val slice = java.util.Arrays.copyOfRange(
-      all, page.start.toInt, page.end.toInt)
-    new String(slice, StandardCharsets.UTF_8)
-      .split("\n").iterator.filter(_.nonEmpty)
+    // positioned read of exactly [start, end) — each task touches only
+    // its own page's bytes (never the whole file), and long offsets
+    // keep files > 2 GB splittable
+    val ch = java.nio.channels.FileChannel.open(
+      Paths.get(page.path), java.nio.file.StandardOpenOption.READ)
+    try {
+      val len = page.end - page.start
+      require(len <= Int.MaxValue, s"page larger than 2GB: $page")
+      val buf = java.nio.ByteBuffer.allocate(len.toInt)
+      var pos = page.start
+      while (buf.hasRemaining) {
+        val n = ch.read(buf, pos)
+        require(n >= 0, s"unexpected EOF at $pos in ${page.path}")
+        pos += n
+      }
+      new String(buf.array(), StandardCharsets.UTF_8)
+        .split("\n").iterator.filter(_.nonEmpty)
+    } finally ch.close()
   }
   private var current: InternalRow = _
 

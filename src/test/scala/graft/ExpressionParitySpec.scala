@@ -142,6 +142,15 @@ class ExpressionParitySpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.take(3).mkString("; "))
   }
 
+  test("int_dot rejects non-array<int> inputs at analysis time") {
+    graft.expressions.IntDot.register(spark)
+    val e = intercept[Exception] {
+      Seq((Seq(1L, 2L), Seq(3L, 4L))).toDF("a", "b")
+        .select(graft.expressions.IntDot.intDot(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("array<int>"), e.getMessage)
+  }
+
   test("int_dot nulls on length mismatch and null elements") {
     graft.expressions.IntDot.register(spark)
     val r = Seq((Seq(1, 2), Seq(1))).toDF("a", "b")
