@@ -53,18 +53,25 @@ object ConnectedComponents {
       .distinct()
   }
 
-  /** Order-insensitive fingerprint of an edge set: (row count, sum of
-    * per-edge xxhash64). Two consecutive equal fingerprints mean the
-    * star-contraction reached its fixpoint (a 2⁻⁶⁴-grade hash
-    * collision is the only false positive; the decimal sum cannot
-    * overflow under ANSI).
+  /** Materialize a round's edge set (lineage truncation) and collect
+    * its order-insensitive fingerprint — (row count, sum of per-edge
+    * xxhash64) — IN THE SAME JOB via the Observation API: the
+    * `CollectMetrics` node accumulates while the checkpoint job scans,
+    * so convergence detection costs zero extra passes (the previous
+    * form paid a full second aggregation job per round). Two
+    * consecutive equal fingerprints mean the star-contraction reached
+    * its fixpoint (a 2⁻⁶⁴-grade hash collision is the only false
+    * positive; the decimal sum cannot overflow under ANSI).
     */
-  private def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
-    val r = e.agg(
-      count(lit(1)).as("n"),
-      coalesce(sum(xxhash64(col("u"), col("v")).cast(DecimalType(38, 0))),
-        lit(java.math.BigDecimal.ZERO)).as("h")).head()
-    (r.getLong(0), r.getDecimal(1))
+  private def materialize(e: DataFrame): (DataFrame, (Long, Any)) = {
+    val obs = org.apache.spark.sql.Observation()
+    val cp = e.observe(obs,
+        count(lit(1)).as("n"),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast(DecimalType(38, 0))),
+          lit(java.math.BigDecimal.ZERO)).as("h"))
+      .localCheckpoint()
+    val m = obs.get
+    (cp, (m("n").asInstanceOf[Long], m("h")))
   }
 
   /** Collapse an undirected edge list (columns `u`, `v`, any integral
@@ -75,17 +82,15 @@ object ConnectedComponents {
     *         caller left-joins and coalesces to cover singletons).
     */
   def run(edges: DataFrame, maxRounds: Int = 25): DataFrame = {
-    var e = edges
+    var (e, prev) = materialize(edges
       .select(col("u").cast(LongType), col("v").cast(LongType))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint()
-    var prev = checksum(e)
+      .distinct())
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      e = smallStar(largeStar(e)).localCheckpoint()
-      val cur = checksum(e)
+      val (next, cur) = materialize(smallStar(largeStar(e)))
+      e = next
       converged = cur == prev
       prev = cur
       round += 1
