@@ -123,6 +123,13 @@ object PlanAudit {
       "query-term prune is a broadcast join" ->
         (_.contains("BroadcastHashJoin")),
       "decimal_dot kernel in the vector leg" -> (_.contains("decimal_dot")))
+    // x25: codeword assignment is a max_by hash aggregate over a
+    // broadcast 128-row codebook (never a sort window), rerank through
+    // the decimal kernel
+    audit("x25_ann_pq")(
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")),
+      "assignment is aggregate, not window" -> (p => !p.contains("Window")),
+      "decimal_dot re-rank in plan" -> (_.contains("decimal_dot")))
     // x21: quantized scoring must run through the integer codegen
     // kernel (probe side broadcast, TakeOrdered cut — no cartesian,
     // no global sort window)

@@ -78,7 +78,8 @@ object SparkEntry {
     "x21_ann_sq" -> (X.x21AnnSq _),
     "x22_length_quantiles" -> (X.x22LengthQuantiles _),
     "x23_bpe_pairs" -> (X.x23BpePairs _),
-    "x24_hybrid_search" -> (X.x24HybridSearch _)
+    "x24_hybrid_search" -> (X.x24HybridSearch _),
+    "x25_ann_pq" -> (X.x25AnnPq _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

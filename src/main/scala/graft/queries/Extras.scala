@@ -510,6 +510,57 @@ object Extras {
       .orderBy($"rrf".desc, $"doc_id").limit(10)
   }
 
+  /** x25 — product-quantization ANN (completing the taxonomy: x05
+    * brute, x06 LSH, x13 IVF, x21 scalar-quant): the 64-dim space
+    * splits into 8 subspaces of 8 dims; each corpus subvector is
+    * assigned to its nearest of 16 codewords (subvectors of seed
+    * vectors 1..16 — production trains these by k-means offline), so a
+    * vector stores as 8 bytes of codes. Probe scoring is ADC
+    * (asymmetric distance computation): the probe's dot with every
+    * codeword is precomputed (128 values), and a vector's approx
+    * score is just 8 table lookups summed — no float math per corpus
+    * vector at query time, the property that makes PQ the
+    * memory-bound standard at billions of vectors.
+    *
+    * Determinism for the oracle: the 8-term distance/dot sums are
+    * FIXED left-associated expression chains (identical IEEE result in
+    * both engines — never an aggregate whose order can float),
+    * assignment ties break by codeword id, and the 8-lookup ADC sum
+    * routes through the decimal `dsum`. Exact decimal re-rank on the
+    * top-20 candidates only.
+    */
+  def x25AnnPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val sub = s.range(8).select($"id".cast(IntegerType).as("s"))
+    val cb = e.filter($"vec_id".between(1, 16))
+      .select($"vec_id".cast(IntegerType).as("cid"), $"v".as("c"))
+      .crossJoin(sub) // 16 codewords x 8 subspaces = 128 rows
+    def sqTerm(k: Int) =
+      s"(element_at(v, 8*s+$k) - element_at(c, 8*s+$k))" +
+        s" * (element_at(v, 8*s+$k) - element_at(c, 8*s+$k))"
+    val assign = e.filter($"vec_id" =!= 0).crossJoin(broadcast(cb))
+      .withColumn("dist", expr((1 to 8).map(sqTerm).mkString(" + ")))
+      .groupBy($"vec_id", $"s")
+      .agg(max_by($"cid", struct(-$"dist", -$"cid")).as("cid"))
+    def pdTerm(k: Int) = s"element_at(p, 8*s+$k) * element_at(c, 8*s+$k)"
+    val adc = cb
+      .crossJoin(broadcast(e.filter($"vec_id" === 0).select($"v".as("p"))))
+      .withColumn("pd", expr((1 to 8).map(pdTerm).mkString(" + ")))
+      .select($"cid", $"s", $"pd")
+    val approx = assign.join(broadcast(adc), Seq("cid", "s"))
+      .groupBy($"vec_id").agg(dsum($"pd").as("approx"))
+    val probe = e.filter($"vec_id" === 0)
+      .select($"v".as("pv"), VectorFns.dotDec("v", "v").as("pn"))
+    approx.orderBy($"approx".desc, $"vec_id").limit(20)
+      .join(e, Seq("vec_id"))
+      .crossJoin(broadcast(probe))
+      .withColumn("cosine", VectorFns.dotDec("v", "pv") /
+        (sqrt(VectorFns.dotDec("v", "v")) * sqrt($"pn")))
+      .select($"vec_id", $"approx", $"cosine")
+      .orderBy($"cosine".desc, $"vec_id").limit(5)
+  }
+
   // ---------------------------------------------------------------- text analysis
 
   /** x07 — language ID via marker-token counts (n-gram heuristic

@@ -291,6 +291,44 @@ object ExtrasOracle {
         |FROM r JOIN st USING(lang) WHERE r.rn <= 10
         |ORDER BY lang, rank""".stripMargin,
 
+    // PQ twin: the 8-term chains are the same left-associated
+    // expressions as the Spark side (identical IEEE doubles), ties by
+    // cid, ADC sum decimal-routed — the top-20 cut matches exactly.
+    "x25_ann_pq" -> {
+      def sq(k: Int) =
+        s"(CAST(a.embedding[8*cb.s+$k] AS DOUBLE) - CAST(cb.c[8*cb.s+$k] AS DOUBLE))" +
+          s" * (CAST(a.embedding[8*cb.s+$k] AS DOUBLE) - CAST(cb.c[8*cb.s+$k] AS DOUBLE))"
+      def pd(k: Int) =
+        s"CAST(p.embedding[8*cb.s+$k] AS DOUBLE) * CAST(cb.c[8*cb.s+$k] AS DOUBLE)"
+      s"""WITH sub AS (SELECT unnest(generate_series(0, 7)) AS s),
+         |cb AS (SELECT e.vec_id AS cid, e.embedding AS c, sub.s
+         |  FROM embeddings e, sub WHERE e.vec_id BETWEEN 1 AND 16),
+         |d AS (SELECT a.vec_id, cb.s, cb.cid,
+         |    ${(1 to 8).map(sq).mkString(" + ")} AS dist
+         |  FROM embeddings a, cb WHERE a.vec_id <> 0),
+         |assign AS (SELECT vec_id, s, cid FROM (SELECT *, row_number()
+         |    OVER (PARTITION BY vec_id, s ORDER BY dist ASC, cid ASC) AS rn
+         |  FROM d) WHERE rn = 1),
+         |adc AS (SELECT cb.cid, cb.s,
+         |    ${(1 to 8).map(pd).mkString(" + ")} AS pd
+         |  FROM cb JOIN embeddings p ON p.vec_id = 0),
+         |ap AS (SELECT a.vec_id,
+         |    CAST(CAST(SUM(CAST(CAST(pd AS VARCHAR) AS DECIMAL(28,10)))
+         |      AS VARCHAR) AS DOUBLE) AS approx
+         |  FROM assign a JOIN adc USING(cid, s) GROUP BY a.vec_id),
+         |cand AS (SELECT vec_id, approx FROM (SELECT *, row_number()
+         |    OVER (ORDER BY approx DESC, vec_id) AS rn FROM ap) WHERE rn <= 20),
+         |rr AS (SELECT c.vec_id, c.approx,
+         |    ${dot("e.embedding", "p.embedding")} AS dt,
+         |    ${dot("e.embedding", "e.embedding")} AS n1,
+         |    ${dot("p.embedding", "p.embedding")} AS n2
+         |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+         |  JOIN embeddings p ON p.vec_id = 0, generate_series(1, 64) t(i)
+         |  GROUP BY c.vec_id, c.approx)
+         |SELECT vec_id, approx, dt/(sqrt(n1)*sqrt(n2)) AS cosine
+         |FROM rr ORDER BY cosine DESC, vec_id LIMIT 5""".stripMargin
+    },
+
     // Floor quantization and i64 dots are exactly reproducible; the
     // double approx score and the decimal re-rank reuse the
     // established parity routes, so even the top-20 candidate CUT
