@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ZOrder
+
+/** The z-order layout must give every output partition a TIGHT
+  * bounding box in all interleaved dimensions — the property file/
+  * row-group pruning feeds on — where a single-column sort leaves one
+  * dimension spanning the full range.
+  */
+class ZOrderSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Worst (max over partitions) normalized span of one dimension —
+    * 1.0 means some partition covers that dimension's whole range, so
+    * a filter on it alone can never skip that partition.
+    */
+  private def worstSpan(df: DataFrame, dim: String, parts: Int): Double = {
+    val spans = df
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid")
+      .agg((max(col(dim)) - min(col(dim))).as("s"))
+      .collect()
+    assert(spans.length == parts)
+    spans.map(_.getLong(1) / 992.0).max
+  }
+
+  test("interleave: known bit patterns") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L)).toDF("a", "b")
+    val keys = df.select(ZOrder.interleave(Seq($"a", $"b"), 3).as("k"))
+      .collect().map(_.getLong(0)).toSeq
+    // bit b of a -> output bit 2b; bit b of b -> output bit 2b+1
+    // a=3 (011), b=5 (101) -> 100111 = 39
+    assert(keys == Seq(0L, 1L, 2L, 39L))
+  }
+
+  test("z-order layout tightens both dimensions vs a one-column sort") {
+    // a 32x32 grid replicated: both dims uniform, no correlation
+    val grid = spark.range(4096)
+      .select(expr("(id % 1024) DIV 32 * 32").as("x"),
+        ($"id" % 32 * 32).as("y"))
+    val parts = 16
+    val zOrdered = ZOrder.layout(grid, Seq("x", "y"), parts, bits = 10)
+    val bySingle = grid.repartitionByRange(parts, $"x")
+    // both layouts tile the same total area; z-order's win is BALANCE:
+    // no partition spans a whole dimension, so a filter on EITHER
+    // column alone skips partitions. Single-column ranging leaves every
+    // partition spanning all of y (worst span 1.0).
+    assert(worstSpan(bySingle, "y", parts) >= 0.99)
+    assert(worstSpan(zOrdered, "y", parts) <= 0.55,
+      s"z-order worst y-span ${worstSpan(zOrdered, "y", parts)}")
+    assert(worstSpan(zOrdered, "x", parts) <= 0.55,
+      s"z-order worst x-span ${worstSpan(zOrdered, "x", parts)}")
+    val yPruneZ = zOrdered.withColumn("pid", spark_partition_id())
+      .groupBy("pid").agg(min($"y").as("mn"), max($"y").as("mx"))
+      .filter($"mn" <= 100 && $"mx" >= 100).count()
+    val yPruneSingle = bySingle.withColumn("pid", spark_partition_id())
+      .groupBy("pid").agg(min($"y").as("mn"), max($"y").as("mx"))
+      .filter($"mn" <= 100 && $"mx" >= 100).count()
+    assert(yPruneZ < yPruneSingle,
+      s"y=100 touches $yPruneZ z-ordered vs $yPruneSingle single-sorted partitions")
+  }
+
+  test("degenerate inputs: constant column, nulls") {
+    val df = Seq((Some(1L), 5L), (Some(1L), 9L), (None, 7L)).toDF("x", "y")
+    val out = ZOrder.layout(df, Seq("x", "y"), 2, bits = 8)
+    assert(out.count() == 3) // no rows lost; null lands in cell 0
+  }
+}
