@@ -47,18 +47,28 @@ object ZOrder {
   def mortonKey(df: DataFrame, cols: Seq[String], bits: Int = 16): Column = {
     require(cols.size >= 2, "z-order needs at least two columns")
     require(cols.size * bits <= 63, s"${cols.size} x $bits bits exceed a long")
+    // stats and per-row normalization both run in DOUBLE: grid
+    // quantization only needs ~`bits` bits of relative precision, and
+    // double subtraction never overflows — a full-width long range
+    // (e.g. xxhash64 ids spanning -2^63..2^63) would overflow the
+    // integer `col - min` under ANSI and wrap `(mx - mn)` on the driver
     val aggs = cols.flatMap(c =>
-      Seq(min(col(c)).cast(LongType), max(col(c)).cast(LongType)))
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val statsRow = df.agg(aggs.head, aggs.tail: _*).head()
     val maxCell = (1L << bits) - 1
     val cells = cols.zipWithIndex.map { case (c, i) =>
-      val mn = statsRow.getLong(2 * i)
-      val mx = statsRow.getLong(2 * i + 1)
-      if (mx == mn) lit(0L)
+      // empty input / all-null / uncastable column: stats are null —
+      // degrade that dimension to cell 0 (layout still valid)
+      if (statsRow.isNullAt(2 * i) || statsRow.isNullAt(2 * i + 1)) lit(0L)
       else {
-        val cell = floor((col(c).cast(LongType) - lit(mn)).cast("double") *
-          lit(maxCell.toDouble) / lit((mx - mn).toDouble)).cast(LongType)
-        coalesce(least(greatest(cell, lit(0L)), lit(maxCell)), lit(0L))
+        val mn = statsRow.getDouble(2 * i)
+        val mx = statsRow.getDouble(2 * i + 1)
+        if (!(mx > mn)) lit(0L) // constant column (or sub-ulp range)
+        else {
+          val cell = floor((col(c).cast("double") - lit(mn)) *
+            lit(maxCell.toDouble) / lit(mx - mn)).cast(LongType)
+          coalesce(least(greatest(cell, lit(0L)), lit(maxCell)), lit(0L))
+        }
       }
     }
     interleave(cells, bits)
@@ -72,9 +82,12 @@ object ZOrder {
   def layout(df: DataFrame, cols: Seq[String], numFiles: Int,
       bits: Int = 16): DataFrame = {
     val key = mortonKey(df, cols, bits)
-    df.withColumn("_zkey", key)
-      .repartitionByRange(numFiles, col("_zkey"))
-      .sortWithinPartitions("_zkey")
-      .drop("_zkey")
+    // never clobber a user column that happens to be named _zkey
+    val zk = Iterator.from(0).map(i => s"_zkey$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(zk, key)
+      .repartitionByRange(numFiles, col(zk))
+      .sortWithinPartitions(zk)
+      .drop(zk)
   }
 }

@@ -25,7 +25,9 @@ class ZOrderSpec extends AnyFunSuite {
       .groupBy("pid")
       .agg((max(col(dim)) - min(col(dim))).as("s"))
       .collect()
-    assert(spans.length == parts)
+    // repartitionByRange samples boundaries: a partition MAY end up
+    // empty with duplicate keys — that doesn't break the property
+    assert(spans.nonEmpty && spans.length <= parts)
     spans.map(_.getLong(1) / 992.0).max
   }
 
@@ -50,11 +52,10 @@ class ZOrderSpec extends AnyFunSuite {
     // no partition spans a whole dimension, so a filter on EITHER
     // column alone skips partitions. Single-column ranging leaves every
     // partition spanning all of y (worst span 1.0).
+    val (zy, zx) = (worstSpan(zOrdered, "y", parts), worstSpan(zOrdered, "x", parts))
     assert(worstSpan(bySingle, "y", parts) >= 0.99)
-    assert(worstSpan(zOrdered, "y", parts) <= 0.55,
-      s"z-order worst y-span ${worstSpan(zOrdered, "y", parts)}")
-    assert(worstSpan(zOrdered, "x", parts) <= 0.55,
-      s"z-order worst x-span ${worstSpan(zOrdered, "x", parts)}")
+    assert(zy <= 0.55, s"z-order worst y-span $zy")
+    assert(zx <= 0.55, s"z-order worst x-span $zx")
     val yPruneZ = zOrdered.withColumn("pid", spark_partition_id())
       .groupBy("pid").agg(min($"y").as("mn"), max($"y").as("mx"))
       .filter($"mn" <= 100 && $"mx" >= 100).count()
@@ -69,5 +70,26 @@ class ZOrderSpec extends AnyFunSuite {
     val df = Seq((Some(1L), 5L), (Some(1L), 9L), (None, 7L)).toDF("x", "y")
     val out = ZOrder.layout(df, Seq("x", "y"), 2, bits = 8)
     assert(out.count() == 3) // no rows lost; null lands in cell 0
+  }
+
+  test("full-width long ranges (hash ids) don't overflow under ANSI") {
+    val df = spark.range(256)
+      .select(xxhash64($"id").as("h1"), xxhash64($"id" + 7).as("h2"))
+    val out = ZOrder.layout(df, Seq("h1", "h2"), 4, bits = 10)
+    assert(out.count() == 256)
+    // the layout must actually spread keys (a wrapped range would
+    // clamp every cell to 0 and leave one giant partition)
+    val nonEmpty = out.withColumn("pid", spark_partition_id())
+      .groupBy("pid").count().count()
+    assert(nonEmpty >= 3, s"only $nonEmpty non-empty partitions")
+  }
+
+  test("empty input and pre-existing _zkey column survive") {
+    val empty = spark.range(10).filter(lit(false))
+      .select($"id".as("x"), $"id".as("y"))
+    assert(ZOrder.layout(empty, Seq("x", "y"), 2).count() == 0)
+    val withKey = Seq((1L, 2L, "keep")).toDF("x", "y", "_zkey0")
+    val out = ZOrder.layout(withKey, Seq("x", "y"), 1)
+    assert(out.columns.contains("_zkey0") && out.head().getString(2) == "keep")
   }
 }
