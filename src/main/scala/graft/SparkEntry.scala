@@ -79,7 +79,8 @@ object SparkEntry {
     "x22_length_quantiles" -> (X.x22LengthQuantiles _),
     "x23_bpe_pairs" -> (X.x23BpePairs _),
     "x24_hybrid_search" -> (X.x24HybridSearch _),
-    "x25_ann_pq" -> (X.x25AnnPq _)
+    "x25_ann_pq" -> (X.x25AnnPq _),
+    "x26_mixture" -> (X.x26Mixture _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

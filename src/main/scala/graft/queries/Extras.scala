@@ -675,6 +675,45 @@ object Extras {
       .orderBy($"doc_id")
   }
 
+  /** Mixture targets for x26 (sum 1.0): the rebalancing recipe every
+    * multilingual training mix runs — upweight the long tail, cap the
+    * dominant language.
+    */
+  val MixtureWeights: Seq[(String, Double)] = Seq(
+    "en" -> 0.40, "es" -> 0.15, "de" -> 0.15, "fr" -> 0.15, "zh" -> 0.15)
+
+  /** x26 — data-mixture rebalancing: given per-language target weights
+    * and a total token budget (here 50% of the corpus), derive each
+    * language's sampling rate `min(1, budget·w_l / tokens_l)` and keep
+    * the deterministic id-hash sample at that rate. One aggregate
+    * computes the per-language token counts; the rates quantize to the
+    * same 0–99 bucket grid as x15, so the sample is reproducible on
+    * any cluster size and the oracle replays it exactly. The dominant
+    * language downsamples toward its weight; a language whose corpus
+    * is smaller than its budget share keeps everything (rate caps
+    * at 1).
+    */
+  def x26Mixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents")
+      .select($"doc_id", $"lang",
+        size(TextFns.tokenize($"text")).cast(LongType).as("n_toks"))
+    val perLang = d.groupBy($"lang").agg(sum($"n_toks").as("lang_toks"))
+    val total = perLang.agg(sum($"lang_toks").as("total_toks"))
+    val weights = MixtureWeights.toDF("lang", "w")
+    // keep-percent per language: floor(min(1, 0.5·total·w / lang_toks)·100)
+    val rates = perLang.join(broadcast(weights), Seq("lang"))
+      .crossJoin(broadcast(total))
+      .select($"lang",
+        floor(least(lit(1.0),
+          lit(0.5) * $"total_toks".cast(DoubleType) * $"w" /
+            $"lang_toks".cast(DoubleType)) * 100.0).as("keep_pct"))
+    d.join(broadcast(rates), Seq("lang"))
+      .filter(idBucket($"doc_id") < $"keep_pct")
+      .select($"doc_id", $"lang", $"n_toks", $"keep_pct")
+      .orderBy($"doc_id")
+  }
+
   /** x16 — train/eval contamination check: split the corpus
     * deterministically (id-hash bucket < 10 ⇒ eval), hash every
     * 8-token shingle, and report, per eval doc, how many of its

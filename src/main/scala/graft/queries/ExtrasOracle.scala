@@ -412,6 +412,28 @@ object ExtrasOracle {
          |FROM lexr l FULL OUTER JOIN vecr v ON v.doc_id = l.doc_id
          |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
 
+    // Same rate arithmetic (doubles, floor to the 0-99 bucket grid)
+    // and the same md5 bucket — the sample replays exactly.
+    "x26_mixture" -> {
+      val weightRows = Extras.MixtureWeights
+        .map { case (l, w) => s"('$l', $w)" }.mkString(", ")
+      s"""WITH d AS (SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |pl AS (SELECT lang, SUM(n_toks) AS lang_toks FROM d GROUP BY 1),
+         |tot AS (SELECT SUM(lang_toks) AS total_toks FROM pl),
+         |w(lang, w) AS (VALUES $weightRows),
+         |rates AS (SELECT pl.lang,
+         |    floor(least(1.0, 0.5 * CAST(total_toks AS DOUBLE) * w.w
+         |      / CAST(lang_toks AS DOUBLE)) * 100.0) AS keep_pct
+         |  FROM pl JOIN w USING(lang) CROSS JOIN tot)
+         |SELECT d.doc_id, d.lang, d.n_toks,
+         |  CAST(r.keep_pct AS BIGINT) AS keep_pct
+         |FROM d JOIN rates r USING(lang)
+         |WHERE $Bucket < r.keep_pct
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
     "x23_bpe_pairs" ->
       """WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
         |pr AS (SELECT toks[i] || ' ' || toks[i+1] AS pair
