@@ -61,4 +61,54 @@ class PropertySpec extends AnyFunSuite {
       assert(BigInt(aa) * maxTh + bb < BigInt(Long.MaxValue))
     }
   }
+
+  test("morton interleave is a bijection on the cell grid") {
+    // decode by de-interleaving must recover the input cells — a
+    // collision or dropped bit would silently merge distinct grid
+    // cells into one curve position (weaker pruning, no error)
+    def decode(k: Long, n: Int, bits: Int): Seq[Long] =
+      (0 until n).map { i =>
+        (0 until bits).map(b => ((k >> (b * n + i)) & 1L) << b).sum
+      }
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cellGen = Gen.choose(0L, 1023L)
+    val triples = Gen.listOfN(300,
+      Gen.zip(cellGen, cellGen, cellGen)).sample.get
+    val keys = triples.toDF("a", "b", "c")
+      .select(col("a"), col("b"), col("c"),
+        graft.operators.ZOrder.interleave(
+          Seq(col("a"), col("b"), col("c")), 10).as("k"))
+      .collect()
+    keys.foreach { r =>
+      assert(decode(r.getLong(3), 3, 10) ==
+        Seq(r.getLong(0), r.getLong(1), r.getLong(2)),
+        s"roundtrip failed for ${r.toSeq}")
+    }
+  }
+
+  test("PII scrub is idempotent and leaves clean text untouched") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def scrub(ss: Seq[String]): Seq[String] =
+      ss.toDF("v").select(graft.functions.Sanitize.scrubPii(col("v")))
+        .collect().map(_.getString(0)).toSeq
+    val pii = Seq("a@b.co", "+1-555-0042", "10.0.0.1", "4242 4242 4242 4242")
+    val wordGen = Gen.listOfN(3, Gen.alphaStr.map(_.take(6))).map(_.mkString(" "))
+    val dirtyGen = for {
+      w1 <- wordGen; p <- Gen.oneOf(pii); w2 <- wordGen
+    } yield s"$w1 $p $w2"
+    // batch the property: collect a sample of inputs, one Spark job
+    val samples = Gen.listOfN(120, dirtyGen).sample.get ++
+      Gen.listOfN(40, wordGen).sample.get
+    val once = scrub(samples)
+    val twice = scrub(once)
+    assert(once == twice, "scrub must be idempotent")
+    samples.zip(once).foreach { case (in, out) =>
+      if (!pii.exists(in.contains)) assert(out == in, s"clean '$in' changed")
+      else assert(out.contains("<"), s"pii in '$in' not redacted")
+    }
+  }
 }
