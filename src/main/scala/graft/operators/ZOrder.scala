@@ -47,27 +47,62 @@ object ZOrder {
   def mortonKey(df: DataFrame, cols: Seq[String], bits: Int = 16): Column = {
     require(cols.size >= 2, "z-order needs at least two columns")
     require(cols.size * bits <= 63, s"${cols.size} x $bits bits exceed a long")
-    // stats and per-row normalization both run in DOUBLE: grid
-    // quantization only needs ~`bits` bits of relative precision, and
-    // double subtraction never overflows — a full-width long range
-    // (e.g. xxhash64 ids spanning -2^63..2^63) would overflow the
-    // integer `col - min` under ANSI and wrap `(mx - mn)` on the driver
-    val aggs = cols.flatMap(c =>
-      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    // Two normalization paths per column:
+    //  - integral values whose range fits a long: EXACT long
+    //    subtraction, then double scaling (16-ish bits of the result
+    //    matter) — keeps precision for high-magnitude narrow ranges
+    //    (snowflake-style ids near 2^62, where a double collapses the
+    //    whole spread into one ulp);
+    //  - otherwise (full-width hash ranges that overflow `mx - mn`,
+    //    fractional or uncastable types): double domain, with
+    //    NON-FINITE values excluded from the stats and sent to cell 0
+    //    (one NaN/Inf row must not silently collapse the dimension).
+    val aggs = cols.flatMap { c =>
+      val cd = col(c).cast("double")
+      val finite = !isnan(cd) && abs(cd) < lit(Double.PositiveInfinity)
+      Seq(min(col(c).try_cast(LongType)), max(col(c).try_cast(LongType)),
+        min(when(finite, cd)), max(when(finite, cd)))
+    }
     val statsRow = df.agg(aggs.head, aggs.tail: _*).head()
     val maxCell = (1L << bits) - 1
+    def clamp(cell: Column): Column =
+      coalesce(least(greatest(cell, lit(0L)), lit(maxCell)), lit(0L))
     val cells = cols.zipWithIndex.map { case (c, i) =>
-      // empty input / all-null / uncastable column: stats are null —
-      // degrade that dimension to cell 0 (layout still valid)
-      if (statsRow.isNullAt(2 * i) || statsRow.isNullAt(2 * i + 1)) lit(0L)
-      else {
-        val mn = statsRow.getDouble(2 * i)
-        val mx = statsRow.getDouble(2 * i + 1)
-        if (!(mx > mn)) lit(0L) // constant column (or sub-ulp range)
+      val base = 4 * i
+      // the exact long path engages ONLY where the double grid cannot
+      // resolve the cells: range * 2^52 / maxAbs below ~2^(bits+4)
+      // steps (fractional columns with small magnitudes stay on the
+      // double path and keep their sub-integer resolution)
+      val exactLong: Option[Column] =
+        if (statsRow.isNullAt(base) || statsRow.isNullAt(base + 1)) None
         else {
-          val cell = floor((col(c).cast("double") - lit(mn)) *
-            lit(maxCell.toDouble) / lit(mx - mn)).cast(LongType)
-          coalesce(least(greatest(cell, lit(0L)), lit(maxCell)), lit(0L))
+          val (mn, mx) = (statsRow.getLong(base), statsRow.getLong(base + 1))
+          val range = BigInt(mx) - BigInt(mn)
+          val maxAbs = math.max(math.abs(mn.toDouble), math.abs(mx.toDouble))
+          val doubleSteps =
+            if (maxAbs == 0) Double.MaxValue
+            else range.toDouble * math.pow(2, 52) / maxAbs
+          if (range > 0 && range <= Long.MaxValue &&
+              doubleSteps < math.pow(2, math.min(bits + 4, 62)))
+            Some(clamp(floor(
+              (col(c).try_cast(LongType) - lit(mn)).cast("double") *
+                lit(maxCell.toDouble) / lit(range.toLong.toDouble))
+              .cast(LongType)))
+          else None
+        }
+      exactLong.getOrElse {
+        if (statsRow.isNullAt(base + 2) || statsRow.isNullAt(base + 3))
+          lit(0L) // empty input / all-null / all-non-finite: degrade
+        else {
+          val mn = statsRow.getDouble(base + 2)
+          val mx = statsRow.getDouble(base + 3)
+          if (!(mx > mn)) lit(0L) // constant column (or sub-ulp range)
+          else {
+            val cd = col(c).cast("double")
+            val finite = !isnan(cd) && abs(cd) < lit(Double.PositiveInfinity)
+            clamp(floor((when(finite, cd) - lit(mn)) *
+              lit(maxCell.toDouble) / lit(mx - mn)).cast(LongType))
+          }
         }
       }
     }
@@ -82,9 +117,11 @@ object ZOrder {
   def layout(df: DataFrame, cols: Seq[String], numFiles: Int,
       bits: Int = 16): DataFrame = {
     val key = mortonKey(df, cols, bits)
-    // never clobber a user column that happens to be named _zkey
+    // never clobber a user column that happens to be named _zkey —
+    // case-insensitively, because withColumn resolves that way under
+    // the default spark.sql.caseSensitive=false
     val zk = Iterator.from(0).map(i => s"_zkey$i")
-      .find(n => !df.columns.contains(n)).get
+      .find(n => !df.columns.exists(_.equalsIgnoreCase(n))).get
     df.withColumn(zk, key)
       .repartitionByRange(numFiles, col(zk))
       .sortWithinPartitions(zk)

@@ -701,13 +701,15 @@ object Extras {
     val perLang = d.groupBy($"lang").agg(sum($"n_toks").as("lang_toks"))
     val total = perLang.agg(sum($"lang_toks").as("total_toks"))
     val weights = MixtureWeights.toDF("lang", "w")
-    // keep-percent per language: floor(min(1, 0.5·total·w / lang_toks)·100)
+    // keep-percent per language: floor(min(1, 0.5·total·w / lang_toks)·100),
+    // floored at 1 — the 0-99 grid must down-sample a tiny-weight
+    // language, never silently drop it from the mix
     val rates = perLang.join(broadcast(weights), Seq("lang"))
       .crossJoin(broadcast(total))
       .select($"lang",
-        floor(least(lit(1.0),
+        greatest(lit(1L), floor(least(lit(1.0),
           lit(0.5) * $"total_toks".cast(DoubleType) * $"w" /
-            $"lang_toks".cast(DoubleType)) * 100.0).as("keep_pct"))
+            $"lang_toks".cast(DoubleType)) * 100.0)).as("keep_pct"))
     d.join(broadcast(rates), Seq("lang"))
       .filter(idBucket($"doc_id") < $"keep_pct")
       .select($"doc_id", $"lang", $"n_toks", $"keep_pct")

@@ -424,8 +424,8 @@ object ExtrasOracle {
          |tot AS (SELECT SUM(lang_toks) AS total_toks FROM pl),
          |w(lang, w) AS (VALUES $weightRows),
          |rates AS (SELECT pl.lang,
-         |    floor(least(1.0, 0.5 * CAST(total_toks AS DOUBLE) * w.w
-         |      / CAST(lang_toks AS DOUBLE)) * 100.0) AS keep_pct
+         |    greatest(1.0, floor(least(1.0, 0.5 * CAST(total_toks AS DOUBLE) * w.w
+         |      / CAST(lang_toks AS DOUBLE)) * 100.0)) AS keep_pct
          |  FROM pl JOIN w USING(lang) CROSS JOIN tot)
          |SELECT d.doc_id, d.lang, d.n_toks,
          |  CAST(r.keep_pct AS BIGINT) AS keep_pct

@@ -91,5 +91,32 @@ class ZOrderSpec extends AnyFunSuite {
     val withKey = Seq((1L, 2L, "keep")).toDF("x", "y", "_zkey0")
     val out = ZOrder.layout(withKey, Seq("x", "y"), 1)
     assert(out.columns.contains("_zkey0") && out.head().getString(2) == "keep")
+    // withColumn resolves case-insensitively: a _Zkey0 column must not
+    // be clobbered either
+    val withCased = Seq((1L, 2L, "keep")).toDF("x", "y", "_Zkey0")
+    val outCased = ZOrder.layout(withCased, Seq("x", "y"), 1)
+    assert(outCased.columns.contains("_Zkey0") &&
+      outCased.head().getString(2) == "keep")
+  }
+
+  test("a NaN/Inf row does not collapse the dimension") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0, Double.NaN, Double.PositiveInfinity)
+      .zipWithIndex.map { case (v, i) => (v, i.toLong) }.toDF("x", "y")
+    val keys = df.select(ZOrder.mortonKey(df, Seq("x", "y"), 8).as("k"))
+      .collect().map(_.getLong(0)).toSet
+    // finite x values must still spread over distinct cells (a
+    // collapsed dimension would leave only y contributing)
+    assert(keys.size >= 5, s"only ${keys.size} distinct morton keys")
+  }
+
+  test("high-magnitude narrow ranges keep their resolution (exact long path)") {
+    val base = (1L << 62)
+    val df = spark.range(64)
+      .select(($"id" + base).as("x"), ($"id" * 3 + base).as("y"))
+    val cells = df.select(ZOrder.mortonKey(df, Seq("x", "y"), 10).as("k"))
+      .collect().map(_.getLong(0)).toSet
+    // a double-domain subtraction would round the whole 64-value
+    // spread into one ulp at 2^62 and yield a single key
+    assert(cells.size == 64, s"${cells.size} distinct keys for 64 distinct rows")
   }
 }
