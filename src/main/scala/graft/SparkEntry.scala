@@ -80,7 +80,11 @@ object SparkEntry {
     "x23_bpe_pairs" -> (X.x23BpePairs _),
     "x24_hybrid_search" -> (X.x24HybridSearch _),
     "x25_ann_pq" -> (X.x25AnnPq _),
-    "x26_mixture" -> (X.x26Mixture _)
+    "x26_mixture" -> (X.x26Mixture _),
+    "x27_classify_centroid" -> (X.x27ClassifyCentroid _),
+    "x28_knn_vote" -> (X.x28KnnVote _),
+    "x29_dedup_survivors" -> (X.x29DedupSurvivors _),
+    "x30_source_caps" -> (X.x30SourceCaps _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

@@ -315,7 +315,12 @@ object Extras {
     * component's min doc_id) and cluster size — the frame a training
     * pipeline filters to `doc_id = cluster_id` to dedup the corpus.
     */
-  def x14DedupClusters(s: SparkSession, dir: String): DataFrame = {
+  /** Near-duplicate cluster labels (doc_id → cluster_id = the smallest
+    * doc_id reachable through simhash- or fingerprint-identity edges) —
+    * the shared clustering pass behind x14 (the cluster report) and
+    * x29 (the survivor / savings report).
+    */
+  private def dedupClusterLabels(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.operators.ConnectedComponents
     val docs = t(s, dir, "documents")
@@ -326,13 +331,40 @@ object Extras {
         md5(concat_ws(" ", slice(TextFns.tokenize($"text"), 1, 8))).as("sig")),
       "doc_id", "sig")
     val labels = ConnectedComponents.run(bySimhash.unionByName(byFp8))
-    val lab = docs.select($"doc_id")
+    docs.select($"doc_id")
       .join(labels, $"doc_id" === $"node", "left")
       .select($"doc_id", coalesce($"label", $"doc_id").as("cluster_id"))
+  }
+
+  def x14DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lab = dedupClusterLabels(s, dir)
     val sizes = lab.groupBy($"cluster_id").agg(cnt.as("cluster_size"))
     lab.join(sizes, Seq("cluster_id"))
       .select($"doc_id", $"cluster_id", $"cluster_size")
       .orderBy($"doc_id")
+  }
+
+  /** x29 — end-to-end dedup resolution: collapse each near-duplicate
+    * cluster (x14's labels) to its canonical survivor (the smallest
+    * doc_id — exactly the connected-component label) and report the
+    * per-language corpus savings: documents and characters before vs
+    * after. This is the step that turns pair/cluster DETECTION into an
+    * actual deduplicated corpus; the keep-min-id policy is
+    * deterministic, so the report is bit-reproducible on any cluster.
+    */
+  def x29DedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", $"lang", $"n_chars")
+      .join(dedupClusterLabels(s, dir), Seq("doc_id"))
+      .groupBy($"lang")
+      .agg(cnt.as("n_docs"),
+        sum(when($"doc_id" === $"cluster_id", 1L).otherwise(0L)).as("n_kept"),
+        sum($"n_chars").as("chars_total"),
+        sum(when($"doc_id" === $"cluster_id", $"n_chars").otherwise(0L))
+          .as("chars_kept"))
+      .orderBy($"lang")
   }
 
   // ---------------------------------------------------------------- similarity search
@@ -419,6 +451,75 @@ object Extras {
       .select($"vec_id", $"cosine")
       .orderBy($"cosine".desc, $"vec_id") // TakeOrdered — no global window
       .limit(5)
+  }
+
+  /** x27 — nearest-centroid classification + confusion matrix: the
+    * embedding-space quality/topic filter every training-data pipeline
+    * runs (score each document's embedding against per-class
+    * prototypes, route by the nearest one). Centroids are the exact
+    * decimal per-dimension means (Q26 arithmetic), assignment is the
+    * same broadcast-scored `max_by` hash aggregate as the IVF index
+    * (x13) — K centroid rows broadcast against ONE corpus scan, no
+    * window, no shuffle beyond the two hash aggregates — and the
+    * output is the label×predicted confusion matrix, the standard
+    * router-quality audit.
+    */
+  def x27ClassifyCentroid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.expressions.DecimalDot.register(s)
+    val e = t(s, dir, "embeddings")
+    // per-label exact-decimal centroid, re-assembled into a vector
+    val cents = e.select($"label", posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"label", $"pos")
+      .agg((sum($"x".cast(DoubleType).cast(DecimalType(30, 12))).cast(DoubleType) / cnt)
+        .as("c"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+        p => p.getField("c")).as("cv"))
+      .select($"label".as("clabel"), $"cv")
+      .withColumn("cn", VectorFns.dotDec("cv", "cv"))
+    val v = e.select($"vec_id", $"label", VectorFns.asDoubleArray("embedding").as("v"))
+      .withColumn("n1", VectorFns.dotDec("v", "v"))
+    // nearest centroid by exact cosine; ties -> smallest class label;
+    // zero-norm vectors pin below the cosine range (x13 policy)
+    val assign = v.crossJoin(broadcast(cents))
+      .withColumn("cos", VectorFns.dotDec("v", "cv") / (sqrt($"n1") * sqrt($"cn")))
+      .groupBy($"vec_id", $"label")
+      .agg(max_by($"clabel", struct(coalesce($"cos", lit(-2.0)), -$"clabel"))
+        .as("pred"))
+    assign.groupBy($"label", $"pred").agg(cnt.as("n"))
+      .orderBy($"label", $"pred")
+  }
+
+  /** x28 — k-NN majority-vote classification: label the 10 probe
+    * vectors by the majority label of their 5 nearest neighbours in
+    * the rest of the corpus (exact cosine). The neighbour search is
+    * probe-vs-all — probes broadcast, ONE corpus scan — with the
+    * per-probe top-k going through the salted two-phase rank, and the
+    * vote is a pair of hash aggregates (count per candidate label,
+    * then `max_by` votes with a smallest-label tie-break). At 100 TB
+    * the same plan serves label-propagation QA: the index side streams,
+    * nothing but the k survivors per probe ever concentrates.
+    */
+  def x28KnnVote(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.expressions.DecimalDot.register(s)
+    val e = t(s, dir, "embeddings")
+      .select($"vec_id", $"label", VectorFns.asDoubleArray("embedding").as("v"))
+      .withColumn("n1", VectorFns.dotDec("v", "v"))
+    val probes = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("p_id"), $"label".as("true_label"),
+        $"v".as("p"), $"n1".as("n2"))
+    val scored = e.filter($"vec_id" >= 10)
+      .crossJoin(broadcast(probes))
+      .withColumn("cosine", VectorFns.dotDec("v", "p") / (sqrt($"n1") * sqrt($"n2")))
+    saltedTopK(scored, Seq($"p_id"), $"vec_id", $"cosine", "rk", 5)
+      .groupBy($"p_id", $"true_label", $"label").agg(cnt.as("votes"))
+      .groupBy($"p_id", $"true_label")
+      .agg(max_by(struct($"label", $"votes"), struct($"votes", -$"label")).as("w"))
+      .select($"p_id", $"true_label",
+        $"w.label".as("pred_label"), $"w.votes".as("votes"))
+      .orderBy($"p_id")
   }
 
   /** x21 — scalar-quantized ANN (the memory-bound regime's scale path,
@@ -585,26 +686,51 @@ object Extras {
       .orderBy($"doc_id")
   }
 
+  /** Per-document quality features + bounded [0,1] score — the shared
+    * row-local feature pass behind x08 (the audit view) and x30 (the
+    * per-source cap policy). Carries `source` so cap consumers don't
+    * pay a second documents join.
+    */
+  private def qualityScored(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stop = TextFns.Stopwords
+    val b = t(s, dir, "documents")
+      .withColumn("toks", TextFns.tokenize($"text"))
+      .select($"doc_id", $"source",
+        size($"toks").cast(LongType).as("n_toks"),
+        length($"text").cast(LongType).as("len"),
+        TextFns.markerCount("toks", stop).as("n_stop"))
+    b.select($"doc_id", $"source", $"n_toks",
+      (($"len".cast(DoubleType) - ($"n_toks" - 1)) / $"n_toks").as("avg_tok_len"),
+      ($"n_stop".cast(DoubleType) / $"n_toks").as("stop_ratio"),
+      (lit(0.4) * least($"n_toks" / 100.0, lit(1.0)) +
+        lit(0.3) * (lit(1.0) - $"n_stop".cast(DoubleType) / $"n_toks") +
+        lit(0.3) * least((($"len".cast(DoubleType) - ($"n_toks" - 1)) / $"n_toks") / 8.0,
+          lit(1.0))).as("score"))
+  }
+
   /** x08 — quality scoring: length / stopword-ratio / token-shape
     * features combined into a bounded [0,1] score.
     */
   def x08QualityScore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val stop = TextFns.Stopwords
-    val b = t(s, dir, "documents")
-      .withColumn("toks", TextFns.tokenize($"text"))
-      .select($"doc_id",
-        size($"toks").cast(LongType).as("n_toks"),
-        length($"text").cast(LongType).as("len"),
-        TextFns.markerCount("toks", stop).as("n_stop"))
-    b.select($"doc_id", $"n_toks",
-        (($"len".cast(DoubleType) - ($"n_toks" - 1)) / $"n_toks").as("avg_tok_len"),
-        ($"n_stop".cast(DoubleType) / $"n_toks").as("stop_ratio"),
-        (lit(0.4) * least($"n_toks" / 100.0, lit(1.0)) +
-          lit(0.3) * (lit(1.0) - $"n_stop".cast(DoubleType) / $"n_toks") +
-          lit(0.3) * least((($"len".cast(DoubleType) - ($"n_toks" - 1)) / $"n_toks") / 8.0,
-            lit(1.0))).as("score"))
+    qualityScored(s, dir)
+      .select($"doc_id", $"n_toks", $"avg_tok_len", $"stop_ratio", $"score")
       .orderBy($"doc_id")
+  }
+
+  /** x30 — per-source document caps: keep only the top-3 documents per
+    * source by quality score (the "domain cap" every web-scale corpus
+    * applies so no single domain dominates the training mix). Ranking
+    * uses the two-phase salted top-k (32-way partial rank inside each
+    * source, then the exact rank over ≤3·32 survivors), so a mega-domain
+    * with billions of documents never funnels through one reducer.
+    */
+  def x30SourceCaps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    saltedTopK(qualityScored(s, dir), Seq($"source"), $"doc_id", $"score", "rk", 3)
+      .select($"source", $"rk", $"doc_id", $"score")
+      .orderBy($"source", $"rk")
   }
 
   /** x09 — token counting: whitespace tokens + BPE-ish regex tokens. */

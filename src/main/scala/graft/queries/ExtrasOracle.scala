@@ -26,6 +26,37 @@ object ExtrasOracle {
     s"CAST(CAST(SUM(CAST(CAST(CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE) AS VARCHAR)" +
       s" AS DECIMAL(30,20))) AS VARCHAR) AS DOUBLE)"
 
+  /** Shared recursive-CTE clustering prefix (x14 / x29): simhash- and
+    * leading-8-token-fingerprint identity edges, min-label connected
+    * components, ending at `lab(doc_id, cluster_id)`.
+    */
+  private val CcLab: String =
+    s"""WITH RECURSIVE
+       |toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |th AS (SELECT doc_id, $TH AS th FROM toks),
+       |bits AS (SELECT doc_id, bit, SUM(((th >> bit) & 1)*2 - 1) AS s
+       |  FROM th, generate_series(0, 31) t(bit) GROUP BY doc_id, bit),
+       |sh AS (SELECT doc_id, CAST(SUM(CASE WHEN s > 0
+       |    THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT)
+       |  AS simhash FROM bits GROUP BY doc_id),
+       |r1 AS (SELECT a.doc_id AS u, m.v FROM sh a
+       |  JOIN (SELECT simhash, MIN(doc_id) AS v FROM sh GROUP BY 1) m
+       |  USING(simhash) WHERE a.doc_id <> m.v),
+       |fp AS (SELECT doc_id,
+       |    md5(array_to_string((string_split(text, ' '))[1:8], ' ')) AS sig
+       |  FROM documents),
+       |r2 AS (SELECT a.doc_id AS u, m.v FROM fp a
+       |  JOIN (SELECT sig, MIN(doc_id) AS v FROM fp GROUP BY 1) m
+       |  USING(sig) WHERE a.doc_id <> m.v),
+       |edges AS (SELECT u, v FROM r1 UNION SELECT u, v FROM r2),
+       |sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+       |cc(node, lab) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT s.v, c.lab FROM cc c JOIN sym s ON s.u = c.node),
+       |lab AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM cc GROUP BY node)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "x01_dedup_exact" ->
       """SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS n_dups,
@@ -91,35 +122,98 @@ object ExtrasOracle {
     // over the symmetrized star-edge union (UNION dedups, so the
     // fixpoint terminates). Mirrors x14's two signature relations.
     "x14_dedup_clusters" ->
-      s"""WITH RECURSIVE
-         |toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-         |  FROM documents),
-         |th AS (SELECT doc_id, $TH AS th FROM toks),
-         |bits AS (SELECT doc_id, bit, SUM(((th >> bit) & 1)*2 - 1) AS s
-         |  FROM th, generate_series(0, 31) t(bit) GROUP BY doc_id, bit),
-         |sh AS (SELECT doc_id, CAST(SUM(CASE WHEN s > 0
-         |    THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT)
-         |  AS simhash FROM bits GROUP BY doc_id),
-         |r1 AS (SELECT a.doc_id AS u, m.v FROM sh a
-         |  JOIN (SELECT simhash, MIN(doc_id) AS v FROM sh GROUP BY 1) m
-         |  USING(simhash) WHERE a.doc_id <> m.v),
-         |fp AS (SELECT doc_id,
-         |    md5(array_to_string((string_split(text, ' '))[1:8], ' ')) AS sig
-         |  FROM documents),
-         |r2 AS (SELECT a.doc_id AS u, m.v FROM fp a
-         |  JOIN (SELECT sig, MIN(doc_id) AS v FROM fp GROUP BY 1) m
-         |  USING(sig) WHERE a.doc_id <> m.v),
-         |edges AS (SELECT u, v FROM r1 UNION SELECT u, v FROM r2),
-         |sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
-         |cc(node, lab) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT s.v, c.lab FROM cc c JOIN sym s ON s.u = c.node),
-         |lab AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM cc GROUP BY node),
+      s"""$CcLab,
          |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
          |  FROM lab GROUP BY 1)
          |SELECT l.doc_id, l.cluster_id, s.cluster_size
          |FROM lab l JOIN sz s USING(cluster_id) ORDER BY doc_id""".stripMargin,
+
+    // Same clustering fixpoint, resolved to the keep-min-id survivor
+    // and rolled up to per-language corpus savings (mirrors x29).
+    "x29_dedup_survivors" ->
+      s"""$CcLab
+         |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN d.doc_id = l.cluster_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(SUM(d.n_chars) AS BIGINT) AS chars_total,
+         |  CAST(SUM(CASE WHEN d.doc_id = l.cluster_id THEN d.n_chars ELSE 0 END)
+         |    AS BIGINT) AS chars_kept
+         |FROM documents d JOIN lab l USING(doc_id)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    // Mirrors x27: exact-decimal per-label centroids (q26 arithmetic),
+    // nearest-centroid assignment with the (cos DESC, clabel) tie
+    // order, confusion-matrix rollup.
+    "x27_classify_centroid" ->
+      s"""WITH cent AS (SELECT label AS clabel, i,
+         |    CAST(CAST(SUM(CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR)
+         |      AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS c
+         |  FROM embeddings, generate_series(1, 64) t(i) GROUP BY label, i),
+         |cn AS (SELECT clabel,
+         |    CAST(CAST(SUM(CAST(CAST(c*c AS VARCHAR) AS DECIMAL(30,20)))
+         |      AS VARCHAR) AS DOUBLE) AS cn
+         |  FROM cent GROUP BY clabel),
+         |n1 AS (SELECT vec_id, label, ${dot("embedding", "embedding")} AS n1
+         |  FROM embeddings, generate_series(1, 64) t(i) GROUP BY vec_id, label),
+         |dots AS (SELECT e.vec_id, c.clabel,
+         |    CAST(CAST(SUM(CAST(CAST(CAST(e.embedding[c.i] AS DOUBLE)*c.c AS VARCHAR)
+         |      AS DECIMAL(30,20))) AS VARCHAR) AS DOUBLE) AS dot
+         |  FROM embeddings e, cent c GROUP BY e.vec_id, c.clabel),
+         |cos AS (SELECT n1.vec_id, n1.label, d.clabel,
+         |    d.dot/(sqrt(n1.n1)*sqrt(cn.cn)) AS cos
+         |  FROM dots d JOIN n1 ON n1.vec_id = d.vec_id
+         |              JOIN cn ON cn.clabel = d.clabel),
+         |assign AS (SELECT vec_id, label, clabel AS pred FROM (
+         |    SELECT vec_id, label, clabel, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY COALESCE(cos, -2.0) DESC, clabel) AS rn
+         |    FROM cos) WHERE rn = 1)
+         |SELECT label, pred, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM assign GROUP BY label, pred ORDER BY label, pred""".stripMargin,
+
+    // Mirrors x28: probe-vs-index exact cosine, top-5 per probe
+    // (cosine DESC, vec_id), majority vote (votes DESC, label).
+    "x28_knn_vote" ->
+      s"""WITH p AS (SELECT vec_id AS p_id, label AS true_label, embedding AS pe
+         |  FROM embeddings WHERE vec_id < 10),
+         |sc AS (SELECT e.vec_id, e.label, p.p_id, p.true_label,
+         |    ${dot("e.embedding", "p.pe")} AS dot,
+         |    ${dot("e.embedding", "e.embedding")} AS n1,
+         |    ${dot("p.pe", "p.pe")} AS n2
+         |  FROM embeddings e, p, generate_series(1, 64) t(i)
+         |  WHERE e.vec_id >= 10
+         |  GROUP BY e.vec_id, e.label, p.p_id, p.true_label),
+         |knn AS (SELECT p_id, true_label, label FROM (
+         |    SELECT p_id, true_label, label, vec_id,
+         |      row_number() OVER (PARTITION BY p_id
+         |        ORDER BY dot/(sqrt(n1)*sqrt(n2)) DESC, vec_id) AS rk
+         |    FROM sc) WHERE rk <= 5),
+         |votes AS (SELECT p_id, true_label, label, CAST(COUNT(*) AS BIGINT) AS votes
+         |  FROM knn GROUP BY 1, 2, 3)
+         |SELECT p_id, true_label, label AS pred_label, votes FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY p_id
+         |    ORDER BY votes DESC, label) AS rn FROM votes) WHERE rn = 1
+         |ORDER BY p_id""".stripMargin,
+
+    // Mirrors x30: the x08 score formula ranked per source, cap 3.
+    "x30_source_caps" ->
+      """WITH b AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |    CAST(length(text) AS BIGINT) AS len,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('a', 'the', 'of', 'and'))) AS BIGINT) AS n_stop
+        |  FROM documents),
+        |sc AS (SELECT doc_id, source,
+        |    0.4 * LEAST(n_toks / 100.0, 1.0)
+        |      + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_toks)
+        |      + 0.3 * LEAST(((CAST(len AS DOUBLE) - (n_toks - 1)) / n_toks) / 8.0, 1.0)
+        |      AS score
+        |  FROM b)
+        |SELECT source, rk, doc_id, score FROM (
+        |  SELECT source, doc_id, score,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+        |  FROM sc) WHERE rk <= 3
+        |ORDER BY source, rk""".stripMargin,
 
     "x05_ann_brute" ->
       s"""WITH pr AS (SELECT e1.vec_id AS p_id, e2.vec_id AS vec_id,

@@ -75,6 +75,55 @@ class QueriesSpec extends AnyFunSuite {
       s"LSH recalled $recalled of ${exact09.size} exact 0.9-pairs")
   }
 
+  test("x27 confusion matrix partitions the corpus and is diagonal-heavy") {
+    val cm = Extras.x27ClassifyCentroid(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val total = cm.values.sum
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(total == nVecs, s"matrix covers $total of $nVecs vectors")
+    // the synthetic labels are only loosely clustered (sf0.001
+    // accuracy ~0.37); the signal check is "well above 10% chance",
+    // not "separable" — correctness itself is the DuckDB hash gate
+    val diag = cm.collect { case ((t, p), n) if t == p => n }.sum
+    assert(diag.toDouble / total > 0.2, s"accuracy ${diag.toDouble / total}")
+  }
+
+  test("x28 votes 5 neighbours per probe and never self-votes") {
+    val rows = Extras.x28KnnVote(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val votes = r.getLong(3)
+      assert(votes >= 1 && votes <= 5, s"probe ${r.getLong(0)}: $votes votes")
+    }
+  }
+
+  test("x29 survivors equal x14's distinct clusters, savings bounded") {
+    val byLang = Extras.x29DedupSurvivors(spark, sf).collect()
+    val kept = byLang.map(_.getLong(2)).sum
+    val total = byLang.map(_.getLong(1)).sum
+    val clusters = Extras.x14DedupClusters(spark, sf)
+      .select("cluster_id").distinct().count()
+    assert(kept == clusters, s"$kept survivors vs $clusters clusters")
+    byLang.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1)) // kept <= total docs
+      assert(r.getLong(4) <= r.getLong(3)) // kept <= total chars
+    }
+  }
+
+  test("x30 caps every source at 3 docs, ranked by the x08 score") {
+    val rows = Extras.x30SourceCaps(spark, sf).collect()
+    val scores = Extras.x08QualityScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    rows.groupBy(_.getString(0)).foreach { case (src, grp) =>
+      assert(grp.length <= 3, s"$src kept ${grp.length}")
+      // ranks are 1..k and ordered by the published quality score
+      val ranked = grp.sortBy(_.getLong(1))
+      assert(ranked.map(_.getLong(1)).toSeq == (1L to grp.length).toSeq)
+      val s = ranked.map(r => scores(r.getLong(2)))
+      assert(s.zip(s.tail).forall { case (a, b) => a >= b }, s"$src not sorted")
+    }
+  }
+
   test("entry() returns non-empty flagship result") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
