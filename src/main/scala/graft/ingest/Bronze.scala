@@ -141,6 +141,52 @@ object Bronze {
       .withColumn("created_time", Sanitize.parseDatetime(col("created_time")))
       .withColumn("updated_time", Sanitize.parseDatetime(col("updated_time")))
 
+  /** creative silver: the reference fetches creatives one distinct id
+    * at a time and keeps the LAST payload per id — a dict overwrite
+    * (api_extractor.py:139-173). Batch re-expression: keyed keep-latest
+    * when the lake carries a fetch-version column (E4, one shuffle on
+    * id), plain id-dedup otherwise. Name unescapes (G13); the nested
+    * `object_story_spec` takes the G12 recursive sanitize, same as the
+    * campaign/ad_set payload structs.
+    */
+  def creativeSilver(bronze: DataFrame, version: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val guarded = bronze.filter(col("id").isNotNull)
+    val deduped = version.filter(guarded.columns.contains) match {
+      case Some(v) =>
+        val w = Window.partitionBy(col("id")).orderBy(col(v).desc)
+        guarded.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      case None => guarded.dropDuplicates("id")
+    }
+    deduped
+      .transform(df => whenPresent(df, "name")(
+        graft.expressions.UnicodeUnescape.unicodeUnescape))
+      .transform(Sanitize.sanitizeNested) // G12: object_story_spec
+      .drop("_corrupt_record")
+  }
+
+  /** D5 "missing creatives" audit: distinct creative FKs on ads with
+    * no fetched creative row (the reference's `missing` list,
+    * api_extractor.py:144-159) — an anti join, never a collect.
+    */
+  def missingCreatives(ads: DataFrame, creatives: DataFrame): DataFrame =
+    ads.select(col("creative_id"))
+      .filter(col("creative_id").isNotNull).distinct()
+      .join(creatives.select(col("id").as("creative_id")),
+        Seq("creative_id"), "left_anti")
+
+  /** pixel silver (get_pixels.py:21-36): id guard, G13 name unescape,
+    * G7 `last_fired_time` parse (normalize-or-null).
+    */
+  def pixelSilver(bronze: DataFrame): DataFrame =
+    bronze
+      .filter(col("id").isNotNull)
+      .transform(df => whenPresent(df, "name")(
+        graft.expressions.UnicodeUnescape.unicodeUnescape))
+      .transform(df => whenPresent(df, "last_fired_time")(Sanitize.parseDatetime))
+      .drop("_corrupt_record")
+
   /** insights silver: string measures → typed (spend double, counts
     * long), keys/dates kept; `actions[]` stays array-of-struct for the
     * breakdown aggregation (D4).

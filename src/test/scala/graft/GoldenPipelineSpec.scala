@@ -23,8 +23,10 @@ class GoldenPipelineSpec extends AnyFunSuite {
     Bronze.adSetSilver(Bronze.readJson(spark, fixture("ad_sets"), Schemas.adSet))
   private lazy val ads =
     Bronze.adSilver(Bronze.readJson(spark, fixture("ads"), Schemas.ad))
-  private lazy val creatives = Bronze.readJson(spark, fixture("creatives"), Schemas.creative)
-  private lazy val pixels = Bronze.readJson(spark, fixture("pixels"), Schemas.pixel)
+  private lazy val creatives =
+    Bronze.creativeSilver(Bronze.readJson(spark, fixture("creatives"), Schemas.creative))
+  private lazy val pixels =
+    Bronze.pixelSilver(Bronze.readJson(spark, fixture("pixels"), Schemas.pixel))
   private lazy val insights =
     Bronze.insightsSilver(Bronze.readJson(spark, fixture("insights"), Schemas.insights))
 
@@ -98,6 +100,42 @@ class GoldenPipelineSpec extends AnyFunSuite {
     assert(m("120200000000201") == "9900001")
     assert(m("120200000000203") == "9900001")
     assert(!ads.columns.contains("creative"))
+  }
+
+  test("creative silver: keep-latest per id when a fetch version exists") {
+    import spark.implicits._
+    val refetched = Seq(
+      ("cr_1", "old \\u540d\\u7a31", 1L), // escaped unicode name
+      ("cr_1", "new", 2L),
+      ("cr_2", "only", 1L),
+      (null, "no id", 9L)).toDF("id", "name", "fetch_ts")
+    val rows = Bronze.creativeSilver(refetched, version = Some("fetch_ts"))
+      .orderBy("id").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("cr_1", "cr_2")) // id guard + dedup
+    assert(rows(0).getString(1) == "new") // last fetch wins (E4)
+    // without a version column: id-dedup still collapses refetches
+    assert(Bronze.creativeSilver(refetched.drop("fetch_ts")).count() == 2)
+  }
+
+  test("creative silver: G13 name unescape + G12 inside object_story_spec") {
+    val byId = creatives.orderBy("id").collect()
+    assert(byId.length == 3)
+    val spec = byId(0).getStruct(byId(0).fieldIndex("object_story_spec"))
+    val link = spec.getStruct(spec.fieldIndex("link_data"))
+    assert(link.getString(link.fieldIndex("message")) == "買一送一")
+  }
+
+  test("pixel silver: last_fired_time parses, null passes, id guarded") {
+    val rows = pixels.orderBy("id").collect()
+    assert(rows.length == 2)
+    val fired = rows(0).getTimestamp(rows(0).fieldIndex("last_fired_time"))
+    assert(fired != null && fired.toInstant.toString == "2025-09-18T09:59:59Z")
+    assert(rows(1).isNullAt(rows(1).fieldIndex("last_fired_time")))
+  }
+
+  test("missing-creatives audit lists unfetched FKs via anti join (D5)") {
+    val missing = Bronze.missingCreatives(ads, creatives).collect()
+    assert(missing.map(_.getString(0)).toSeq == Seq("9900099"))
   }
 
   test("inspector report matches golden JSON") {
