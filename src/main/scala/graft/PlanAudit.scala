@@ -144,6 +144,19 @@ object PlanAudit {
       "bloom probe is a filter in the plan" ->
         (p => p.contains("might_contain") || p.contains("bloom_contains")),
       "exact verify is a left anti join" -> (p => p.contains("LeftAnti")))
+    // x31: the two-phase prefix sum must join the tiny bucket-offsets
+    // frame back by broadcast — if the offsets rollup ever shuffles
+    // the corpus side it has collapsed into a global-sort plan
+    audit("x31_seq_pack")(
+      "offsets join back by broadcast" -> (_.contains("BroadcastHashJoin")),
+      "no sort-merge join" -> (p => !p.contains("SortMergeJoin")),
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")))
+    // x33: two keep-latest windows + one key equi-join; the FULL OUTER
+    // diff must stay an equi-join (hash or sort-merge), never a
+    // cartesian, and the window dedup must precede the join
+    audit("x33_snapshot_diff")(
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")),
+      "keep-latest windows in plan" -> (_.contains("Window")))
 
     println(s"\nPlan audit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()

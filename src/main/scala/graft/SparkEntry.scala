@@ -84,7 +84,10 @@ object SparkEntry {
     "x27_classify_centroid" -> (X.x27ClassifyCentroid _),
     "x28_knn_vote" -> (X.x28KnnVote _),
     "x29_dedup_survivors" -> (X.x29DedupSurvivors _),
-    "x30_source_caps" -> (X.x30SourceCaps _)
+    "x30_source_caps" -> (X.x30SourceCaps _),
+    "x31_seq_pack" -> (X.x31SeqPack _),
+    "x32_scd2" -> (X.x32Scd2 _),
+    "x33_snapshot_diff" -> (X.x33SnapshotDiff _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

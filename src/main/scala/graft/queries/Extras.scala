@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.{Sanitize, TextFns, VectorFns}
 import graft.operators.Multimodal
-import Inventory.{t, cnt, dsum}
+import Inventory.{t, cnt, dsum, events, F6}
 
 /** LLM-training-data pipeline operators beyond the reference's own
   * surface (BASELINE.json north star): deduplication (exact, MinHash/
@@ -1052,6 +1052,132 @@ object Extras {
     val inc = d.filter($"bucket" < 50).select($"doc_id", $"fp8")
     graft.operators.BloomIncrementalDedup.newRows(inc, hist, "fp8")
       .orderBy($"doc_id")
+  }
+
+  // --------------------------------------------- packing & lake history
+
+  /** Tokens per packed training sequence (x31). */
+  val SeqPackBudget = 512L
+
+  /** Doc-id range width for the x31 two-phase prefix sum: buckets are
+    * `doc_id DIV 4096`, so the bucket-totals table is 4096× smaller
+    * than the corpus.
+    */
+  val SeqPackBucketWidth = 4096L
+
+  /** x31 — sequence packing: assign every document its slice of the
+    * fixed-length training sequences produced by concatenating the
+    * corpus in doc_id order and chunking every [[SeqPackBudget]]
+    * tokens — the standard "concat-then-chunk" batch layout for LLM
+    * pre-training (documents may span sequence boundaries). Output per
+    * doc: its token count, the first sequence it lands in, the offset
+    * inside that sequence, and how many sequences it touches.
+    *
+    * The global token prefix-sum is TWO-PHASE, never a global sort:
+    * docs prefix-sum inside fixed doc_id ranges ([[SeqPackBucketWidth]]
+    * ids per bucket — a partition-parallel window), and the per-bucket
+    * totals, 4096× fewer rows than the corpus, roll up through one
+    * small ordered window whose result broadcast-joins back by bucket
+    * id. At 1e9 docs the bucket table is ~250k rows (one executor's
+    * window); recurse the same split once more if even that is too
+    * wide. The naive `Window.orderBy(doc_id)` over the corpus would
+    * funnel all 100 TB through a single reducer. All arithmetic is
+    * integer `DIV`/`%` — no double division that could lose precision
+    * past 2^53 tokens.
+    */
+  def x31SeqPack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents")
+      .select($"doc_id",
+        size(TextFns.tokenize($"text")).cast(LongType).as("n_toks"),
+        expr(s"doc_id DIV $SeqPackBucketWidth").as("bucket"))
+    val localW = Window.partitionBy($"bucket").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offW = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy($"bucket").agg(sum($"n_toks").as("btoks"))
+      .withColumn("off", coalesce(sum($"btoks").over(offW), lit(0L)))
+      .select($"bucket", $"off")
+    d.withColumn("local_cum", sum($"n_toks").over(localW))
+      .join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum", $"local_cum" + $"off")
+      .withColumn("start_off", $"cum" - $"n_toks")
+      .select($"doc_id", $"n_toks",
+        expr(s"start_off DIV $SeqPackBudget").as("seq_first"),
+        ($"start_off" % SeqPackBudget).as("seq_off"),
+        when($"n_toks" === 0L, lit(0L)).otherwise(
+          expr(s"(cum - 1) DIV $SeqPackBudget") -
+            expr(s"start_off DIV $SeqPackBudget") + 1L).as("n_seqs"))
+      .orderBy($"doc_id")
+  }
+
+  /** x32 — SCD2 change history: every (user_id, event_type) key's
+    * event versions as slowly-changing-dimension rows with
+    * [valid_from, valid_to) ranges — valid_to is the next version's
+    * timestamp, NULL while current. The lake-history view of the
+    * reference's daily keep-latest upsert (H5, `main_extractor.py`
+    * daily mode): Q19 keeps only the winner, x32 keeps the full
+    * lineage (time travel / audit).
+    *
+    * One key-partitioned window — a single shuffle on the upsert key,
+    * per-key bounded state, no global ordering anywhere (the final
+    * ORDER BY is the determinism contract, not the algorithm).
+    */
+  def x32Scd2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts", $"event_id")
+    events(s, dir)
+      .select($"user_id", $"event_type", $"event_id", $"ts", $"value")
+      .withColumn("version", row_number().over(w).cast(LongType))
+      .withColumn("valid_to", lead($"ts", 1).over(w))
+      .select($"user_id", $"event_type", $"version", $"event_id",
+        date_format($"ts", F6).as("valid_from"),
+        date_format($"valid_to", F6).as("valid_to"),
+        $"valid_to".isNull.as("is_current"), $"value")
+      .orderBy($"user_id", $"event_type", $"version")
+  }
+
+  /** x33 — snapshot diff: what changed between two builds of a
+    * 3-day-retention hot view of the lake (only keys active in the
+    * trailing window survive a build — the TTL'd serving-cache shape).
+    * Snapshot A = keep-latest over events in [Jan 1, Jan 4); snapshot
+    * B = the same view rebuilt for [Jan 27, Jan 30). A FULL OUTER join
+    * on the entity key classifies every key: `added` (B only),
+    * `removed` (A only — aged out), `changed` (both sides present,
+    * different winning row); `unchanged` keys are dropped. This is the
+    * CDC view an incremental consumer diffs against, and the audit for
+    * the reference's H5 re-fetch-updated-entities mode.
+    *
+    * Each snapshot is one key-partitioned keep-latest window (Q19's
+    * shape) over a partition-pruned slice of the lake; the diff is a
+    * single equi-join on the same key, so the join reuses the windows'
+    * hash partitioning — no extra shuffle, no global sort, nothing on
+    * the driver.
+    */
+  def x33SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def snap(from: String, until: String, tag: String): DataFrame = {
+      val w = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ts".desc, $"event_id".desc)
+      events(s, dir)
+        .filter($"ts" >= lit(from).cast(TimestampType) &&
+          $"ts" < lit(until).cast(TimestampType))
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"user_id", $"event_type", $"event_id".as(s"${tag}_event_id"))
+    }
+    val a = snap("2024-01-01", "2024-01-04", "old")
+    val b = snap("2024-01-27", "2024-01-30", "new")
+    a.join(b, Seq("user_id", "event_type"), "full_outer")
+      .withColumn("change_type",
+        when($"new_event_id".isNull, lit("removed"))
+          .when($"old_event_id".isNull, lit("added"))
+          .when($"old_event_id" =!= $"new_event_id", lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter($"change_type" =!= "unchanged")
+      .select($"user_id", $"event_type", $"change_type",
+        $"old_event_id", $"new_event_id")
+      .orderBy($"user_id", $"event_type")
   }
 
   // ---------------------------------------------------------------- multimodal

@@ -58,6 +58,60 @@ object ExtrasOracle {
        |lab AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM cc GROUP BY node)""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "x31_seq_pack" -> {
+      val b = Extras.SeqPackBudget
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_toks,
+         |    CAST(SUM(n_toks) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM d)
+         |SELECT doc_id, n_toks,
+         |  CAST((cum - n_toks) // $b AS BIGINT) AS seq_first,
+         |  CAST((cum - n_toks) % $b AS BIGINT) AS seq_off,
+         |  CAST(CASE WHEN n_toks = 0 THEN 0
+         |    ELSE (cum - 1) // $b - (cum - n_toks) // $b + 1 END AS BIGINT)
+         |    AS n_seqs
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+
+    "x32_scd2" ->
+      """SELECT user_id, event_type,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+        |  strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+        |  (lead(ts) OVER w IS NULL) AS is_current,
+        |  value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        |ORDER BY user_id, event_type, version""".stripMargin,
+
+    "x33_snapshot_diff" ->
+      """WITH a AS (SELECT user_id, event_type, event_id AS old_event_id
+        |  FROM (SELECT user_id, event_type, event_id, row_number() OVER
+        |      (PARTITION BY user_id, event_type
+        |       ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts >= TIMESTAMP '2024-01-01'
+        |      AND ts < TIMESTAMP '2024-01-04') WHERE rn = 1),
+        |b AS (SELECT user_id, event_type, event_id AS new_event_id
+        |  FROM (SELECT user_id, event_type, event_id, row_number() OVER
+        |      (PARTITION BY user_id, event_type
+        |       ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts >= TIMESTAMP '2024-01-27'
+        |      AND ts < TIMESTAMP '2024-01-30') WHERE rn = 1),
+        |j AS (SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+        |    COALESCE(a.event_type, b.event_type) AS event_type,
+        |    a.old_event_id, b.new_event_id,
+        |    CASE WHEN b.new_event_id IS NULL THEN 'removed'
+        |         WHEN a.old_event_id IS NULL THEN 'added'
+        |         WHEN a.old_event_id <> b.new_event_id THEN 'changed'
+        |         ELSE 'unchanged' END AS change_type
+        |  FROM a FULL OUTER JOIN b
+        |    ON a.user_id = b.user_id AND a.event_type = b.event_type)
+        |SELECT user_id, event_type, change_type, old_event_id, new_event_id
+        |FROM j WHERE change_type <> 'unchanged'
+        |ORDER BY user_id, event_type""".stripMargin,
+
     "x01_dedup_exact" ->
       """SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS n_dups,
         |  MIN(doc_id) AS keeper

@@ -124,6 +124,53 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("x31 packing is contiguous, budget-consistent, and covers every token") {
+    val b = Extras.SeqPackBudget
+    val rows = Extras.x31SeqPack(spark, sf).collect().sortBy(_.getLong(0))
+    // reconstruct each doc's global start offset and check contiguity
+    var expectedStart = 0L
+    rows.foreach { r =>
+      val (nToks, seqFirst, seqOff, nSeqs) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(seqFirst * b + seqOff == expectedStart,
+        s"doc ${r.getLong(0)}: start ${seqFirst * b + seqOff} != $expectedStart")
+      if (nToks > 0)
+        assert(nSeqs == (seqOff + nToks - 1) / b + 1,
+          s"doc ${r.getLong(0)}: n_seqs $nSeqs")
+      else assert(nSeqs == 0)
+      expectedStart += nToks
+    }
+  }
+
+  test("x32 SCD2 versions chain: contiguous, one current row per key, linked ranges") {
+    val rows = Extras.x32Scd2(spark, sf).collect()
+    rows.groupBy(r => (r.getLong(0), r.getString(1))).foreach { case (k, grp) =>
+      val sorted = grp.sortBy(_.getLong(2))
+      assert(sorted.map(_.getLong(2)).toSeq == (1L to grp.length).toSeq, s"$k versions")
+      assert(grp.count(_.getBoolean(6)) == 1, s"$k current rows")
+      assert(sorted.last.getBoolean(6) && sorted.last.isNullAt(5), s"$k tail open")
+      sorted.zip(sorted.tail).foreach { case (prev, next) =>
+        assert(prev.getString(5) == next.getString(4), s"$k range not linked")
+      }
+    }
+  }
+
+  test("x33 snapshot diff classifies consistently with its own snapshots") {
+    val rows = Extras.x33SnapshotDiff(spark, sf).collect()
+    rows.foreach { r =>
+      val (ct, oldId, newId) = (r.getString(2), r.get(3), r.get(4))
+      ct match {
+        case "added"   => assert(oldId == null && newId != null)
+        case "removed" => assert(oldId != null && newId == null)
+        case "changed" => assert(oldId != null && newId != null && oldId != newId)
+        case other     => fail(s"unexpected change_type $other")
+      }
+    }
+    // the Jan-10/Jan-20 cuts must exercise all three classes at sf0.001
+    assert(rows.map(_.getString(2)).distinct.sorted.toSeq ==
+      Seq("added", "changed", "removed"))
+  }
+
   test("entry() returns non-empty flagship result") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
