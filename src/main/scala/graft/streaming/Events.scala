@@ -154,6 +154,34 @@ object Events {
       }
   }
 
+  /** H-surface extension the reference's pause-bound poller never
+    * needed but a lake-scale enrichment does: a stream-stream interval
+    * join. Each purchase joins the same user's clicks from the
+    * trailing 30 minutes. Both sides carry a 1-hour watermark and the
+    * join condition bounds event time on both ends, so Spark can age
+    * buffered rows out of the join state — per-key state is bounded by
+    * watermark + interval, never the whole stream.
+    *
+    * Works unchanged on a BATCH frame (watermarks are a no-op there),
+    * which is exactly how the equivalence test pins the semantics.
+    */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("user_id"), col("p_ts"),
+        col("click_id"), col("c_ts"))
+  }
+
   /** Drain a streaming DataFrame synchronously into a memory table and
     * return it (test/verify harness; production uses a parquet sink
     * with checkpointing).

@@ -111,4 +111,20 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy("user_id", "event_type").collect().toSeq
     assert(finalRows == batch)
   }
+
+  test("stream-stream purchase-click interval join == batch join") {
+    val streamed = Events.drainToMemory(
+        Events.purchaseClickJoin(Events.stream(spark, sf)),
+        OutputMode.Append())
+      .orderBy("purchase_id", "click_id").collect().toSeq
+    // the SAME operator over the batch read is the semantic twin
+    // (watermarks no-op in batch)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchEvents = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val batch = Events.purchaseClickJoin(batchEvents)
+      .orderBy("purchase_id", "click_id").collect().toSeq
+    assert(batch.nonEmpty, "fixture must produce purchase-click matches")
+    assert(streamed == batch)
+  }
 }
