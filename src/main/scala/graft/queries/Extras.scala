@@ -801,6 +801,35 @@ object Extras {
       .orderBy($"doc_id")
   }
 
+  /** x34 — weighted sample without replacement, k=50, weight =
+    * `n_chars` (sequential Poisson sampling, Ohlsson 1998): each doc
+    * gets priority u/w where u is its deterministic 60-bit id hash,
+    * and the k SMALLEST priorities win — inclusion probability is
+    * approximately proportional to the weight. The
+    * sample-long-documents-more-often knob that complements x15's
+    * uniform/stratified filters and x26's mixture rates.
+    *
+    * Determinism at 100 TB: u is the same md5-derived integer as
+    * [[idBucket]] (reproducible on any cluster size / partitioning),
+    * and the priority is a single int64→double cast + one IEEE
+    * division — both exactly-rounded operations, so Spark and the
+    * oracle agree bit-for-bit (never route rank keys through libm
+    * ln/exp, which vary by implementation). Top-k runs through the
+    * same salted two-phase ranking as x17 — no single reducer sees the
+    * corpus.
+    */
+  def x34WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents")
+      .select($"doc_id", $"n_chars",
+        (conv(substring(md5($"doc_id".cast(StringType)), 1, 15), 16, 10)
+          .cast(LongType).cast(DoubleType) /
+          $"n_chars".cast(DoubleType)).as("priority"))
+    saltedTopK(d, Seq.empty, $"doc_id", -$"priority", "rank", 50)
+      .select($"rank", $"doc_id", $"n_chars", $"priority")
+      .orderBy($"rank")
+  }
+
   /** Mixture targets for x26 (sum 1.0): the rebalancing recipe every
     * multilingual training mix runs — upweight the long tail, cap the
     * dominant language.

@@ -112,6 +112,19 @@ object ExtrasOracle {
         |FROM j WHERE change_type <> 'unchanged'
         |ORDER BY user_id, event_type""".stripMargin,
 
+    // priority = exactly-rounded IEEE ops only (int64→double cast,
+    // one division) — bit-identical on both engines by construction
+    "x34_weighted_sample" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |        AS BIGINT) AS DOUBLE)
+        |      / CAST(n_chars AS DOUBLE) AS priority
+        |  FROM documents)
+        |SELECT CAST(rn AS BIGINT) AS rank, doc_id, n_chars, priority
+        |FROM (SELECT *, row_number() OVER (ORDER BY priority, doc_id) AS rn
+        |      FROM d)
+        |WHERE rn <= 50 ORDER BY rank""".stripMargin,
+
     "x01_dedup_exact" ->
       """SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS n_dups,
         |  MIN(doc_id) AS keeper

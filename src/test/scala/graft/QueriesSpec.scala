@@ -171,6 +171,18 @@ class QueriesSpec extends AnyFunSuite {
       Seq("added", "changed", "removed"))
   }
 
+  test("x34 weighted sample is length-biased: sample mean n_chars > corpus mean") {
+    val sample = Extras.x34WeightedSample(spark, sf).collect()
+    assert(sample.length == 50)
+    assert(sample.map(_.getLong(0)).toSeq == (1L to 50L).toSeq, "ranks 1..50")
+    val sampleMean = sample.map(_.getLong(2)).sum.toDouble / sample.length
+    val corpusMean = spark.read.parquet(s"$sf/documents.parquet")
+      .agg(org.apache.spark.sql.functions.avg("n_chars"))
+      .collect()(0).getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean vs corpus mean $corpusMean")
+  }
+
   test("entry() returns non-empty flagship result") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
