@@ -88,7 +88,8 @@ object SparkEntry {
     "x31_seq_pack" -> (X.x31SeqPack _),
     "x32_scd2" -> (X.x32Scd2 _),
     "x33_snapshot_diff" -> (X.x33SnapshotDiff _),
-    "x34_weighted_sample" -> (X.x34WeightedSample _)
+    "x34_weighted_sample" -> (X.x34WeightedSample _),
+    "x35_seq_stats" -> (X.x35SeqStats _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

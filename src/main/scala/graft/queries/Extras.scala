@@ -1116,6 +1116,23 @@ object Extras {
     */
   def x31SeqPack(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    packedDocs(s, dir)
+      .select($"doc_id", $"n_toks",
+        expr(s"start_off DIV $SeqPackBudget").as("seq_first"),
+        ($"start_off" % SeqPackBudget).as("seq_off"),
+        when($"n_toks" === 0L, lit(0L)).otherwise(
+          expr(s"(cum - 1) DIV $SeqPackBudget") -
+            expr(s"start_off DIV $SeqPackBudget") + 1L).as("n_seqs"))
+      .orderBy($"doc_id")
+  }
+
+  /** The x31/x35 packing core: every doc with its token count and
+    * global [start_off, cum) token span, via the two-phase prefix sum
+    * (see [[x31SeqPack]]'s scaladoc for the 100 TB rationale). No
+    * output ordering — callers aggregate or sort as they need.
+    */
+  private def packedDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val d = t(s, dir, "documents")
       .select($"doc_id",
         size(TextFns.tokenize($"text")).cast(LongType).as("n_toks"),
@@ -1131,13 +1148,37 @@ object Extras {
       .join(broadcast(offsets), Seq("bucket"))
       .withColumn("cum", $"local_cum" + $"off")
       .withColumn("start_off", $"cum" - $"n_toks")
-      .select($"doc_id", $"n_toks",
-        expr(s"start_off DIV $SeqPackBudget").as("seq_first"),
-        ($"start_off" % SeqPackBudget).as("seq_off"),
-        when($"n_toks" === 0L, lit(0L)).otherwise(
-          expr(s"(cum - 1) DIV $SeqPackBudget") -
-            expr(s"start_off DIV $SeqPackBudget") + 1L).as("n_seqs"))
-      .orderBy($"doc_id")
+      .select($"doc_id", $"n_toks", $"start_off", $"cum")
+  }
+
+  /** x35 — packed-sequence assembly stats: x31's doc→sequence map
+    * aggregated per training sequence — how many docs land in each
+    * sequence, how many tokens it holds, and its fill ratio. Proves
+    * the packing end-to-end: every sequence is exactly
+    * [[SeqPackBudget]] tokens except the final partial one (the
+    * QueriesSpec invariant).
+    *
+    * Each doc explodes into only the sequences it touches (n_seqs is
+    * 1–2 for typical doc lengths — the explode is O(corpus tokens /
+    * budget), never quadratic); the per-sequence rollup is one hash
+    * aggregate keyed by seq_id. The fill division is long→double by a
+    * power of two — exactly-rounded IEEE, oracle-safe.
+    */
+  def x35SeqStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = SeqPackBudget
+    packedDocs(s, dir)
+      .filter($"n_toks" > 0L)
+      .select($"start_off", $"cum".as("end_off"),
+        explode(sequence(expr(s"start_off DIV $b"), expr(s"(cum - 1) DIV $b")))
+          .as("seq_id"))
+      .withColumn("contrib",
+        least($"end_off", ($"seq_id" + 1L) * b) -
+          greatest($"start_off", $"seq_id" * b))
+      .groupBy($"seq_id")
+      .agg(cnt.as("n_docs"), sum($"contrib").as("n_tokens"))
+      .withColumn("fill", $"n_tokens".cast(DoubleType) / b.toDouble)
+      .orderBy($"seq_id")
   }
 
   /** x32 — SCD2 change history: every (user_id, event_type) key's

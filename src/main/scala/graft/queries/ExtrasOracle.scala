@@ -74,6 +74,28 @@ object ExtrasOracle {
          |FROM c ORDER BY doc_id""".stripMargin
     },
 
+    "x35_seq_stats" -> {
+      val b = Extras.SeqPackBudget
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_toks,
+         |    CAST(SUM(n_toks) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM d),
+         |p AS (SELECT cum - n_toks AS start_off, cum AS end_off,
+         |    (cum - n_toks) // $b AS seq_first, (cum - 1) // $b AS seq_last
+         |  FROM c WHERE n_toks > 0),
+         |e AS (SELECT start_off, end_off,
+         |    unnest(generate_series(seq_first, seq_last)) AS seq_id FROM p),
+         |agg AS (SELECT CAST(seq_id AS BIGINT) AS seq_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(least(end_off, (seq_id + 1) * $b)
+         |      - greatest(start_off, seq_id * $b)) AS BIGINT) AS n_tokens
+         |  FROM e GROUP BY 1)
+         |SELECT seq_id, n_docs, n_tokens,
+         |  CAST(n_tokens AS DOUBLE) / $b.0 AS fill
+         |FROM agg ORDER BY seq_id""".stripMargin
+    },
+
     "x32_scd2" ->
       """SELECT user_id, event_type,
         |  CAST(row_number() OVER w AS BIGINT) AS version,

@@ -183,6 +183,22 @@ class QueriesSpec extends AnyFunSuite {
       s"weighted sample mean $sampleMean vs corpus mean $corpusMean")
   }
 
+  test("x35 every packed sequence is exactly full except the final partial") {
+    val b = Extras.SeqPackBudget
+    val seqs = Extras.x35SeqStats(spark, sf).collect().sortBy(_.getLong(0))
+    assert(seqs.nonEmpty)
+    // contiguous sequence ids from 0
+    assert(seqs.map(_.getLong(0)).toSeq == (0L until seqs.length).toSeq)
+    seqs.init.foreach { r =>
+      assert(r.getLong(2) == b, s"seq ${r.getLong(0)} holds ${r.getLong(2)}")
+      assert(r.getDouble(3) == 1.0)
+    }
+    assert(seqs.last.getLong(2) <= b)
+    // conservation: packed tokens == corpus tokens
+    val corpusToks = Extras.x31SeqPack(spark, sf).collect().map(_.getLong(1)).sum
+    assert(seqs.map(_.getLong(2)).sum == corpusToks)
+  }
+
   test("entry() returns non-empty flagship result") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
