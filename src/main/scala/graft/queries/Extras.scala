@@ -1137,18 +1137,23 @@ object Extras {
       .select($"doc_id",
         size(TextFns.tokenize($"text")).cast(LongType).as("n_toks"),
         expr(s"doc_id DIV $SeqPackBucketWidth").as("bucket"))
-    val localW = Window.partitionBy($"bucket").orderBy($"doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offW = Window.orderBy($"bucket")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = d.groupBy($"bucket").agg(sum($"n_toks").as("btoks"))
-      .withColumn("off", coalesce(sum($"btoks").over(offW), lit(0L)))
-      .select($"bucket", $"off")
-    d.withColumn("local_cum", sum($"n_toks").over(localW))
-      .join(broadcast(offsets), Seq("bucket"))
-      .withColumn("cum", $"local_cum" + $"off")
-      .withColumn("start_off", $"cum" - $"n_toks")
-      .select($"doc_id", $"n_toks", $"start_off", $"cum")
+    // two consumers of the tokenized frame (local windows + offsets
+    // rollup) — persist for one action so the scan+tokenize pass runs
+    // once, not twice (the tokIndex/x02 convention)
+    graft.Caching.withPersisted(d) { dd =>
+      val localW = Window.partitionBy($"bucket").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offW = Window.orderBy($"bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = dd.groupBy($"bucket").agg(sum($"n_toks").as("btoks"))
+        .withColumn("off", coalesce(sum($"btoks").over(offW), lit(0L)))
+        .select($"bucket", $"off")
+      dd.withColumn("local_cum", sum($"n_toks").over(localW))
+        .join(broadcast(offsets), Seq("bucket"))
+        .withColumn("cum", $"local_cum" + $"off")
+        .withColumn("start_off", $"cum" - $"n_toks")
+        .select($"doc_id", $"n_toks", $"start_off", $"cum")
+    }
   }
 
   /** x35 — packed-sequence assembly stats: x31's doc→sequence map

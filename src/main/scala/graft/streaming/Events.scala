@@ -38,6 +38,16 @@ object Events {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
+  /** Batch read of the same table with the identical nanos-safe ts
+    * rebuild — the one place the conversion lives for batch twins of
+    * the streaming jobs.
+    */
+  def batch(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
   /** H2: tumbling-day aggregation with a 1-day watermark (Q20 shape). */
   def tumblingDaily(events: DataFrame): DataFrame =
     events

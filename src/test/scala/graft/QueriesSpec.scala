@@ -166,7 +166,8 @@ class QueriesSpec extends AnyFunSuite {
         case other     => fail(s"unexpected change_type $other")
       }
     }
-    // the Jan-10/Jan-20 cuts must exercise all three classes at sf0.001
+    // the [Jan 1, Jan 4) vs [Jan 27, Jan 30) retention builds must
+    // exercise all three classes at sf0.001
     assert(rows.map(_.getString(2)).distinct.sorted.toSeq ==
       Seq("added", "changed", "removed"))
   }

@@ -119,10 +119,7 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy("purchase_id", "click_id").collect().toSeq
     // the SAME operator over the batch read is the semantic twin
     // (watermarks no-op in batch)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batchEvents = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    val batch = Events.purchaseClickJoin(batchEvents)
+    val batch = Events.purchaseClickJoin(Events.batch(spark, sf))
       .orderBy("purchase_id", "click_id").collect().toSeq
     assert(batch.nonEmpty, "fixture must produce purchase-click matches")
     assert(streamed == batch)
