@@ -124,4 +124,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty, "fixture must produce purchase-click matches")
     assert(streamed == batch)
   }
+
+  test("LakeSink commits each micro-batch once; replayed batch ids skip") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lake = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Events.Event]
+    def ev(id: Long, day: Int) = Events.Event(
+      id, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"),
+      1L, "view", 1.0, "{}")
+    val q = graft.streaming.LakeSink.start(input.toDS().toDF(), lake)
+    try {
+      input.addData(ev(1, 1), ev(2, 1), ev(3, 2))
+      q.processAllAvailable()
+      input.addData(ev(4, 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val lakeRows = spark.read.parquet(lake)
+    assert(lakeRows.count() == 4)
+    assert(lakeRows.select("ingest_date").distinct().count() == 2)
+    // a replayed batch id must be a no-op even with new data attached
+    val replay = Seq(ev(9, 3)).toDF()
+    assert(!graft.streaming.LakeSink.commitBatch(replay, lake, "events", 0L))
+    assert(spark.read.parquet(lake).count() == 4)
+    // a fresh batch id commits and the manifest saw every commit
+    assert(graft.streaming.LakeSink.commitBatch(replay, lake, "events", 99L))
+    assert(spark.read.parquet(lake).count() == 5)
+    assert(graft.ingest.Manifest.history(replay, lake, "events").size == 3)
+  }
 }
