@@ -89,7 +89,10 @@ object SparkEntry {
     "x32_scd2" -> (X.x32Scd2 _),
     "x33_snapshot_diff" -> (X.x33SnapshotDiff _),
     "x34_weighted_sample" -> (X.x34WeightedSample _),
-    "x35_seq_stats" -> (X.x35SeqStats _)
+    "x35_seq_stats" -> (X.x35SeqStats _),
+    // approximate by design (sketch estimate) -> rows-only check;
+    // QueriesSpec pins the error bound against the exact twin
+    "x36_sketch_store" -> (X.x36SketchStore _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

@@ -1255,6 +1255,33 @@ object Extras {
       .orderBy($"user_id", $"event_type")
   }
 
+  /** x36 — mergeable distinct-count sketch store: per-(day, type) HLL
+    * sketches (the storable daily granule), unioned per event_type and
+    * estimated — "distinct users over any day range" WITHOUT
+    * rescanning raw events. q10 shows one approx aggregate; x36 is the
+    * lakehouse pattern around it: daily sketch partials persist next
+    * to the partition they summarize, and any range query is a
+    * sketch merge — O(days × types) sketch BYTES instead of a full
+    * shuffle of raw user ids. At 100 TB that is the difference between
+    * answering a 90-day distinct query from ~KBs of sketches and
+    * re-aggregating three months of events.
+    *
+    * Approximate by design → rows-only driver check (q10_approx's
+    * contract); QueriesSpec pins the <5% relative error against the
+    * exact distinct twin.
+    */
+  def x36SketchStore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = events(s, dir)
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(hll_sketch_agg($"user_id").as("sk"))
+    daily.groupBy($"event_type")
+      .agg(cnt.as("n_days"),
+        hll_sketch_estimate(hll_union_agg($"sk")).as("approx_users"))
+      .select($"event_type", $"n_days", $"approx_users")
+      .orderBy($"event_type")
+  }
+
   // ---------------------------------------------------------------- multimodal
 
   /** x11 — multimodal binary-column plumbing: documents → binary assets

@@ -200,6 +200,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(seqs.map(_.getLong(2)).sum == corpusToks)
   }
 
+  test("x36 sketch-store estimate within 5% of exact distinct users per type") {
+    import org.apache.spark.sql.functions._
+    val approx = Extras.x36SketchStore(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val exact = graft.streaming.Events.batch(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e).toDouble / e < 0.05,
+        s"$k: sketch ${approx(k)} vs exact $e")
+    }
+  }
+
   test("entry() returns non-empty flagship result") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
