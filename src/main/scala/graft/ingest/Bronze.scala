@@ -37,6 +37,31 @@ object Bronze {
       .json(path)
   }
 
+  /** Quarantine split: rows whose raw JSON failed the declared schema
+    * (non-null `_corrupt_record`) are appended verbatim to
+    * `<lake>/_quarantine/<entity>/` for replay after a schema fix, and
+    * only clean rows flow on to the silver builders. The reference
+    * logs-and-skips malformed entries (B5 guards,
+    * main_extractor.py:102-104); a lake additionally needs the
+    * replayable audit trail — silently dropping the `_corrupt_record`
+    * column would let half-null rows masquerade as data.
+    *
+    * The bad-row probe is `head(1)` (first-row short-circuit), not a
+    * count; the quarantine write is an append of only the bad sliver.
+    * The bronze frame is persisted for the split (Spark disallows
+    * corrupt-column-only queries straight off a raw JSON scan — and
+    * the caller's silver pass reuses the parse anyway), released after
+    * the caller's first action via [[graft.Caching.withPersisted]].
+    */
+  def quarantine(bronze: DataFrame, lake: String, entity: String): DataFrame =
+    graft.Caching.withPersisted(bronze) { b =>
+      val bad = b.filter(col("_corrupt_record").isNotNull)
+        .select(col("_corrupt_record").as("raw"))
+      if (bad.head(1).nonEmpty)
+        bad.write.mode("append").parquet(s"$lake/_quarantine/$entity")
+      b.filter(col("_corrupt_record").isNull)
+    }
+
   /** Write a bronze/silver table date-partitioned, idempotent per day
     * (dynamic partition overwrite ≈ the reference's whole-file
     * overwrite A5).

@@ -210,4 +210,27 @@ class GoldenPipelineSpec extends AnyFunSuite {
     assert(Schemas.label(Schemas.campaign, "daily_budget").contains("單日預算 (daily_budget)"))
     assert(Schemas.label(Schemas.campaign, "buying_type").isEmpty)
   }
+
+  test("quarantine routes malformed JSON to the audit sink, clean rows flow on") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-quarantine")
+    val lake = Files.createTempDirectory("graft-quarantine-lake").toString
+    Files.write(dir.resolve("good.json"),
+      """[{"id": "c1", "name": "OK", "status": "ACTIVE"}]""".getBytes("UTF-8"))
+    Files.write(dir.resolve("bad.json"),
+      """[{"id": "c2", "name": "BROKEN""".getBytes("UTF-8")) // truncated
+    val bronze = Bronze.readJson(spark, dir.toString, Schemas.campaign)
+    val clean = Bronze.quarantine(bronze, lake, "campaign")
+    assert(clean.count() == 1)
+    assert(clean.select("id").collect().map(_.getString(0)).toSeq == Seq("c1"))
+    val quarantined = spark.read.parquet(s"$lake/_quarantine/campaign")
+    assert(quarantined.count() == 1)
+    assert(quarantined.select("raw").collect()(0).getString(0).contains("BROKEN"))
+    // an all-clean batch must not touch the quarantine sink again
+    val cleanOnly = Bronze.quarantine(
+      Bronze.readJson(spark, dir.resolve("good.json").toString, Schemas.campaign),
+      lake, "campaign")
+    assert(cleanOnly.count() == 1)
+    assert(spark.read.parquet(s"$lake/_quarantine/campaign").count() == 1)
+  }
 }
