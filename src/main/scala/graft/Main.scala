@@ -55,7 +55,9 @@ object Main {
         case "insights" => (Schemas.insights, Bronze.insightsSilver _, "insights")
         case other => sys.error(s"unknown entity '$other' (campaign|ad_set|ad|insights)")
       }
-      val out = silver(Bronze.readJson(spark, json, schema))
+      val clean = Bronze.quarantine(
+        Bronze.readJson(spark, json, schema), lake, entity)
+      val out = silver(clean)
         .withColumn("ingest_date", org.apache.spark.sql.functions.current_date())
       // manifest records THIS batch's row count, not the cumulative
       // table size after the dynamic-partition overwrite
