@@ -157,6 +157,11 @@ object PlanAudit {
     audit("x33_snapshot_diff")(
       "no cartesian product" -> (p => !p.contains("CartesianProduct")),
       "keep-latest windows in plan" -> (_.contains("Window")))
+    // x37: the source-pair counts must come from a self-EQUI-join on
+    // the shingle hash — a sources×sources cartesian would hide here
+    audit("x37_source_overlap")(
+      "pair generation is an equi-join on the shingle" ->
+        (p => !p.contains("CartesianProduct")))
 
     println(s"\nPlan audit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()

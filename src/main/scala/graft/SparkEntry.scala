@@ -92,7 +92,8 @@ object SparkEntry {
     "x35_seq_stats" -> (X.x35SeqStats _),
     // approximate by design (sketch estimate) -> rows-only check;
     // QueriesSpec pins the error bound against the exact twin
-    "x36_sketch_store" -> (X.x36SketchStore _)
+    "x36_sketch_store" -> (X.x36SketchStore _),
+    "x37_source_overlap" -> (X.x37SourceOverlap _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

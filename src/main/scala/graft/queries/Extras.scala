@@ -907,6 +907,46 @@ object Extras {
       .orderBy($"doc_id")
   }
 
+  /** x37 — inter-source overlap matrix: for every source pair, how
+    * many distinct 8-token shingles they share and the Jaccard of
+    * their shingle sets — the crawl-redundancy audit that decides
+    * which sources to drop or down-weight before paying dedup over the
+    * union (two crawls of the same site show up here long before
+    * MinHash runs).
+    *
+    * Scale shape: distinct (source, shingle) pairs are one hash
+    * shuffle; the pair counts come from a self-equi-join ON THE
+    * SHINGLE HASH (bounded by shingle multiplicity across sources,
+    * never |A|×|B| rows), and the output is O(sources²) — scheduler
+    * sized. Same shingle transform as x16, so the two audits share
+    * semantics.
+    */
+  def x37SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = t(s, dir, "documents")
+      .select($"source", TextFns.tokenize($"text").as("toks"))
+      .select($"source", explode(expr(
+        "CASE WHEN size(toks) >= 8 THEN" +
+          " transform(sequence(1, size(toks) - 7), i -> md5(concat_ws(' ', slice(toks, i, 8))))" +
+          " ELSE array(md5(concat_ws(' ', toks))) END")).as("sh"))
+      .distinct()
+    graft.Caching.withPersisted(sh) { ss =>
+      val totals = ss.groupBy($"source").agg(cnt.as("n_sh"))
+      val shared = ss.as("a")
+        .join(ss.as("b"),
+          col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(cnt.as("shared"))
+      shared
+        .join(totals.select($"source".as("src_a"), $"n_sh".as("n_a")), Seq("src_a"))
+        .join(totals.select($"source".as("src_b"), $"n_sh".as("n_b")), Seq("src_b"))
+        .select($"src_a", $"src_b", $"shared",
+          ($"shared".cast(DoubleType) /
+            ($"n_a" + $"n_b" - $"shared").cast(DoubleType)).as("jaccard"))
+        .orderBy($"src_a", $"src_b")
+    }
+  }
+
   /** x17 — vocabulary stats: top-10 tokens per language by frequency,
     * with per-language token and vocab totals (the tokenizer-training
     * / corpus-audit view).

@@ -147,6 +147,31 @@ object ExtrasOracle {
         |      FROM d)
         |WHERE rn <= 50 ORDER BY rank""".stripMargin,
 
+    "x37_source_overlap" ->
+      """WITH d AS (SELECT source, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |shg AS (
+        |  SELECT DISTINCT source,
+        |      md5(array_to_string(toks[i:i+7], ' ')) AS sh
+        |    FROM (SELECT source, toks,
+        |            unnest(generate_series(1, len(toks) - 7)) AS i
+        |          FROM d WHERE len(toks) >= 8)
+        |  UNION
+        |  SELECT DISTINCT source, md5(array_to_string(toks, ' ')) AS sh
+        |    FROM d WHERE len(toks) < 8),
+        |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh
+        |  FROM shg GROUP BY 1),
+        |pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(COUNT(*) AS BIGINT) AS shared
+        |  FROM shg a JOIN shg b ON a.sh = b.sh AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT p.src_a, p.src_b, p.shared,
+        |  CAST(p.shared AS DOUBLE) / (ta.n_sh + tb.n_sh - p.shared) AS jaccard
+        |FROM pairs p
+        |JOIN tot ta ON ta.source = p.src_a
+        |JOIN tot tb ON tb.source = p.src_b
+        |ORDER BY p.src_a, p.src_b""".stripMargin,
+
     "x01_dedup_exact" ->
       """SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS n_dups,
         |  MIN(doc_id) AS keeper

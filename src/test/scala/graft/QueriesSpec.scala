@@ -215,6 +215,17 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("x37 overlap pairs are canonical and Jaccard-bounded") {
+    val rows = Extras.x37SourceOverlap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "src_a < src_b canonical form")
+      assert(r.getLong(2) > 0)
+      val j = r.getDouble(3)
+      assert(j > 0.0 && j <= 1.0, s"jaccard $j out of range")
+    }
+  }
+
   test("entry() returns non-empty flagship result") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
