@@ -162,6 +162,27 @@ object PlanAudit {
     audit("x37_source_overlap")(
       "pair generation is an equi-join on the shingle" ->
         (p => !p.contains("CartesianProduct")))
+    // x38/x40 are pure row-local passes: any join or aggregate in the
+    // plan means a feature stopped being map-side
+    audit("x38_filter_cascade")(
+      "single map pass: no join" -> (p => !p.contains("Join")),
+      "single map pass: no aggregate" -> (p => !p.contains("Aggregate")))
+    audit("x40_chunk_overlap")(
+      "single map pass: no join" -> (p => !p.contains("Join")),
+      "single map pass: no aggregate" -> (p => !p.contains("Aggregate")))
+    // x41: the global order must come from the bucket-offset scheme,
+    // never a corpus-wide single-partition sort-window
+    audit("x41_curriculum")(
+      "per-row window is (tier,bucket)-partitioned" ->
+        (p => !p.contains("CartesianProduct")),
+      "bucket counts reduce before the offset window" ->
+        (_.contains("HashAggregate")))
+    audit("x42_funnel")(
+      "stage joins are user_id equi-joins" ->
+        (p => !p.contains("CartesianProduct")))
+    audit("x43_retention")(
+      "cohort join is a user_id equi-join" ->
+        (p => !p.contains("CartesianProduct")))
 
     println(s"\nPlan audit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()

@@ -93,7 +93,13 @@ object SparkEntry {
     // approximate by design (sketch estimate) -> rows-only check;
     // QueriesSpec pins the error bound against the exact twin
     "x36_sketch_store" -> (X.x36SketchStore _),
-    "x37_source_overlap" -> (X.x37SourceOverlap _)
+    "x37_source_overlap" -> (X.x37SourceOverlap _),
+    "x38_filter_cascade" -> (X.x38FilterCascade _),
+    "x39_data_card" -> (X.x39DataCard _),
+    "x40_chunk_overlap" -> (X.x40ChunkOverlap _),
+    "x41_curriculum" -> (X.x41Curriculum _),
+    "x42_funnel" -> (X.x42Funnel _),
+    "x43_retention" -> (X.x43Retention _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

@@ -1337,6 +1337,212 @@ object Extras {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- corpus curation & analytics
+
+  /** x38 — C4/Gopher-style quality filter cascade: every document gets
+    * a keep/drop verdict plus the FIRST failing rule (the audit trail a
+    * curation pipeline needs to explain "why did this doc drop" and to
+    * tune one rule without re-running the rest). Rules, in order:
+    * too_short (<16 tokens), tok_shape (mean token length outside
+    * [3.8, 5.2]), low_diversity (distinct-token ratio < 0.32),
+    * high_stopword (stopword ratio > 0.125) — thresholds sit at the
+    * ~5% tails of the corpus distributions.
+    *
+    * Scale shape: every feature is row-local (array ops inside
+    * whole-stage codegen) — no join, no aggregate, ONE pass that
+    * pipelines with the scan; at 100 TB this is pure map throughput.
+    */
+  def x38FilterCascade(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val f = t(s, dir, "documents")
+      .withColumn("toks", TextFns.tokenize($"text"))
+      .select($"doc_id",
+        size($"toks").cast(LongType).as("n_toks"),
+        (($"n_chars".cast(DoubleType) - (size($"toks") - 1)) / size($"toks"))
+          .as("avg_tok_len"),
+        (size(array_distinct($"toks")).cast(DoubleType) / size($"toks"))
+          .as("diversity"),
+        (TextFns.markerCount("toks", TextFns.Stopwords).cast(DoubleType) /
+          size($"toks")).as("stop_ratio"))
+    f.withColumn("fail_rule",
+        when($"n_toks" < 16, "too_short")
+          .when($"avg_tok_len" < 3.8 || $"avg_tok_len" > 5.2, "tok_shape")
+          .when($"diversity" < 0.32, "low_diversity")
+          .when($"stop_ratio" > 0.125, "high_stopword"))
+      .withColumn("keep", $"fail_rule".isNull.cast(IntegerType))
+      .orderBy($"doc_id")
+  }
+
+  /** x39 — per-source data card: the datasheet row every corpus audit
+    * publishes per source — volume (docs, tokens), language profile
+    * (distinct langs + dominant lang), exact duplicate rate, and length
+    * shape (mean + p50/p90 chars).
+    *
+    * Scale shape: one hash aggregate keyed on source carries all the
+    * distributive stats (count / sum / two exact COUNT DISTINCTs /
+    * exact percentiles); the dominant language is a second tiny
+    * aggregate over (source, lang) reduced with `min_by` and broadcast
+    * back. Output is O(sources).
+    */
+  def x39DataCard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents")
+      .select($"source", $"lang", $"n_chars",
+        size(TextFns.tokenize($"text")).cast(LongType).as("n_toks"),
+        md5($"text").as("h"))
+    val card = d.groupBy($"source").agg(
+      cnt.as("n_docs"),
+      sum($"n_toks").as("total_toks"),
+      countDistinct($"h").as("uniq"),
+      countDistinct($"lang").as("n_langs"),
+      sum($"n_chars").as("sum_chars"),
+      expr("percentile(n_chars, array(0.5D, 0.9D))").as("q"))
+    // dominant language: highest doc count, ties to the smallest lang
+    // code (min_by over (-n, lang) needs no window)
+    val topLang = d.groupBy($"source", $"lang").agg(cnt.as("n"))
+      .groupBy($"source")
+      .agg(min_by($"lang", struct((-$"n").as("nn"), $"lang")).as("top_lang"))
+    card.join(broadcast(topLang), Seq("source"))
+      .select($"source", $"n_docs", $"total_toks", $"n_langs", $"top_lang",
+        (lit(1.0) - $"uniq".cast(DoubleType) / $"n_docs").as("dup_rate"),
+        ($"sum_chars".cast(DoubleType) / $"n_docs").as("mean_chars"),
+        element_at($"q", 1).as("p50_chars"),
+        element_at($"q", 2).as("p90_chars"))
+      .orderBy($"source")
+  }
+
+  /** Chunking geometry for x40: 32-token windows advancing by 24
+    * (8-token overlap so a fact spanning a boundary survives in one
+    * chunk whole — the standard RAG/pretrain chunking trade).
+    */
+  val ChunkWindow = 32
+  val ChunkStride = 24
+
+  /** x40 — overlapping chunk extraction: split every document into
+    * fixed-size token windows with overlap and emit (chunk index,
+    * start, actual length, content hash) — the doc→chunk explosion
+    * that fronts embedding-index builds and context-window packing.
+    * The chunk count is 1 + ceil(max(n-W,0)/S), so the tail is always
+    * covered and a short doc yields exactly one partial chunk.
+    *
+    * Scale shape: row-local `sequence`+`explode` — no shuffle, no
+    * state; output is ~n/S rows per doc, produced in the same pass
+    * that scanned it.
+    */
+  def x40ChunkOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (w, st) = (ChunkWindow, ChunkStride)
+    t(s, dir, "documents")
+      .withColumn("toks", TextFns.tokenize($"text"))
+      .withColumn("n", size($"toks"))
+      .select($"doc_id", $"toks", $"n", explode(expr(
+        s"sequence(0L, CAST(ceil(greatest(n - $w, 0) / $st.0) AS BIGINT))")).as("k"))
+      .select($"doc_id", $"k".as("chunk_idx"),
+        ($"k" * st + 1).as("start_pos"),
+        least(lit(w.toLong), $"n" - $"k" * st).as("chunk_toks"),
+        md5(concat_ws(" ", expr(s"slice(toks, CAST(k AS INT) * $st + 1, $w)")))
+          .as("chunk_hash"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** Curriculum tier cutpoints for x41 (the corpus quality-score
+    * quartiles, pinned as config so the tiering is reproducible and
+    * fp-exact on any engine — recompute offline when the corpus moves).
+    */
+  val CurriculumCuts: (Double, Double, Double) = (0.75, 0.67, 0.58)
+
+  /** x41 — curriculum training order: a deterministic epoch shuffle
+    * that serves the best-quality quartile first (tier 0) and within
+    * each tier a seeded pseudo-random order — every doc gets a GLOBAL
+    * position 1..N.
+    *
+    * The scale problem this solves: a naive
+    * `row_number() OVER (ORDER BY tier, key)` is a single-partition
+    * window — one reducer sorts the corpus. Instead the shuffle key's
+    * own 2-hex-char prefix partitions each tier into 256 buckets;
+    * per-(tier, bucket) counts (≤1024 rows, driver-scale) prefix-sum
+    * into global offsets, and the only per-row window is partitioned
+    * by (tier, bucket). Because the bucket is a PREFIX of the sort
+    * key, offset + within-bucket rank reproduces the exact global
+    * order — no stage ever sees more than one bucket of one tier.
+    */
+  def x41Curriculum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (q3, q2, q1) = CurriculumCuts
+    val keyed = qualityScored(s, dir)
+      .select($"doc_id",
+        when($"score" >= q3, 0L).when($"score" >= q2, 1L)
+          .when($"score" >= q1, 2L).otherwise(3L).as("tier"),
+        md5(concat(lit("epoch1:"), $"doc_id".cast(StringType))).as("skey"))
+      .withColumn("bucket", substring($"skey", 1, 2))
+    val counts = keyed.groupBy($"tier", $"bucket").agg(cnt.as("n"))
+    // tiny frame (tiers × 256): the unpartitioned running-sum window
+    // runs over post-aggregation rows, never over the corpus
+    val offsets = counts.withColumn("off",
+      coalesce(sum($"n").over(
+        org.apache.spark.sql.expressions.Window.orderBy($"tier", $"bucket")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val rn = row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy($"tier", $"bucket").orderBy($"skey", $"doc_id"))
+    keyed.join(broadcast(offsets.select($"tier", $"bucket", $"off")),
+        Seq("tier", "bucket"))
+      .select(($"off" + rn).as("pos"), $"doc_id", $"tier", $"skey")
+      .orderBy($"pos")
+  }
+
+  /** x42 — ordered funnel (view → click → purchase): per user, the
+    * first view, the first click AT OR AFTER that view, and the first
+    * purchase at or after that click — the strict-ordering semantics
+    * that separate a funnel from three independent mins (a click
+    * before any view does not count).
+    *
+    * Scale shape: each stage is one filtered aggregate joined to the
+    * previous stage's (user, ts) frame — all shuffles share the
+    * user_id key, so AQE co-partitions the chain; no windows, no
+    * event-list collection per user.
+    */
+  def x42Funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir).select($"user_id", $"event_type", $"ts")
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t_view"))
+    val c = ev.filter($"event_type" === "click")
+      .join(v, Seq("user_id"))
+      .filter($"ts" >= $"t_view")
+      .groupBy($"user_id").agg(min($"ts").as("t_click"))
+    val p = ev.filter($"event_type" === "purchase")
+      .join(c, Seq("user_id"))
+      .filter($"ts" >= $"t_click")
+      .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .orderBy($"user_id")
+  }
+
+  /** x43 — weekly cohort retention: users grouped by first-activity
+    * week, counted once per later activity week — the
+    * (cohort, weeks-since) matrix behind every retention curve.
+    *
+    * Scale shape: first-seen week is one aggregate on user_id; the
+    * join back is user_id-co-partitioned; the distinct + count is one
+    * more hash shuffle on (cohort, week). No windows.
+    */
+  def x43Retention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wk = events(s, dir)
+      .select($"user_id", date_trunc("week", $"ts").as("wk"))
+    val first = wk.groupBy($"user_id").agg(min($"wk").as("cohort"))
+    wk.join(first, Seq("user_id"))
+      .select($"cohort",
+        expr("CAST(datediff(wk, cohort) DIV 7 AS BIGINT)").as("week_n"),
+        $"user_id")
+      .distinct()
+      .groupBy($"cohort", $"week_n").agg(cnt.as("users"))
+      .orderBy($"cohort", $"week_n")
+  }
+
   /** q26 Aggregator twin — typed [[VectorFns.CentroidAgg]] centroid
     * (float-sum order differs by design → rows-only check; the
     * decimal-exact Q26 is the hash-checked form).

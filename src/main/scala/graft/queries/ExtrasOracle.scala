@@ -172,6 +172,111 @@ object ExtrasOracle {
         |JOIN tot tb ON tb.source = p.src_b
         |ORDER BY p.src_a, p.src_b""".stripMargin,
 
+    "x38_filter_cascade" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks, n_chars
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_toks,
+        |    (CAST(n_chars AS DOUBLE) - (len(toks) - 1)) / len(toks) AS avg_tok_len,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS diversity,
+        |    CAST(len(list_filter(toks, t -> t IN ('a', 'the', 'of', 'and')))
+        |      AS DOUBLE) / len(toks) AS stop_ratio
+        |  FROM d)
+        |SELECT doc_id, n_toks, avg_tok_len, diversity, stop_ratio,
+        |  CASE WHEN n_toks < 16 THEN 'too_short'
+        |       WHEN avg_tok_len < 3.8 OR avg_tok_len > 5.2 THEN 'tok_shape'
+        |       WHEN diversity < 0.32 THEN 'low_diversity'
+        |       WHEN stop_ratio > 0.125 THEN 'high_stopword' END AS fail_rule,
+        |  CAST(CASE WHEN n_toks < 16 OR avg_tok_len < 3.8 OR avg_tok_len > 5.2
+        |         OR diversity < 0.32 OR stop_ratio > 0.125
+        |       THEN 0 ELSE 1 END AS INTEGER) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "x39_data_card" ->
+      """WITH d AS (SELECT source, lang, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |    md5(text) AS h
+        |  FROM documents),
+        |card AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_toks) AS BIGINT) AS total_toks,
+        |    CAST(COUNT(DISTINCT h) AS BIGINT) AS uniq,
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    SUM(n_chars) AS sum_chars,
+        |    quantile_cont(n_chars, 0.5) AS p50_chars,
+        |    quantile_cont(n_chars, 0.9) AS p90_chars
+        |  FROM d GROUP BY 1),
+        |lc AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM d GROUP BY 1, 2),
+        |top AS (SELECT source, lang AS top_lang FROM (
+        |    SELECT source, lang,
+        |      row_number() OVER (PARTITION BY source ORDER BY n DESC, lang) AS rn
+        |    FROM lc) WHERE rn = 1)
+        |SELECT c.source, c.n_docs, c.total_toks, c.n_langs, t.top_lang,
+        |  1.0 - CAST(c.uniq AS DOUBLE) / c.n_docs AS dup_rate,
+        |  CAST(c.sum_chars AS DOUBLE) / c.n_docs AS mean_chars,
+        |  c.p50_chars, c.p90_chars
+        |FROM card c JOIN top t ON t.source = c.source
+        |ORDER BY c.source""".stripMargin,
+
+    "x40_chunk_overlap" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |e AS (SELECT doc_id, toks, n,
+        |    unnest(generate_series(0,
+        |      CAST(ceil(greatest(n - 32, 0) / 24.0) AS BIGINT))) AS k
+        |  FROM d)
+        |SELECT doc_id, k AS chunk_idx, k * 24 + 1 AS start_pos,
+        |  least(32, n - k * 24) AS chunk_toks,
+        |  md5(array_to_string(toks[k*24+1 : k*24+32], ' ')) AS chunk_hash
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "x41_curriculum" ->
+      """WITH b AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |    CAST(length(text) AS BIGINT) AS len,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('a', 'the', 'of', 'and'))) AS BIGINT) AS n_stop
+        |  FROM documents),
+        |sc AS (SELECT doc_id,
+        |    0.4 * LEAST(n_toks / 100.0, 1.0)
+        |      + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_toks)
+        |      + 0.3 * LEAST(((CAST(len AS DOUBLE) - (n_toks - 1)) / n_toks) / 8.0, 1.0)
+        |      AS score
+        |  FROM b),
+        |k AS (SELECT doc_id,
+        |    CAST(CASE WHEN score >= 0.75 THEN 0 WHEN score >= 0.67 THEN 1
+        |              WHEN score >= 0.58 THEN 2 ELSE 3 END AS BIGINT) AS tier,
+        |    md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS skey
+        |  FROM sc)
+        |SELECT CAST(row_number() OVER (ORDER BY tier, skey, doc_id) AS BIGINT)
+        |    AS pos, doc_id, tier, skey
+        |FROM k ORDER BY pos""".stripMargin,
+
+    "x42_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, ts FROM events),
+        |v AS (SELECT user_id, min(ts) AS t_view FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY 1)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+        |FROM v LEFT JOIN c ON c.user_id = v.user_id
+        |LEFT JOIN p ON p.user_id = v.user_id
+        |ORDER BY v.user_id""".stripMargin,
+
+    "x43_retention" ->
+      """WITH wk AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+        |first AS (SELECT user_id, min(wk) AS cohort FROM wk GROUP BY 1)
+        |SELECT cohort,
+        |  CAST(date_diff('day', cohort, wk) // 7 AS BIGINT) AS week_n,
+        |  CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS users
+        |FROM wk w JOIN first f ON f.user_id = w.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "x01_dedup_exact" ->
       """SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS n_dups,
         |  MIN(doc_id) AS keeper

@@ -226,6 +226,90 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("x38 cascade keeps the majority and attributes every drop to one rule") {
+    val rows = Extras.x38FilterCascade(spark, sf).collect()
+    val kept = rows.count(_.getInt(6) == 1)
+    assert(kept > rows.length / 2, "thresholds sit at the tails, most docs keep")
+    rows.foreach { r =>
+      val hasRule = !r.isNullAt(5)
+      assert(hasRule == (r.getInt(6) == 0), "fail_rule iff dropped")
+    }
+    assert(rows.filter(_.getInt(6) == 0).map(_.getString(5)).distinct.length >= 2,
+      "at least two distinct rules fire on the corpus")
+  }
+
+  test("x39 data card: one row per source, bounded rates, quantiles ordered") {
+    val rows = Extras.x39DataCard(spark, sf).collect()
+    assert(rows.map(_.getString(0)).distinct.length == rows.length)
+    rows.foreach { r =>
+      val dup = r.getDouble(5)
+      assert(dup >= 0.0 && dup < 1.0, s"dup_rate $dup")
+      assert(r.getDouble(7) <= r.getDouble(8), "p50 <= p90")
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+    }
+  }
+
+  test("x40 chunks tile each doc: stride starts, full coverage, bounded size") {
+    val rows = Extras.x40ChunkOverlap(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    val lens = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_.getLong(1))
+      sorted.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getLong(1) == i, "chunk_idx dense from 0")
+        assert(c.getLong(2) == i * Extras.ChunkStride + 1, "stride starts")
+        assert(c.getLong(3) >= 1 && c.getLong(3) <= Extras.ChunkWindow)
+      }
+      val last = sorted.last
+      assert(last.getLong(2) + last.getLong(3) - 1 == lens(doc),
+        "last chunk ends exactly at the doc's final token")
+    }
+  }
+
+  test("x41 positions are a permutation with contiguous tier blocks") {
+    val rows = Extras.x41Curriculum(spark, sf).collect()
+    val pos = rows.map(_.getLong(0))
+    assert(pos.toSet == (1L to rows.length.toLong).toSet, "1..N permutation")
+    val byTier = rows.groupBy(_.getLong(2)).toSeq.sortBy(_._1)
+    byTier.sliding(2).foreach {
+      case Seq((_, a), (_, b)) =>
+        assert(a.map(_.getLong(0)).max < b.map(_.getLong(0)).min,
+          "tier t exhausts before tier t+1 starts")
+      case _ =>
+    }
+  }
+
+  test("x42 funnel stages are ordered when present") {
+    val rows = Extras.x42Funnel(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var converted = 0
+    rows.foreach { r =>
+      val v = r.getTimestamp(1)
+      if (!r.isNullAt(2)) {
+        assert(!v.after(r.getTimestamp(2)), "t_click >= t_view")
+        if (!r.isNullAt(3)) {
+          assert(!r.getTimestamp(2).after(r.getTimestamp(3)),
+            "t_purchase >= t_click")
+          converted += 1
+        }
+      } else assert(r.isNullAt(3), "no purchase stage without a click stage")
+    }
+    assert(converted > 0, "some user completes the funnel")
+  }
+
+  test("x43 retention peaks at week 0 for every cohort") {
+    val rows = Extras.x43Retention(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.get(0)).foreach { case (_, cs) =>
+      val week0 = cs.find(_.getLong(1) == 0L)
+      assert(week0.isDefined, "every cohort has its own first week")
+      assert(cs.forall(_.getLong(2) <= week0.get.getLong(2)),
+        "no later week exceeds the cohort size")
+    }
+  }
+
   test("entry() returns non-empty flagship result") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
