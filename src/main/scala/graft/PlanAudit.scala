@@ -183,6 +183,16 @@ object PlanAudit {
     audit("x43_retention")(
       "cohort join is a user_id equi-join" ->
         (p => !p.contains("CartesianProduct")))
+    audit("x44_boilerplate")(
+      "boilerplate set joins back by phrase hash" ->
+        (p => !p.contains("CartesianProduct")))
+    audit("x45_tfidf_keywords")(
+      "top-3 window is doc_id-partitioned (group-limit pushdown)" ->
+        (_.contains("WindowGroupLimit")),
+      "df join is a term equi-join" -> (p => !p.contains("CartesianProduct")))
+    audit("x46_volume_anomaly")(
+      "per-type stats broadcast back" -> (_.contains("BroadcastHashJoin")),
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")))
 
     println(s"\nPlan audit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()

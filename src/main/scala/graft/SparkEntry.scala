@@ -99,7 +99,10 @@ object SparkEntry {
     "x40_chunk_overlap" -> (X.x40ChunkOverlap _),
     "x41_curriculum" -> (X.x41Curriculum _),
     "x42_funnel" -> (X.x42Funnel _),
-    "x43_retention" -> (X.x43Retention _)
+    "x43_retention" -> (X.x43Retention _),
+    "x44_boilerplate" -> (X.x44Boilerplate _),
+    "x45_tfidf_keywords" -> (X.x45TfidfKeywords _),
+    "x46_volume_anomaly" -> (X.x46VolumeAnomaly _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

@@ -1543,6 +1543,114 @@ object Extras {
       .orderBy($"cohort", $"week_n")
   }
 
+  /** x44 — boilerplate-phrase audit: the fraction of each document's
+    * distinct 3-gram phrases that also appear in at least
+    * max(2, 1% of corpus) OTHER documents — the repeated-content
+    * signal (headers, footers, licence blurbs, nav text) that
+    * line-level dedup pipelines strip before training. Phrase length
+    * and the document-frequency threshold are the two knobs.
+    *
+    * Scale shape: distinct (doc, phrase) pairs are one hash shuffle;
+    * document frequencies one more keyed on the phrase hash; the
+    * boilerplate set joins back BY PHRASE (skew bounded by the df
+    * threshold itself — a phrase's fan-out is its df), and the final
+    * per-doc count re-shuffles on doc_id. No windows, no all-pairs.
+    */
+  def x44Boilerplate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents")
+      .select($"doc_id", TextFns.tokenize($"text").as("toks"))
+    val sh = d.filter(size($"toks") >= 3)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(toks) - 2)," +
+          " i -> md5(concat_ws(' ', slice(toks, i, 3))))")).as("sh"))
+      .distinct()
+    graft.Caching.withPersisted(sh) { ss =>
+      val ndocs = d.agg(countDistinct($"doc_id").as("n_docs"))
+      val boiler = ss.groupBy($"sh").agg(cnt.as("df"))
+        .crossJoin(broadcast(ndocs))
+        .filter($"df" >= greatest(lit(2L), ceil($"n_docs" * 0.01)))
+        .select($"sh", lit(1L).as("is_b"))
+      ss.join(boiler, Seq("sh"), "left")
+        .groupBy($"doc_id")
+        .agg(cnt.as("n_phrases"), sum(coalesce($"is_b", lit(0L))).as("n_boiler"))
+        .select($"doc_id", $"n_phrases", $"n_boiler",
+          ($"n_boiler".cast(DoubleType) / $"n_phrases").as("boiler_frac"))
+        .orderBy($"doc_id")
+    }
+  }
+
+  /** x45 — TF-IDF keyword extraction: top-3 terms per document by
+    * tf · N/df. The idf is the RATIONAL form N/df, not log(N/df):
+    * log goes through libm (whose last-ulp rounding differs between
+    * engines and platforms) while tf·N is exact int64 and one IEEE
+    * division is exactly rounded everywhere — same ranking, portable
+    * bit-for-bit. Ties break on the term string.
+    *
+    * Scale shape: term frequencies and document frequencies are two
+    * hash aggregates; the df join is keyed on the term (its fan-out is
+    * the df itself); the per-doc top-3 window is PARTITIONED by doc_id
+    * so WindowGroupLimit keeps 3 rows per group map-side — no global
+    * sort, no single-partition stage.
+    */
+  def x45TfidfKeywords(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val tf = docs
+      .select($"doc_id", explode(TextFns.tokenize($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(cnt.as("tf"))
+    val dfs = tf.groupBy($"tok").agg(cnt.as("df"))
+    val ndocs = docs.agg(cnt.as("n_docs"))
+    val rk = row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"score".desc, $"tok"))
+    tf.join(dfs, Seq("tok"))
+      .crossJoin(broadcast(ndocs))
+      .withColumn("score", ($"tf" * $"n_docs").cast(DoubleType) / $"df")
+      .withColumn("rk", rk.cast(LongType))
+      .filter($"rk" <= 3)
+      .select($"doc_id", $"rk", $"tok", $"tf", $"df", $"score")
+      .orderBy($"doc_id", $"rk")
+  }
+
+  /** x46 — event-volume anomaly detection: per event type, flag days
+    * whose count sits more than 2 standard deviations from that type's
+    * daily mean — the ingest-health tripwire that catches a broken
+    * emitter or a replayed day before it poisons downstream stats.
+    *
+    * Portability shape: mean and variance come from the EXACT integer
+    * (count, sum, sum-of-squares) triple — never a streaming stddev
+    * whose float accumulation order varies with partitioning — and the
+    * double arithmetic on top is the same expression tree the oracle
+    * runs, so the z-scores hash-match. Degenerate groups (one day, or
+    * zero variance) report z = 0 rather than dividing by zero.
+    *
+    * Scale shape: daily counts are one hash aggregate; the per-type
+    * stats reduce ~365 rows per type and broadcast back. Nothing else
+    * moves.
+    */
+  def x46VolumeAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = events(s, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(cnt.as("n"))
+    val stats = daily.groupBy($"event_type")
+      .agg(cnt.as("d"), sum($"n").as("s"), sum($"n" * $"n").as("q"))
+    daily.join(broadcast(stats), Seq("event_type"))
+      .withColumn("mean", $"s".cast(DoubleType) / $"d")
+      .withColumn("variance",
+        when($"d" > 1,
+          ($"q".cast(DoubleType) - $"s".cast(DoubleType) * $"s" / $"d") /
+            ($"d" - 1))
+          .otherwise(lit(0.0)))
+      .withColumn("z",
+        when($"variance" > 0.0, ($"n" - $"mean") / sqrt($"variance"))
+          .otherwise(lit(0.0)))
+      .select($"event_type", $"day", $"n", $"mean", $"z",
+        (abs($"z") > 2.0).cast(IntegerType).as("is_spike"))
+      .orderBy($"event_type", $"day")
+  }
+
   /** q26 Aggregator twin — typed [[VectorFns.CentroidAgg]] centroid
     * (float-sum order differs by design → rows-only check; the
     * decimal-exact Q26 is the hash-checked form).

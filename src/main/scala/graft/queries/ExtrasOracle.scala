@@ -277,6 +277,63 @@ object ExtrasOracle {
         |FROM wk w JOIN first f ON f.user_id = w.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "x44_boilerplate" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    md5(array_to_string(toks[i:i+2], ' ')) AS sh
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(1, len(toks) - 2)) AS i
+        |        FROM d WHERE len(toks) >= 3)),
+        |nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM d),
+        |b AS (SELECT sh FROM
+        |    (SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY 1), nd
+        |  WHERE df >= greatest(2, CAST(ceil(n_docs * 0.01) AS BIGINT)))
+        |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_phrases,
+        |  CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_boiler,
+        |  CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS boiler_frac
+        |FROM sh s LEFT JOIN b ON b.sh = s.sh
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "x45_tfidf_keywords" ->
+      """WITH tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |dfs AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, tok, tf, df,
+        |    CAST(tf * n_docs AS DOUBLE) / df AS score
+        |  FROM tf JOIN dfs USING (tok), nd),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY score DESC, tok) AS BIGINT) AS rk
+        |  FROM sc)
+        |SELECT doc_id, rk, tok, tf, df, score FROM r
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "x46_volume_anomaly" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS d,
+        |    CAST(SUM(n) AS BIGINT) AS s, CAST(SUM(n * n) AS BIGINT) AS q
+        |  FROM daily GROUP BY 1),
+        |m AS (SELECT daily.event_type, day, n, d, s, q,
+        |    CAST(s AS DOUBLE) / d AS mean,
+        |    CASE WHEN d > 1
+        |      THEN (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / d) / (d - 1)
+        |      ELSE 0.0 END AS variance
+        |  FROM daily JOIN st ON st.event_type = daily.event_type)
+        |SELECT event_type, day, n, mean,
+        |  CASE WHEN variance > 0.0 THEN (n - mean) / sqrt(variance)
+        |       ELSE 0.0 END AS z,
+        |  CAST(CASE WHEN abs(CASE WHEN variance > 0.0
+        |          THEN (n - mean) / sqrt(variance) ELSE 0.0 END) > 2.0
+        |        THEN 1 ELSE 0 END AS INTEGER) AS is_spike
+        |FROM m ORDER BY event_type, day""".stripMargin,
+
     "x01_dedup_exact" ->
       """SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS n_dups,
         |  MIN(doc_id) AS keeper

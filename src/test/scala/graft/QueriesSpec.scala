@@ -310,6 +310,45 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("x44 boilerplate fractions are bounded and the dup pair scores high") {
+    val rows = Extras.x44Boilerplate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "n_boiler <= n_phrases")
+      val f = r.getDouble(3)
+      assert(f >= 0.0 && f <= 1.0)
+    }
+    assert(rows.exists(_.getLong(2) > 0), "repeated phrases exist in the corpus")
+  }
+
+  test("x45 keywords: <=3 per doc, rank-ordered by score, df-consistent") {
+    val rows = Extras.x45TfidfKeywords(spark, sf).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, ks) =>
+      assert(ks.length <= 3)
+      val sorted = ks.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getDouble(5) >= b.getDouble(5), "scores non-increasing in rank")
+        case _ =>
+      }
+    }
+    assert(rows.forall(r => r.getLong(4) >= 1), "df >= 1 for every emitted term")
+  }
+
+  test("x46 z-scores: mean-centered per type, spikes match the 2-sigma flag") {
+    val rows = Extras.x46VolumeAnomaly(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val spike = r.getInt(5) == 1
+      assert(spike == (math.abs(r.getDouble(4)) > 2.0))
+    }
+    rows.groupBy(_.getString(0)).foreach { case (_, ds) =>
+      val zsum = ds.map(_.getDouble(4)).sum
+      assert(math.abs(zsum) < 1e-6 * ds.length.max(1),
+        "z-scores of a type sum to ~0 when variance is positive")
+    }
+  }
+
   test("entry() returns non-empty flagship result") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
