@@ -193,6 +193,9 @@ object PlanAudit {
     audit("x46_volume_anomaly")(
       "per-type stats broadcast back" -> (_.contains("BroadcastHashJoin")),
       "no cartesian product" -> (p => !p.contains("CartesianProduct")))
+    audit("x47_containment")(
+      "pair generation is a capped shingle equi-join" ->
+        (p => !p.contains("CartesianProduct")))
 
     println(s"\nPlan audit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()

@@ -102,7 +102,8 @@ object SparkEntry {
     "x43_retention" -> (X.x43Retention _),
     "x44_boilerplate" -> (X.x44Boilerplate _),
     "x45_tfidf_keywords" -> (X.x45TfidfKeywords _),
-    "x46_volume_anomaly" -> (X.x46VolumeAnomaly _)
+    "x46_volume_anomaly" -> (X.x46VolumeAnomaly _),
+    "x47_containment" -> (X.x47Containment _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

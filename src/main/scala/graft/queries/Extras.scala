@@ -1651,6 +1651,56 @@ object Extras {
       .orderBy($"event_type", $"day")
   }
 
+  /** Document-frequency cap for x47: shingles present in more than
+    * this many documents are dropped before pairing. A ubiquitous
+    * shingle contributes df² candidate pairs; capping df bounds the
+    * self-join's output per key — the standard trick that keeps
+    * containment mining sub-quadratic on web corpora.
+    */
+  val ContainmentDfCap = 100L
+
+  /** x47 — near-containment detection: pairs where the SMALLER
+    * document's 8-token shingle set is ≥50% covered by the larger's
+    * (overlap coefficient `shared / min(|A|,|B|)`). This is the
+    * asymmetric complement to Jaccard dedup (x04): a short doc quoted
+    * wholesale inside a long one scores low Jaccard but containment
+    * ~1, so MinHash never flags it.
+    *
+    * Scale shape: same index-join discipline as x37 — pairs only
+    * materialize through a shared shingle hash (bounded per key by
+    * [[ContainmentDfCap]]²), sizes join back by doc, and the exact
+    * coefficient is computed on candidates only. No all-pairs stage.
+    */
+  def x47Containment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = t(s, dir, "documents")
+      .select($"doc_id", TextFns.tokenize($"text").as("toks"))
+      .select($"doc_id", explode(expr(
+        "CASE WHEN size(toks) >= 8 THEN" +
+          " transform(sequence(1, size(toks) - 7), i -> md5(concat_ws(' ', slice(toks, i, 8))))" +
+          " ELSE array(md5(concat_ws(' ', toks))) END")).as("sh"))
+      .distinct()
+    graft.Caching.withPersisted(sh) { ss =>
+      val sizes = ss.groupBy($"doc_id").agg(cnt.as("n"))
+      val rare = ss.groupBy($"sh").agg(cnt.as("df"))
+        .filter($"df" <= ContainmentDfCap).select($"sh")
+      val indexed = ss.join(rare, Seq("sh"))
+      val pairs = indexed.as("a")
+        .join(indexed.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(cnt.as("shared"))
+      pairs
+        .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), Seq("d1"))
+        .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), Seq("d2"))
+        .withColumn("containment",
+          $"shared".cast(DoubleType) / least($"n1", $"n2"))
+        .filter($"containment" >= 0.5)
+        .select($"d1", $"d2", $"n1", $"n2", $"shared", $"containment")
+        .orderBy($"d1", $"d2")
+    }
+  }
+
   /** q26 Aggregator twin — typed [[VectorFns.CentroidAgg]] centroid
     * (float-sum order differs by design → rows-only check; the
     * decimal-exact Q26 is the hash-checked form).

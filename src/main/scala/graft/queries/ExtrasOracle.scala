@@ -334,6 +334,35 @@ object ExtrasOracle {
         |        THEN 1 ELSE 0 END AS INTEGER) AS is_spike
         |FROM m ORDER BY event_type, day""".stripMargin,
 
+    "x47_containment" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |      md5(array_to_string(toks[i:i+7], ' ')) AS sh
+        |    FROM (SELECT doc_id, toks,
+        |            unnest(generate_series(1, len(toks) - 7)) AS i
+        |          FROM d WHERE len(toks) >= 8)
+        |  UNION
+        |  SELECT DISTINCT doc_id, md5(array_to_string(toks, ' ')) AS sh
+        |    FROM d WHERE len(toks) < 8),
+        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM sh GROUP BY 1),
+        |rare AS (SELECT sh FROM
+        |  (SELECT sh, COUNT(*) AS df FROM sh GROUP BY 1) WHERE df <= 100),
+        |ix AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare r ON r.sh = s.sh),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    CAST(COUNT(*) AS BIGINT) AS shared
+        |  FROM ix a JOIN ix b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.d1, p.d2, za.n AS n1, zb.n AS n2, p.shared,
+        |  CAST(p.shared AS DOUBLE) / least(za.n, zb.n) AS containment
+        |FROM pairs p
+        |JOIN sz za ON za.doc_id = p.d1
+        |JOIN sz zb ON zb.doc_id = p.d2
+        |WHERE CAST(p.shared AS DOUBLE) / least(za.n, zb.n) >= 0.5
+        |ORDER BY p.d1, p.d2""".stripMargin,
+
     "x01_dedup_exact" ->
       """SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS n_dups,
         |  MIN(doc_id) AS keeper

@@ -349,6 +349,20 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("x47 containment pairs are canonical, bounded, and include the exact dups") {
+    val rows = Extras.x47Containment(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "d1 < d2 canonical form")
+      val c = r.getDouble(5)
+      assert(c >= 0.5 && c <= 1.0, s"containment $c out of range")
+      assert(r.getLong(4) <= math.min(r.getLong(2), r.getLong(3)),
+        "shared <= min size")
+    }
+    assert(rows.exists(_.getDouble(5) == 1.0),
+      "an exact-duplicate pair reaches containment 1.0")
+  }
+
   test("entry() returns non-empty flagship result") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
