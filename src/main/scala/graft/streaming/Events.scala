@@ -164,6 +164,64 @@ object Events {
       }
   }
 
+  /** Per-type monitor state for [[volumeMonitor]]: counters for days
+    * the watermark has not yet closed, plus the exact
+    * (days, sum, sum-of-squares) triple of every day already closed.
+    * State size is O(open days) + 3 longs per event type — bounded by
+    * the watermark, independent of stream length.
+    */
+  case class VolState(open: Map[Long, Long], d: Long, s: Long, q: Long)
+
+  /** Streaming twin of batch x46: prequential daily-volume anomaly
+    * detection. Each day's count is scored against the mean/stddev of
+    * the days closed BEFORE it (so the monitor never peeks ahead —
+    * exactly what a live ingest-health alert can know), then folded
+    * into the running stats. A day closes, and is emitted exactly
+    * once, when the event-time watermark passes its end; the z uses
+    * the same exact-integer (count, sum, sum²) arithmetic as x46, and
+    * degenerate history (<2 days, zero variance) pins z = 0.
+    */
+  def volumeMonitor(events: Dataset[Event])
+      : Dataset[(String, java.sql.Timestamp, Long, Double, Int)] = {
+    import events.sparkSession.implicits._
+    val dayMs = 86400000L
+    events
+      .withWatermark("ts", "1 day")
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (etype: String, rows: Iterator[Event], state: GroupState[VolState]) =>
+          val st = state.getOption.getOrElse(VolState(Map.empty, 0L, 0L, 0L))
+          val open = rows.foldLeft(st.open) { (m, e) =>
+            val day = math.floorDiv(e.ts.getTime, dayMs) * dayMs
+            m.updated(day, m.getOrElse(day, 0L) + 1L)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val (closable, stillOpen) = open.partition {
+            case (day, _) => day + dayMs <= wm
+          }
+          var (d, s, q) = (st.d, st.s, st.q)
+          // close strictly in day order so the prequential stats are
+          // deterministic regardless of how batches grouped the days
+          val out = closable.toSeq.sortBy(_._1).map { case (day, n) =>
+            val z =
+              if (d > 1) {
+                val mean = s.toDouble / d
+                val variance = (q.toDouble - s.toDouble * s / d) / (d - 1)
+                if (variance > 0.0) (n - mean) / math.sqrt(variance) else 0.0
+              } else 0.0
+            d += 1; s += n; q += n * n
+            (etype, new java.sql.Timestamp(day), n, z,
+              if (math.abs(z) > 2.0) 1 else 0)
+          }
+          state.update(VolState(stillOpen, d, s, q))
+          // wake again when the earliest open day can close (timeout
+          // must sit strictly ahead of the current watermark)
+          val wake = (stillOpen.keys.map(_ + dayMs) ++ Seq(wm + dayMs)).min
+          state.setTimeoutTimestamp(math.max(wake, wm + 1))
+          out.iterator
+      }
+  }
+
   /** H-surface extension the reference's pause-bound poller never
     * needed but a lake-scale enrichment does: a stream-stream interval
     * join. Each purchase joins the same user's clicks from the

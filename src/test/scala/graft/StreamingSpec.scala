@@ -125,6 +125,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("volumeMonitor closes days in order and scores against prior history only") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Events.Event]
+    val dayMs = 86400000L
+    var id = 0L
+    def ev(day: Long) = { // noon of the given epoch day
+      id += 1
+      Events.Event(id, new java.sql.Timestamp(day * dayMs + dayMs / 2),
+        1L, "view", 1.0, "{}")
+    }
+    val out = Events.volumeMonitor(input.toDS())
+      .toDF("event_type", "day", "n", "z", "is_spike")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("vol_monitor").start()
+    try {
+      // day1 x3, day2 x2 -> watermark (day2 noon - 1d) closes nothing
+      input.addData(ev(1), ev(1), ev(1), ev(2), ev(2))
+      q.processAllAvailable()
+      assert(spark.table("vol_monitor").count() == 0)
+      // day5 advances the watermark to day4 noon mid-next-batch
+      input.addData(ev(5))
+      q.processAllAvailable()
+      // day6: closes day1 (no history, z=0) and day2 (1 day history, z=0)
+      input.addData(ev(6))
+      q.processAllAvailable()
+      // day8: closes day5 (n=1 vs history mean 2.5, sd sqrt(.5) -> spike)
+      input.addData(ev(8))
+      q.processAllAvailable()
+      // day10: closes day6 (n=1 vs mean 2, sd 1 -> z=-1, no spike); the
+      // trailing watermark-advance batch then closes day8 too
+      // (history {3,2,1,1}: mean 1.75, var 11/12 -> z=-0.7833)
+      input.addData(ev(10))
+      q.processAllAvailable()
+      val rows = spark.table("vol_monitor").collect().map { r =>
+        (r.getTimestamp(1).getTime / dayMs, r.getLong(2),
+          math.rint(r.getDouble(3) * 1e4) / 1e4, r.getInt(4))
+      }.toSet
+      val zDay5 = math.rint((1.0 - 2.5) / math.sqrt(0.5) * 1e4) / 1e4
+      val zDay8 = math.rint((1.0 - 1.75) / math.sqrt(11.0 / 12.0) * 1e4) / 1e4
+      assert(rows == Set(
+        (1L, 3L, 0.0, 0), (2L, 2L, 0.0, 0),
+        (5L, 1L, zDay5, 1), (6L, 1L, -1.0, 0), (8L, 1L, zDay8, 0)))
+    } finally q.stop()
+  }
+
   test("LakeSink commits each micro-batch once; replayed batch ids skip") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
