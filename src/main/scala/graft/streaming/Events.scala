@@ -222,6 +222,35 @@ object Events {
       }
   }
 
+  /** Batch twin of [[volumeMonitor]]: the same prequential z per
+    * (type, day) computed with event_type-partitioned windows over the
+    * daily counts (prior-days-only frames). Used by the spec to pin
+    * stream ≡ batch on the real events table; also the backfill job a
+    * deployment runs to score history before the stream takes over.
+    */
+  def volumeMonitorBatch(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val prior = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    daily
+      .withColumn("d", count(lit(1)).over(prior))
+      .withColumn("s", sum(col("n")).over(prior))
+      .withColumn("q", sum(col("n") * col("n")).over(prior))
+      .withColumn("z",
+        when(col("d") > 1, {
+          val mean = col("s").cast(DoubleType) / col("d")
+          val variance = (col("q").cast(DoubleType) -
+            col("s").cast(DoubleType) * col("s") / col("d")) / (col("d") - 1)
+          when(variance > 0.0, (col("n") - mean) / sqrt(variance))
+            .otherwise(lit(0.0))
+        }).otherwise(lit(0.0)))
+      .select(col("event_type"), col("day"), col("n"), col("z"),
+        (abs(col("z")) > 2.0).cast(IntegerType).as("is_spike"))
+  }
+
   /** H-surface extension the reference's pause-bound poller never
     * needed but a lake-scale enrichment does: a stream-stream interval
     * join. Each purchase joins the same user's clicks from the

@@ -171,6 +171,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("volumeMonitor == batch prequential twin for every watermark-closed day") {
+    import spark.implicits._
+    val streamed = Events.drainToMemory(
+        Events.volumeMonitor(Events.stream(spark, sf).as[Events.Event])
+          .toDF("event_type", "day", "n", "z", "is_spike"),
+        OutputMode.Append())
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getLong(2), r.getDouble(3), r.getInt(4))).toSet
+    assert(streamed.nonEmpty, "the watermark must close at least one day")
+    val batch = Events.volumeMonitorBatch(Events.batch(spark, sf))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getLong(2), r.getDouble(3), r.getInt(4))).toSet
+    // the stream emits the subset of days its final watermark closed;
+    // every emitted row must agree exactly with the batch twin
+    assert(streamed.subsetOf(batch),
+      s"stream rows not in batch twin: ${streamed.diff(batch).take(3)}")
+  }
+
   test("LakeSink commits each micro-batch once; replayed batch ids skip") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
