@@ -196,6 +196,10 @@ object PlanAudit {
     audit("x47_containment")(
       "pair generation is a capped shingle equi-join" ->
         (p => !p.contains("CartesianProduct")))
+    audit("x48_attribution")(
+      "purchase-click pairing is a user_id equi-join" ->
+        (p => !p.contains("CartesianProduct")),
+      "last-touch flag is purchase-partitioned" -> (_.contains("Window")))
 
     println(s"\nPlan audit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()

@@ -103,7 +103,8 @@ object SparkEntry {
     "x44_boilerplate" -> (X.x44Boilerplate _),
     "x45_tfidf_keywords" -> (X.x45TfidfKeywords _),
     "x46_volume_anomaly" -> (X.x46VolumeAnomaly _),
-    "x47_containment" -> (X.x47Containment _)
+    "x47_containment" -> (X.x47Containment _),
+    "x48_attribution" -> (X.x48Attribution _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

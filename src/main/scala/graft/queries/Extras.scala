@@ -1701,6 +1701,43 @@ object Extras {
     }
   }
 
+  /** x48 — click attribution: each purchase's value is split linearly
+    * across the same user's clicks in the trailing 30 minutes, and the
+    * most recent qualifying click is flagged as the last-touch winner —
+    * the two attribution models every ads report ships side by side
+    * (the batch form of the stream-stream interval join in
+    * `streaming/Events.purchaseClickJoin`).
+    *
+    * Scale shape: the purchase×click pairing is a user_id equi-join
+    * with the 30-minute range as a post-condition (never a time-range
+    * cartesian); the per-purchase click count is one aggregate joined
+    * back on purchase_id, and the last-touch flag is a
+    * purchase-partitioned WindowGroupLimit. Credit = value/n is one
+    * exactly-rounded IEEE division, so the money column hash-matches.
+    */
+  def x48Attribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id",
+        $"ts".as("p_ts"), $"value")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id".as("c_user"),
+        $"ts".as("c_ts"))
+    val joined = purchases.join(clicks,
+      $"user_id" === $"c_user" &&
+        $"c_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES") &&
+        $"c_ts" <= $"p_ts")
+    val counts = joined.groupBy($"purchase_id").agg(cnt.as("n_clicks"))
+    val lastW = org.apache.spark.sql.expressions.Window
+      .partitionBy($"purchase_id").orderBy($"c_ts".desc, $"click_id".desc)
+    joined.join(counts, Seq("purchase_id"))
+      .withColumn("is_last", (row_number().over(lastW) === 1).cast(IntegerType))
+      .select($"purchase_id", $"click_id", $"user_id", $"n_clicks",
+        ($"value" / $"n_clicks").as("credit"), $"is_last")
+      .orderBy($"purchase_id", $"click_id")
+  }
+
   /** q26 Aggregator twin — typed [[VectorFns.CentroidAgg]] centroid
     * (float-sum order differs by design → rows-only check; the
     * decimal-exact Q26 is the hash-checked form).

@@ -363,6 +363,26 @@ object ExtrasOracle {
         |WHERE CAST(p.shared AS DOUBLE) / least(za.n, zb.n) >= 0.5
         |ORDER BY p.d1, p.d2""".stripMargin,
 
+    "x48_attribution" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p.purchase_id, c.click_id, p.user_id, p.value, c.c_ts
+        |  FROM p JOIN c ON c.c_user = p.user_id
+        |    AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE
+        |    AND c.c_ts <= p.p_ts),
+        |n AS (SELECT purchase_id, CAST(COUNT(*) AS BIGINT) AS n_clicks
+        |  FROM j GROUP BY 1),
+        |r AS (SELECT j.*, n.n_clicks,
+        |    row_number() OVER (PARTITION BY j.purchase_id
+        |      ORDER BY j.c_ts DESC, j.click_id DESC) AS rn
+        |  FROM j JOIN n USING (purchase_id))
+        |SELECT purchase_id, click_id, user_id, n_clicks,
+        |  value / n_clicks AS credit,
+        |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INTEGER) AS is_last
+        |FROM r ORDER BY purchase_id, click_id""".stripMargin,
+
     "x01_dedup_exact" ->
       """SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS n_dups,
         |  MIN(doc_id) AS keeper

@@ -363,6 +363,20 @@ class QueriesSpec extends AnyFunSuite {
       "an exact-duplicate pair reaches containment 1.0")
   }
 
+  test("x48 credits sum to the purchase value; exactly one last-touch winner") {
+    val rows = Extras.x48Attribution(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, cs) =>
+      val n = cs.head.getLong(3)
+      assert(cs.length == n, "n_clicks matches the emitted rows")
+      assert(cs.count(_.getInt(5) == 1) == 1, "exactly one last-touch click")
+      val total = cs.map(_.getDouble(4)).sum
+      val value = cs.head.getDouble(4) * n
+      assert(math.abs(total - value) < 1e-9 * math.max(1.0, math.abs(value)),
+        "linear credits reassemble the purchase value")
+    }
+  }
+
   test("entry() returns non-empty flagship result") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
