@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Global 1..N position by (tier, key, tie) without a single-partition
+  * window — the scale-safe form of
+  * `row_number() OVER (ORDER BY tier, key, tie)`, which funnels the
+  * whole dataset through one reducer at any size.
+  *
+  * Mechanism: the key's own 2-hex-char prefix buckets each tier 256
+  * ways; per-(tier, bucket) counts (a driver-scale frame — tiers×256
+  * rows) prefix-sum into global offsets, and the only per-row window
+  * is PARTITIONED by (tier, bucket). Because the bucket is a PREFIX of
+  * the key, `offset + within-bucket rank` reproduces the exact global
+  * order — no stage ever holds more than one bucket of one tier.
+  *
+  * Requirements: `keyCol` is a string whose leading 2 characters are
+  * uniformly distributed (an md5 hex key qualifies); `tieCol` breaks
+  * key collisions deterministically. The prefix-sum window runs on the
+  * post-aggregation counts frame only — the WindowExec warning it logs
+  * concerns tiers×256 rows, never the data.
+  */
+object GlobalOrder {
+
+  def withPosition(df: DataFrame, tierCol: String, keyCol: String,
+      tieCol: String, posName: String = "pos"): DataFrame = {
+    val bucketed = df.withColumn("_go_bucket", substring(col(keyCol), 1, 2))
+    val counts = bucketed.groupBy(col(tierCol), col("_go_bucket"))
+      .agg(count(lit(1)).as("_go_n"))
+    val offsets = counts.withColumn("_go_off",
+      coalesce(sum(col("_go_n")).over(
+        Window.orderBy(col(tierCol), col("_go_bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val rn = row_number().over(
+      Window.partitionBy(col(tierCol), col("_go_bucket"))
+        .orderBy(col(keyCol), col(tieCol)))
+    bucketed
+      .join(broadcast(offsets.select(col(tierCol), col("_go_bucket"),
+        col("_go_off"))), Seq(tierCol, "_go_bucket"))
+      .withColumn(posName, (col("_go_off") + rn).cast(LongType))
+      .drop("_go_bucket")
+  }
+}

@@ -1454,17 +1454,10 @@ object Extras {
   /** x41 — curriculum training order: a deterministic epoch shuffle
     * that serves the best-quality quartile first (tier 0) and within
     * each tier a seeded pseudo-random order — every doc gets a GLOBAL
-    * position 1..N.
-    *
-    * The scale problem this solves: a naive
-    * `row_number() OVER (ORDER BY tier, key)` is a single-partition
-    * window — one reducer sorts the corpus. Instead the shuffle key's
-    * own 2-hex-char prefix partitions each tier into 256 buckets;
-    * per-(tier, bucket) counts (≤1024 rows, driver-scale) prefix-sum
-    * into global offsets, and the only per-row window is partitioned
-    * by (tier, bucket). Because the bucket is a PREFIX of the sort
-    * key, offset + within-bucket rank reproduces the exact global
-    * order — no stage ever sees more than one bucket of one tier.
+    * position 1..N via [[graft.operators.GlobalOrder]] (bucket-offset
+    * global index; never a single-partition `row_number` window —
+    * PropertySpec proves the pattern equals the naive form on random
+    * frames).
     */
   def x41Curriculum(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1474,21 +1467,8 @@ object Extras {
         when($"score" >= q3, 0L).when($"score" >= q2, 1L)
           .when($"score" >= q1, 2L).otherwise(3L).as("tier"),
         md5(concat(lit("epoch1:"), $"doc_id".cast(StringType))).as("skey"))
-      .withColumn("bucket", substring($"skey", 1, 2))
-    val counts = keyed.groupBy($"tier", $"bucket").agg(cnt.as("n"))
-    // tiny frame (tiers × 256): the unpartitioned running-sum window
-    // runs over post-aggregation rows, never over the corpus
-    val offsets = counts.withColumn("off",
-      coalesce(sum($"n").over(
-        org.apache.spark.sql.expressions.Window.orderBy($"tier", $"bucket")
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
-        lit(0L)))
-    val rn = row_number().over(
-      org.apache.spark.sql.expressions.Window
-        .partitionBy($"tier", $"bucket").orderBy($"skey", $"doc_id"))
-    keyed.join(broadcast(offsets.select($"tier", $"bucket", $"off")),
-        Seq("tier", "bucket"))
-      .select(($"off" + rn).as("pos"), $"doc_id", $"tier", $"skey")
+    graft.operators.GlobalOrder.withPosition(keyed, "tier", "skey", "doc_id")
+      .select($"pos", $"doc_id", $"tier", $"skey")
       .orderBy($"pos")
   }
 

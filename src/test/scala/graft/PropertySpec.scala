@@ -88,6 +88,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("GlobalOrder equals the single-partition row_number on random frames") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // several shapes: singleton, collision-heavy tiny tier space, larger
+    for ((n, tiers) <- Seq((1, 1), (37, 2), (400, 5))) {
+      val df = (1L to n.toLong).toDF("id")
+        .withColumn("tier", pmod(col("id") * 7919, lit(tiers)).cast("long"))
+        .withColumn("skey", md5(concat(lit("seed:"), col("id").cast("string"))))
+      val fast = graft.operators.GlobalOrder
+        .withPosition(df, "tier", "skey", "id")
+        .select(col("id"), col("pos")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val slow = df.select(col("id"),
+          row_number().over(Window.orderBy(col("tier"), col("skey"), col("id")))
+            .cast("long").as("pos")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast == slow, s"divergence at n=$n tiers=$tiers")
+    }
+  }
+
   test("PII scrub is idempotent and leaves clean text untouched") {
     val spark = TestSpark.spark
     import spark.implicits._
