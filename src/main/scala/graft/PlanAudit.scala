@@ -200,6 +200,9 @@ object PlanAudit {
       "purchase-click pairing is a user_id equi-join" ->
         (p => !p.contains("CartesianProduct")),
       "last-touch flag is purchase-partitioned" -> (_.contains("Window")))
+    audit("x49_pipeline_funnel")(
+      "six-stage composition stays cartesian-free" ->
+        (p => !p.contains("CartesianProduct")))
 
     println(s"\nPlan audit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()

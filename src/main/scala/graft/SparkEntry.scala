@@ -104,7 +104,8 @@ object SparkEntry {
     "x45_tfidf_keywords" -> (X.x45TfidfKeywords _),
     "x46_volume_anomaly" -> (X.x46VolumeAnomaly _),
     "x47_containment" -> (X.x47Containment _),
-    "x48_attribution" -> (X.x48Attribution _)
+    "x48_attribution" -> (X.x48Attribution _),
+    "x49_pipeline_funnel" -> (X.x49PipelineFunnel _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

@@ -1718,6 +1718,98 @@ object Extras {
       .orderBy($"purchase_id", $"click_id")
   }
 
+  /** x49 — curation pipeline funnel: the end-to-end composition every
+    * training-data run reports — how many documents and tokens survive
+    * each stage of quality filter (x38 rules) → exact dedup (x01
+    * policy) → containment dedup (x47 pairs, smaller doc loses) →
+    * per-source cap (top-20 by x08 score) → language mixture (x26
+    * rates recomputed over the survivors). One row per stage.
+    *
+    * Beyond the audit itself, this is the composition proof: the six
+    * stages chain as plain DataFrames with no materialization between
+    * them — Catalyst sees one plan per stage count, each reusing the
+    * same scan-side feature block. Every stage's survivor predicate is
+    * what the standalone query of the same family asserts, so a
+    * mismatch here localizes to one stage.
+    */
+  def x49PipelineFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, dir, "documents")
+      .withColumn("toks", TextFns.tokenize($"text"))
+      .select($"doc_id", $"lang", $"source", $"text", $"toks",
+        size($"toks").cast(LongType).as("n_toks"),
+        (($"n_chars".cast(DoubleType) - (size($"toks") - 1)) / size($"toks"))
+          .as("avg_tok_len"),
+        (size(array_distinct($"toks")).cast(DoubleType) / size($"toks"))
+          .as("diversity"),
+        (TextFns.markerCount("toks", TextFns.Stopwords).cast(DoubleType) /
+          size($"toks")).as("stop_ratio"),
+        (lit(0.4) * least(size($"toks") / 100.0, lit(1.0)) +
+          lit(0.3) * (lit(1.0) -
+            TextFns.markerCount("toks", TextFns.Stopwords).cast(DoubleType) /
+              size($"toks")) +
+          lit(0.3) * least((($"n_chars".cast(DoubleType) - (size($"toks") - 1)) /
+            size($"toks")) / 8.0, lit(1.0))).as("score"))
+    // s1: quality filter (x38's cascade as one predicate)
+    val s1 = base.filter($"n_toks" >= 16 &&
+      $"avg_tok_len" >= 3.8 && $"avg_tok_len" <= 5.2 &&
+      $"diversity" >= 0.32 && $"stop_ratio" <= 0.125)
+    // s2: exact dedup — keep the min doc_id per content hash
+    val keepers = s1.groupBy(md5($"text").as("h")).agg(min($"doc_id").as("doc_id"))
+    val s2 = s1.join(keepers.select($"doc_id"), Seq("doc_id"), "left_semi")
+    // s3: containment dedup — x47 pairs among s2 survivors; the doc
+    // with FEWER shingles loses (tie: the larger doc_id)
+    val sh = s2.select($"doc_id", explode(expr(
+      "CASE WHEN size(toks) >= 8 THEN" +
+        " transform(sequence(1, size(toks) - 7), i -> md5(concat_ws(' ', slice(toks, i, 8))))" +
+        " ELSE array(md5(concat_ws(' ', toks))) END")).as("sh"))
+      .distinct()
+    val s3 = graft.Caching.withPersisted(sh) { ss =>
+      val sizes = ss.groupBy($"doc_id").agg(cnt.as("n"))
+      val rare = ss.groupBy($"sh").agg(cnt.as("df"))
+        .filter($"df" <= ContainmentDfCap).select($"sh")
+      val indexed = ss.join(rare, Seq("sh"))
+      val losers = indexed.as("a")
+        .join(indexed.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(cnt.as("shared"))
+        .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), Seq("d1"))
+        .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), Seq("d2"))
+        .filter($"shared".cast(DoubleType) / least($"n1", $"n2") >= 0.5)
+        .select(when($"n1" < $"n2", $"d1").when($"n2" < $"n1", $"d2")
+          .otherwise(greatest($"d1", $"d2")).as("doc_id"))
+        .distinct()
+      s2.join(losers, Seq("doc_id"), "left_anti")
+    }
+    // s4: per-source cap — top-20 by score (ties to the smaller id)
+    val capW = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"score".desc, $"doc_id")
+    val s4 = s3.withColumn("_rk", row_number().over(capW))
+      .filter($"_rk" <= 20).drop("_rk")
+    // s5: mixture — x26 rates recomputed over the s4 survivors
+    val perLang = s4.groupBy($"lang").agg(sum($"n_toks").as("lang_toks"))
+    val total = perLang.agg(sum($"lang_toks").as("total_toks"))
+    val rates = perLang.join(broadcast(MixtureWeights.toDF("lang", "w")), Seq("lang"))
+      .crossJoin(broadcast(total))
+      .select($"lang",
+        greatest(lit(1L), floor(least(lit(1.0),
+          lit(0.5) * $"total_toks".cast(DoubleType) * $"w" /
+            $"lang_toks".cast(DoubleType)) * 100.0)).as("keep_pct"))
+    val s5 = s4.join(broadcast(rates), Seq("lang"))
+      .filter(idBucket($"doc_id") < $"keep_pct")
+    def stage(name: String, df: DataFrame) =
+      df.agg(cnt.as("n_docs"), coalesce(sum($"n_toks"), lit(0L)).as("n_toks"))
+        .select(lit(name).as("stage"), $"n_docs", $"n_toks")
+    stage("0_raw", base)
+      .unionAll(stage("1_quality", s1))
+      .unionAll(stage("2_exact_dedup", s2))
+      .unionAll(stage("3_containment", s3))
+      .unionAll(stage("4_source_cap", s4))
+      .unionAll(stage("5_mixture", s5))
+      .orderBy($"stage")
+  }
+
   /** q26 Aggregator twin — typed [[VectorFns.CentroidAgg]] centroid
     * (float-sum order differs by design → rows-only check; the
     * decimal-exact Q26 is the hash-checked form).

@@ -383,6 +383,85 @@ object ExtrasOracle {
         |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INTEGER) AS is_last
         |FROM r ORDER BY purchase_id, click_id""".stripMargin,
 
+    "x49_pipeline_funnel" ->
+      """WITH base AS (SELECT doc_id, lang, source, text,
+        |    string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |    (CAST(n_chars AS DOUBLE) - (len(string_split(text, ' ')) - 1))
+        |      / len(string_split(text, ' ')) AS avg_tok_len,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS diversity,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('a', 'the', 'of', 'and'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS stop_ratio,
+        |    0.4 * LEAST(len(string_split(text, ' ')) / 100.0, 1.0)
+        |      + 0.3 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+        |          t -> t IN ('a', 'the', 'of', 'and'))) AS DOUBLE)
+        |          / len(string_split(text, ' ')))
+        |      + 0.3 * LEAST(((CAST(n_chars AS DOUBLE)
+        |          - (len(string_split(text, ' ')) - 1))
+        |          / len(string_split(text, ' '))) / 8.0, 1.0) AS score
+        |  FROM documents),
+        |s1 AS (SELECT * FROM base WHERE n_toks >= 16
+        |  AND avg_tok_len >= 3.8 AND avg_tok_len <= 5.2
+        |  AND diversity >= 0.32 AND stop_ratio <= 0.125),
+        |s2 AS (SELECT s1.* FROM s1 JOIN
+        |  (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM s1 GROUP BY 1) k
+        |  ON k.doc_id = s1.doc_id),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, md5(array_to_string(toks[i:i+7], ' ')) AS sh
+        |    FROM (SELECT doc_id, toks,
+        |            unnest(generate_series(1, len(toks) - 7)) AS i
+        |          FROM s2 WHERE len(toks) >= 8)
+        |  UNION
+        |  SELECT DISTINCT doc_id, md5(array_to_string(toks, ' ')) AS sh
+        |    FROM s2 WHERE len(toks) < 8),
+        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        |rare AS (SELECT sh FROM
+        |  (SELECT sh, COUNT(*) AS df FROM sh GROUP BY 1) WHERE df <= 100),
+        |ix AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare r ON r.sh = s.sh),
+        |losers AS (SELECT DISTINCT
+        |    CASE WHEN za.n < zb.n THEN p.d1
+        |         WHEN zb.n < za.n THEN p.d2
+        |         ELSE greatest(p.d1, p.d2) END AS doc_id
+        |  FROM (SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |          CAST(COUNT(*) AS BIGINT) AS shared
+        |        FROM ix a JOIN ix b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2) p
+        |  JOIN sz za ON za.doc_id = p.d1
+        |  JOIN sz zb ON zb.doc_id = p.d2
+        |  WHERE CAST(p.shared AS DOUBLE) / least(za.n, zb.n) >= 0.5),
+        |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+        |s4 AS (SELECT * FROM (SELECT *, row_number() OVER
+        |    (PARTITION BY source ORDER BY score DESC, doc_id) AS rk FROM s3)
+        |  WHERE rk <= 20),
+        |pl AS (SELECT lang, SUM(n_toks) AS lang_toks FROM s4 GROUP BY 1),
+        |tot AS (SELECT SUM(lang_toks) AS total_toks FROM pl),
+        |w(lang, w) AS (VALUES ('en', 0.40), ('es', 0.15), ('de', 0.15),
+        |  ('fr', 0.15), ('zh', 0.15)),
+        |rates AS (SELECT pl.lang,
+        |    greatest(1, CAST(floor(LEAST(1.0,
+        |      0.5 * CAST(tot.total_toks AS DOUBLE) * w.w
+        |        / CAST(pl.lang_toks AS DOUBLE)) * 100.0) AS BIGINT)) AS keep_pct
+        |  FROM pl JOIN w ON w.lang = pl.lang, tot),
+        |s5 AS (SELECT s4.* FROM s4 JOIN rates ON rates.lang = s4.lang
+        |  WHERE CAST(('0x' || substr(md5(CAST(s4.doc_id AS VARCHAR)), 1, 4))
+        |      AS BIGINT) % 100 < rates.keep_pct)
+        |SELECT stage, n_docs, n_toks FROM (
+        |  SELECT '0_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) AS n_toks FROM base
+        |  UNION ALL SELECT '1_quality', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM s1
+        |  UNION ALL SELECT '2_exact_dedup', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM s2
+        |  UNION ALL SELECT '3_containment', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM s3
+        |  UNION ALL SELECT '4_source_cap', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM s4
+        |  UNION ALL SELECT '5_mixture', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM s5)
+        |ORDER BY stage""".stripMargin,
+
     "x01_dedup_exact" ->
       """SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS n_dups,
         |  MIN(doc_id) AS keeper

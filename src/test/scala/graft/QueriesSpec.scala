@@ -377,6 +377,19 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("x49 funnel stages shrink monotonically and end non-empty") {
+    val rows = Extras.x49PipelineFunnel(spark, sf).collect()
+    assert(rows.length == 6)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(1) <= a.getLong(1),
+          s"stage ${b.getString(0)} grew vs ${a.getString(0)}")
+        assert(b.getLong(2) <= a.getLong(2), "token counts shrink too")
+      case _ =>
+    }
+    assert(rows.last.getLong(1) > 0, "the pipeline keeps a non-empty corpus")
+  }
+
   test("entry() returns non-empty flagship result") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
