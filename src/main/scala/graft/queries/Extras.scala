@@ -1780,7 +1780,11 @@ object Extras {
         .select(when($"n1" < $"n2", $"d1").when($"n2" < $"n1", $"d2")
           .otherwise(greatest($"d1", $"d2")).as("doc_id"))
         .distinct()
-      s2.join(losers, Seq("doc_id"), "left_anti")
+      // losers feeds stages 3, 4 AND 5 of the union — persist the tiny
+      // id set so the quadratic pair computation runs once, not 3x
+      graft.Caching.withPersisted(losers) { ls =>
+        s2.join(ls, Seq("doc_id"), "left_anti")
+      }
     }
     // s4: per-source cap — top-20 by score (ties to the smaller id)
     val capW = org.apache.spark.sql.expressions.Window
