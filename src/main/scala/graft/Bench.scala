@@ -70,6 +70,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Logs.quietNoise()
     // Warm the JVM/codegen/IO paths once so the first measured query
     // doesn't absorb session bootstrap cost.
     spark.range(1000000L).selectExpr("sum(id)").write.format("noop")

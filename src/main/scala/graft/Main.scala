@@ -39,6 +39,7 @@ object Main {
     case "inventory" :: sfDir :: Nil =>
       val spark = session()
       spark.sparkContext.setLogLevel("WARN")
+      Logs.quietNoise()
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         println(s"[inventory] $name: ${fn(spark, sfDir).count()} rows")
       }
@@ -47,6 +48,7 @@ object Main {
     case "ingest" :: entity :: json :: lake :: Nil =>
       val spark = session()
       spark.sparkContext.setLogLevel("WARN")
+      Logs.quietNoise()
       // table names are the plural forms Inspector.fromLake / clone read
       val (schema, silver, table) = entity match {
         case "campaign" => (Schemas.campaign, Bronze.campaignSilver _, "campaigns")
@@ -70,6 +72,7 @@ object Main {
     case "clone" :: lake :: campaignId :: idPrefix :: ingestDate :: Nil =>
       val spark = session()
       spark.sparkContext.setLogLevel("WARN")
+      Logs.quietNoise()
       def tb(n: String) = spark.read.parquet(s"$lake/$n")
       val cloned = graft.queries.Cloner.cloneCampaign(
         tb("campaigns"), tb("ad_sets"), tb("ads"), campaignId, idPrefix,

@@ -24,6 +24,7 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Logs.quietNoise()
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       println(df.queryExecution.explainString(
