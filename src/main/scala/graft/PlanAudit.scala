@@ -203,6 +203,9 @@ object PlanAudit {
     audit("x49_pipeline_funnel")(
       "six-stage composition stays cartesian-free" ->
         (p => !p.contains("CartesianProduct")))
+    audit("x50_leak_safe_split")(
+      "split layers on the CC labels without a cartesian" ->
+        (p => !p.contains("CartesianProduct")))
 
     println(s"\nPlan audit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()

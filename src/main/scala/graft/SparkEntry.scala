@@ -105,7 +105,8 @@ object SparkEntry {
     "x46_volume_anomaly" -> (X.x46VolumeAnomaly _),
     "x47_containment" -> (X.x47Containment _),
     "x48_attribution" -> (X.x48Attribution _),
-    "x49_pipeline_funnel" -> (X.x49PipelineFunnel _)
+    "x49_pipeline_funnel" -> (X.x49PipelineFunnel _),
+    "x50_leak_safe_split" -> (X.x50LeakSafeSplit _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

@@ -1814,6 +1814,30 @@ object Extras {
       .orderBy($"stage")
   }
 
+  /** x50 — leakage-safe train/val/test split (90/5/5): the split key is
+    * the md5 bucket of the near-dup CLUSTER representative (x14's
+    * connected-component label), not the document — so two
+    * near-duplicates can never straddle train and eval, the
+    * contamination channel a per-doc split leaves wide open. Same
+    * deterministic 0–99 grid as x15/x26: reproducible on any cluster
+    * size, oracle-replayable.
+    *
+    * Scale shape: one extra map over the cluster labels (the CC pass
+    * is the cost, shared with x14/x29); the split itself is a pure
+    * row-local bucket compare.
+    */
+  def x50LeakSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bucket = conv(substring(md5($"cluster_id".cast(StringType)), 1, 4), 16, 10)
+      .cast(LongType) % 100
+    dedupClusterLabels(s, dir)
+      .withColumn("bucket", bucket)
+      .select($"doc_id", $"cluster_id",
+        when($"bucket" < 90, "train").when($"bucket" < 95, "val")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+
   /** q26 Aggregator twin — typed [[VectorFns.CentroidAgg]] centroid
     * (float-sum order differs by design → rows-only check; the
     * decimal-exact Q26 is the hash-checked form).

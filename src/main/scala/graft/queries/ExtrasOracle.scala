@@ -532,6 +532,19 @@ object ExtrasOracle {
          |SELECT l.doc_id, l.cluster_id, s.cluster_size
          |FROM lab l JOIN sz s USING(cluster_id) ORDER BY doc_id""".stripMargin,
 
+    // Same clustering fixpoint, with the split bucket computed on the
+    // CLUSTER label so near-dup members always share a split.
+    "x50_leak_safe_split" ->
+      s"""$CcLab,
+         |b AS (SELECT doc_id, cluster_id,
+         |    CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4))
+         |      AS BIGINT) % 100 AS bucket
+         |  FROM lab)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN bucket < 90 THEN 'train'
+         |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
+
     // Same clustering fixpoint, resolved to the keep-min-id survivor
     // and rolled up to per-language corpus savings (mirrors x29).
     "x29_dedup_survivors" ->

@@ -390,6 +390,19 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.last.getLong(1) > 0, "the pipeline keeps a non-empty corpus")
   }
 
+  test("x50 split is leakage-safe: every cluster lands in exactly one split") {
+    val rows = Extras.x50LeakSafeSplit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(1)).foreach { case (_, members) =>
+      assert(members.map(_.getString(2)).distinct.length == 1,
+        "near-dup cluster members must share a split")
+    }
+    val splits = rows.map(_.getString(2))
+    assert(splits.forall(Set("train", "val", "test")))
+    assert(splits.count(_ == "train") > splits.length / 2,
+      "train holds the bulk of the 90/5/5 grid")
+  }
+
   test("entry() returns non-empty flagship result") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
