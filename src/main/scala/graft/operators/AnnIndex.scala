@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Disk-backed IVF index: the vectors live in a parquet table
+  * PARTITIONED BY their coarse-quantizer cell, so a probe only READS
+  * the `nprobe` cells it ranked — at 100 TB the index is built once
+  * and every query's scan is bounded by `nprobe / n_cells` of the
+  * corpus via plain partition pruning (visible as `PartitionFilters`
+  * in the scan; no custom source needed).
+  *
+  * This is the persistent complement of the in-query IVF (x13): x13
+  * re-derives cells per run, which is right for one-shot analytics;
+  * a serving/refresh workload amortizes the assignment into the
+  * layout, exactly like Z-ordering amortizes sort order
+  * (operators/ZOrder).
+  *
+  * The quantizer is inner-product argmax against a broadcast centroid
+  * set (ties to the smaller cell id) — swap the scoring expression for
+  * L2 without touching the layout machinery.
+  */
+object AnnIndex {
+
+  private def dot(v: String, c: String) =
+    expr(s"aggregate(zip_with($v, $c, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+
+  /** Assign every vector to its best cell and write the
+    * cell-partitioned index table. One broadcast of the centroids, one
+    * corpus scan, one hash aggregate — no shuffle keyed on anything
+    * bigger than vec_id.
+    */
+  def build(embeddings: DataFrame, centroids: DataFrame, path: String): Unit = {
+    val assigned = embeddings.crossJoin(broadcast(centroids))
+      .withColumn("d", dot("v", "c"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("v").as("v"), col("cid").as("cid")),
+        struct(coalesce(col("d"), lit(Double.MinValue)).as("d"),
+          (-col("cid")).as("t"))).as("w"))
+      .select(col("vec_id"), col("w.v").as("v"), col("w.cid").as("cell"))
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** Top-k nearest (by inner product) for each probe, scanning only
+    * each probe's `nprobe` best cells. Cell ranking runs distributed
+    * (probes × broadcast centroids, probe-partitioned WindowGroupLimit);
+    * the union of wanted cells — at most |probes|·nprobe ids — comes
+    * back to the driver to become a STATIC partition filter, so the
+    * parquet scan prunes before any row is read.
+    */
+  def probe(spark: SparkSession, path: String, probes: DataFrame,
+      centroids: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val rk = row_number().over(
+      Window.partitionBy(col("p_id")).orderBy(col("d").desc, col("cid")))
+    val wanted = probes.crossJoin(broadcast(centroids))
+      .withColumn("d", dot("p", "c"))
+      .withColumn("rk", rk).filter(col("rk") <= nprobe)
+      .select(col("p_id"), col("cid"))
+    val cellIds = wanted.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val index = spark.read.parquet(path)
+      .filter(col("cell").isin(cellIds: _*))
+    val scoreRk = row_number().over(
+      Window.partitionBy(col("p_id")).orderBy(col("score").desc, col("vec_id")))
+    probes.join(broadcast(wanted), Seq("p_id"))
+      .join(index, col("cid") === col("cell"))
+      .withColumn("score", dot("p", "v"))
+      .withColumn("rank", scoreRk)
+      .filter(col("rank") <= k)
+      .select(col("p_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("score"))
+      .orderBy(col("p_id"), col("rank"))
+  }
+}
