@@ -26,21 +26,37 @@ object AnnIndex {
   private def dot(v: String, c: String) =
     expr(s"aggregate(zip_with($v, $c, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
 
-  /** Assign every vector to its best cell and write the
-    * cell-partitioned index table. One broadcast of the centroids, one
-    * corpus scan, one hash aggregate — no shuffle keyed on anything
-    * bigger than vec_id.
+  /** Best-cell assignment: one broadcast of the centroids, one scan of
+    * the vectors, one hash aggregate — no shuffle keyed on anything
+    * bigger than vec_id. Ties go to the smaller cell id; a degenerate
+    * vector (null dot) still gets a cell.
     */
-  def build(embeddings: DataFrame, centroids: DataFrame, path: String): Unit = {
-    val assigned = embeddings.crossJoin(broadcast(centroids))
+  private def assign(embeddings: DataFrame, centroids: DataFrame): DataFrame =
+    embeddings.crossJoin(broadcast(centroids))
       .withColumn("d", dot("v", "c"))
       .groupBy(col("vec_id"))
       .agg(max_by(struct(col("v").as("v"), col("cid").as("cid")),
         struct(coalesce(col("d"), lit(Double.MinValue)).as("d"),
           (-col("cid")).as("t"))).as("w"))
       .select(col("vec_id"), col("w.v").as("v"), col("w.cid").as("cell"))
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
-  }
+
+  /** Assign every vector to its best cell and write the
+    * cell-partitioned index table.
+    */
+  def build(embeddings: DataFrame, centroids: DataFrame, path: String): Unit =
+    assign(embeddings, centroids)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Incrementally add vectors to an existing index: the same
+    * assignment pass in append mode — new files land inside the
+    * affected cell directories only, so a refresh touches
+    * O(new vectors) data and probes see the additions with no rebuild.
+    * Pair with [[Compaction]] when many small refreshes fragment a
+    * cell.
+    */
+  def append(embeddings: DataFrame, centroids: DataFrame, path: String): Unit =
+    assign(embeddings, centroids)
+      .write.mode("append").partitionBy("cell").parquet(path)
 
   /** Top-k nearest (by inner product) for each probe, scanning only
     * each probe's `nprobe` best cells. Cell ranking runs distributed

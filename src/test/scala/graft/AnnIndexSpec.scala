@@ -64,6 +64,32 @@ class AnnIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("append lands in the right cells and probes see it without rebuild") {
+    val p = java.nio.file.Files.createTempDirectory("graft-annindex-app").toString
+    AnnIndex.build(vectors.filter(col("vec_id") <= 400), centroids, p)
+    val before = spark.read.parquet(p).count()
+    AnnIndex.append(vectors.filter(col("vec_id") > 400), centroids, p)
+    val index = spark.read.parquet(p)
+    assert(index.count() == vectors.count() && before < index.count())
+    // an appended vector must land in its best cell, same rule as build
+    val expectedCell = vectors.filter(col("vec_id") === 450)
+      .crossJoin(broadcast(centroids))
+      .withColumn("d", dot("v", "c"))
+      .orderBy(col("d").desc, col("cid"))
+      .select(col("cid")).first().getLong(0)
+    val actualCell = index.filter(col("vec_id") === 450)
+      .select(col("cell").cast("long")).first().getLong(0)
+    assert(actualCell == expectedCell, "appended row filed under its best cell")
+    // and full-coverage probing over the appended index must return it
+    // among results drawn from appended data
+    val probe = vectors.filter(col("vec_id") === 450)
+      .select(col("vec_id").as("p_id"), col("v").as("p"))
+    val hits = AnnIndex.probe(spark, p, probe, centroids, nprobe = 8, k = 500)
+      .collect()
+    assert(hits.exists(_.getLong(2) == 450L),
+      "the appended vector is reachable through the probe path")
+  }
+
   test("probing every cell equals the brute-force top-k") {
     val probes = vectors.filter(col("vec_id").between(20, 22))
       .select(col("vec_id").as("p_id"), col("v").as("p"))
