@@ -222,6 +222,49 @@ object Events {
       }
   }
 
+  /** One SpaceSaving slot: the estimated count and its maximum
+    * overestimation error (the evicted predecessor's count).
+    */
+  case class SSCounter(count: Long, err: Long)
+  case class HHState(c: Map[Long, SSCounter])
+
+  /** Streaming heavy hitters per event type via the SpaceSaving sketch
+    * (Metwally et al., 2005): at most `capacity` counters per type —
+    * O(1) state however long the stream runs — with the classic
+    * guarantees: any user whose true count exceeds N/capacity is
+    * tracked, every estimate over-counts by at most its recorded
+    * `err`, and the counter totals sum exactly to the items seen.
+    * Each micro-batch emits the current top-k (update mode) —
+    * the "who is hammering the ingest" live view that an exact
+    * groupBy-count can only answer with unbounded state.
+    */
+  def heavyHitters(events: Dataset[Event], capacity: Int = 8, k: Int = 3)
+      : Dataset[(String, Int, Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (etype: String, rows: Iterator[Event], state: GroupState[HHState]) =>
+          var c = state.getOption.map(_.c).getOrElse(Map.empty[Long, SSCounter])
+          rows.foreach { e =>
+            c.get(e.user_id) match {
+              case Some(sc) =>
+                c = c.updated(e.user_id, sc.copy(count = sc.count + 1))
+              case None if c.size < capacity =>
+                c = c.updated(e.user_id, SSCounter(1L, 0L))
+              case None =>
+                // evict the smallest counter (ties to the smallest id)
+                // and inherit its count as the newcomer's error bound
+                val (mu, msc) = c.minBy { case (u, sc) => (sc.count, u) }
+                c = (c - mu).updated(e.user_id, SSCounter(msc.count + 1, msc.count))
+            }
+          }
+          state.update(HHState(c))
+          c.toSeq.sortBy { case (u, sc) => (-sc.count, u) }.take(k).zipWithIndex
+            .map { case ((u, sc), i) => (etype, i + 1, u, sc.count, sc.err) }
+            .iterator
+      }
+  }
+
   /** Batch twin of [[volumeMonitor]]: the same prequential z per
     * (type, day) computed with event_type-partitioned windows over the
     * daily counts (prior-days-only frames). Used by the spec to pin

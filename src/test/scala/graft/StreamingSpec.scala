@@ -189,6 +189,42 @@ class StreamingSpec extends AnyFunSuite {
       s"stream rows not in batch twin: ${streamed.diff(batch).take(3)}")
   }
 
+  test("heavyHitters: SpaceSaving guarantees under eviction pressure") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Events.Event]
+    var id = 0L
+    def ev(user: Long) = {
+      id += 1
+      Events.Event(id, new java.sql.Timestamp(86400000L + id * 1000), user,
+        "view", 1.0, "{}")
+    }
+    // one dominant user (30 hits) + 16 distinct light users (2 each),
+    // interleaved, against capacity 8 -> constant eviction churn
+    val light = (100L to 115L).flatMap(u => Seq(ev(u), ev(u)))
+    val heavy = (1 to 30).map(_ => ev(1L))
+    val mixed = heavy.zipAll(light, null, null)
+      .flatMap { case (a, b) => Seq(a, b).filter(_ != null) }
+    val out = Events.heavyHitters(input.toDS(), capacity = 8, k = 8)
+      .toDF("event_type", "rank", "user_id", "est", "err")
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("heavy_hitters").start()
+    try {
+      input.addData(mixed: _*)
+      q.processAllAvailable()
+      val rows = spark.table("heavy_hitters").collect()
+        .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(rows.length == 8, "k=capacity exposes the full sketch")
+      // guarantee 1: the true heavy hitter (30 > 62/8) is tracked at rank 1
+      val top = rows.find(_._1 == 1).get
+      assert(top._2 == 1L, s"user 1 must lead, got $rows")
+      // guarantee 2: estimates bracket the truth: est-err <= 30 <= est
+      assert(top._3 - top._4 <= 30L && 30L <= top._3)
+      // guarantee 3: counter totals sum exactly to the items seen
+      assert(rows.map(_._3).sum == mixed.length)
+    } finally q.stop()
+  }
+
   test("LakeSink commits each micro-batch once; replayed batch ids skip") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
