@@ -57,8 +57,11 @@ object Main {
         case "insights" => (Schemas.insights, Bronze.insightsSilver _, "insights")
         case other => sys.error(s"unknown entity '$other' (campaign|ad_set|ad|insights)")
       }
+      // tag the quarantine slice with the ingest day so a re-run of
+      // the same batch overwrites its slice instead of appending dups
       val clean = Bronze.quarantine(
-        Bronze.readJson(spark, json, schema), lake, entity)
+        Bronze.readJson(spark, json, schema), lake, entity,
+        batchTag = Some(java.time.LocalDate.now(java.time.ZoneOffset.UTC).toString))
       val out = silver(clean)
         .withColumn("ingest_date", org.apache.spark.sql.functions.current_date())
       // manifest records THIS batch's row count, not the cumulative

@@ -173,8 +173,12 @@ object PlanAudit {
     // x41: the global order must come from the bucket-offset scheme,
     // never a corpus-wide single-partition sort-window
     audit("x41_curriculum")(
+      // the bucket column appearing in a windowspecdefinition is the
+      // proof the per-row rank is partitioned — a regression to the
+      // naive corpus-wide Window.orderBy would drop it
       "per-row window is (tier,bucket)-partitioned" ->
-        (p => !p.contains("CartesianProduct")),
+        (_.contains("_go_bucket")),
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")),
       "bucket counts reduce before the offset window" ->
         (_.contains("HashAggregate")))
     audit("x42_funnel")(

@@ -47,18 +47,30 @@ object Bronze {
     * column would let half-null rows masquerade as data.
     *
     * The bad-row probe is `head(1)` (first-row short-circuit), not a
-    * count; the quarantine write is an append of only the bad sliver.
+    * count; the quarantine write is only the bad sliver. With a
+    * `batchTag` (the ingest CLI passes its day) the sliver lands in a
+    * tag-scoped subdirectory in OVERWRITE mode, so re-running the same
+    * batch — the advertised recovery path — replaces its quarantine
+    * slice instead of appending duplicate corrupt rows that a later
+    * replay would process twice. Without a tag the write appends
+    * (ad-hoc/one-shot callers).
     * The bronze frame is persisted for the split (Spark disallows
     * corrupt-column-only queries straight off a raw JSON scan — and
     * the caller's silver pass reuses the parse anyway), released after
     * the caller's first action via [[graft.Caching.withPersisted]].
     */
-  def quarantine(bronze: DataFrame, lake: String, entity: String): DataFrame =
+  def quarantine(bronze: DataFrame, lake: String, entity: String,
+      batchTag: Option[String] = None): DataFrame =
     graft.Caching.withPersisted(bronze) { b =>
       val bad = b.filter(col("_corrupt_record").isNotNull)
         .select(col("_corrupt_record").as("raw"))
-      if (bad.head(1).nonEmpty)
-        bad.write.mode("append").parquet(s"$lake/_quarantine/$entity")
+      if (bad.head(1).nonEmpty) batchTag match {
+        case Some(tag) =>
+          bad.write.mode("overwrite")
+            .parquet(s"$lake/_quarantine/$entity/batch=$tag")
+        case None =>
+          bad.write.mode("append").parquet(s"$lake/_quarantine/$entity")
+      }
       b.filter(col("_corrupt_record").isNull)
     }
 
@@ -182,7 +194,16 @@ object Bronze {
         val w = Window.partitionBy(col("id")).orderBy(col(v).desc)
         guarded.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
-      case None => guarded.dropDuplicates("id")
+      case None =>
+        // no version column: the survivor must still be DETERMINISTIC
+        // (dropDuplicates keeps whichever row a partition delivers
+        // first — two runs of the same ingest could emit different
+        // silver rows). Rank on the full serialized payload: arbitrary
+        // but total and reproducible on any partitioning.
+        val w = Window.partitionBy(col("id"))
+          .orderBy(to_json(struct(guarded.columns.map(col): _*)).desc)
+        guarded.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
     }
     deduped
       .transform(df => whenPresent(df, "name")(

@@ -100,8 +100,12 @@ object BloomIncrementalDedup {
     if (bloomBytes == null) return incoming // empty history: all new
     val maybeDup: Column = call_function("bloom_contains", lit(bloomBytes), keyHash)
     val definitelyNew = incoming.filter(!maybeDup)
+    // no .distinct() on the history side: LEFT ANTI is insensitive to
+    // right-side duplicates, and a distinct here would re-shuffle the
+    // ENTIRE history key set — the corpus-wide pass the bloom routing
+    // exists to avoid
     val verifiedNew = incoming.filter(maybeDup)
-      .join(historyKeys.select(col(key)).distinct(), Seq(key), "left_anti")
+      .join(historyKeys.select(col(key)), Seq(key), "left_anti")
     definitelyNew.unionByName(verifiedNew)
   }
 }

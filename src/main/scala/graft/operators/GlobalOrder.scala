@@ -27,7 +27,11 @@ object GlobalOrder {
 
   def withPosition(df: DataFrame, tierCol: String, keyCol: String,
       tieCol: String, posName: String = "pos"): DataFrame = {
-    val bucketed = df.withColumn("_go_bucket", substring(col(keyCol), 1, 2))
+    // a null key must not vanish through the bucket equi-join (null
+    // never equals null); "" buckets before every hex prefix, matching
+    // the naive order's NULLS FIRST within the tier
+    val bucketed = df.withColumn("_go_bucket",
+      coalesce(substring(col(keyCol), 1, 2), lit("")))
     val counts = bucketed.groupBy(col(tierCol), col("_go_bucket"))
       .agg(count(lit(1)).as("_go_n"))
     val offsets = counts.withColumn("_go_off",

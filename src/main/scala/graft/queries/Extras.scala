@@ -848,24 +848,29 @@ object Extras {
     * is smaller than its budget share keeps everything (rate caps
     * at 1).
     */
+  /** x26's keep-percent grid from (lang, n_toks) rows + the target
+    * weights: floor(min(1, 0.5·total·w / lang_toks)·100), floored at 1
+    * — the 0-99 grid must down-sample a tiny-weight language, never
+    * silently drop it from the mix. Shared with x49's final stage.
+    */
+  private def mixtureRates(d: DataFrame): DataFrame = {
+    import d.sparkSession.implicits._
+    val perLang = d.groupBy(col("lang")).agg(sum(col("n_toks")).as("lang_toks"))
+    val total = perLang.agg(sum(col("lang_toks")).as("total_toks"))
+    perLang.join(broadcast(MixtureWeights.toDF("lang", "w")), Seq("lang"))
+      .crossJoin(broadcast(total))
+      .select(col("lang"),
+        greatest(lit(1L), floor(least(lit(1.0),
+          lit(0.5) * col("total_toks").cast(DoubleType) * col("w") /
+            col("lang_toks").cast(DoubleType)) * 100.0)).as("keep_pct"))
+  }
+
   def x26Mixture(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = t(s, dir, "documents")
       .select($"doc_id", $"lang",
         size(TextFns.tokenize($"text")).cast(LongType).as("n_toks"))
-    val perLang = d.groupBy($"lang").agg(sum($"n_toks").as("lang_toks"))
-    val total = perLang.agg(sum($"lang_toks").as("total_toks"))
-    val weights = MixtureWeights.toDF("lang", "w")
-    // keep-percent per language: floor(min(1, 0.5·total·w / lang_toks)·100),
-    // floored at 1 — the 0-99 grid must down-sample a tiny-weight
-    // language, never silently drop it from the mix
-    val rates = perLang.join(broadcast(weights), Seq("lang"))
-      .crossJoin(broadcast(total))
-      .select($"lang",
-        greatest(lit(1L), floor(least(lit(1.0),
-          lit(0.5) * $"total_toks".cast(DoubleType) * $"w" /
-            $"lang_toks".cast(DoubleType)) * 100.0)).as("keep_pct"))
-    d.join(broadcast(rates), Seq("lang"))
+    d.join(broadcast(mixtureRates(d.select($"lang", $"n_toks"))), Seq("lang"))
       .filter(idBucket($"doc_id") < $"keep_pct")
       .select($"doc_id", $"lang", $"n_toks", $"keep_pct")
       .orderBy($"doc_id")
@@ -925,10 +930,7 @@ object Extras {
     import s.implicits._
     val sh = t(s, dir, "documents")
       .select($"source", TextFns.tokenize($"text").as("toks"))
-      .select($"source", explode(expr(
-        "CASE WHEN size(toks) >= 8 THEN" +
-          " transform(sequence(1, size(toks) - 7), i -> md5(concat_ws(' ', slice(toks, i, 8))))" +
-          " ELSE array(md5(concat_ws(' ', toks))) END")).as("sh"))
+      .select($"source", explode(expr(Shingle8Sql)).as("sh"))
       .distinct()
     graft.Caching.withPersisted(sh) { ss =>
       val totals = ss.groupBy($"source").agg(cnt.as("n_sh"))
@@ -1352,19 +1354,34 @@ object Extras {
     * whole-stage codegen) — no join, no aggregate, ONE pass that
     * pipelines with the scan; at 100 TB this is pure map throughput.
     */
+  /** Cascade feature columns over a frame carrying (toks, n_chars):
+    * adds n_toks / avg_tok_len / diversity / stop_ratio. Shared by
+    * x38's rule battery and x49's stage-1 predicate so the two can
+    * never drift.
+    */
+  private def withCascadeFeatures(df: DataFrame): DataFrame =
+    df.withColumn("n_toks", size(col("toks")).cast(LongType))
+      .withColumn("avg_tok_len",
+        (col("n_chars").cast(DoubleType) - (size(col("toks")) - 1)) /
+          size(col("toks")))
+      .withColumn("diversity",
+        size(array_distinct(col("toks"))).cast(DoubleType) / size(col("toks")))
+      .withColumn("stop_ratio",
+        TextFns.markerCount("toks", TextFns.Stopwords).cast(DoubleType) /
+          size(col("toks")))
+
+  /** x38's keep predicate (the conjunction of every rule passing). */
+  private def cascadeKeep: Column =
+    col("n_toks") >= 16 &&
+      col("avg_tok_len") >= 3.8 && col("avg_tok_len") <= 5.2 &&
+      col("diversity") >= 0.32 && col("stop_ratio") <= 0.125
+
   def x38FilterCascade(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val f = t(s, dir, "documents")
-      .withColumn("toks", TextFns.tokenize($"text"))
-      .select($"doc_id",
-        size($"toks").cast(LongType).as("n_toks"),
-        (($"n_chars".cast(DoubleType) - (size($"toks") - 1)) / size($"toks"))
-          .as("avg_tok_len"),
-        (size(array_distinct($"toks")).cast(DoubleType) / size($"toks"))
-          .as("diversity"),
-        (TextFns.markerCount("toks", TextFns.Stopwords).cast(DoubleType) /
-          size($"toks")).as("stop_ratio"))
-    f.withColumn("fail_rule",
+    withCascadeFeatures(t(s, dir, "documents")
+        .withColumn("toks", TextFns.tokenize($"text")))
+      .select($"doc_id", $"n_toks", $"avg_tok_len", $"diversity", $"stop_ratio")
+      .withColumn("fail_rule",
         when($"n_toks" < 16, "too_short")
           .when($"avg_tok_len" < 3.8 || $"avg_tok_len" > 5.2, "tok_shape")
           .when($"diversity" < 0.32, "low_diversity")
@@ -1639,6 +1656,41 @@ object Extras {
     */
   val ContainmentDfCap = 100L
 
+  /** 8-token shingle transform over a `toks` column (short docs fall
+    * back to one whole-doc shingle) — shared by x37/x47/x49 so the
+    * three audits agree on what a "shingle" is.
+    */
+  private val Shingle8Sql =
+    "CASE WHEN size(toks) >= 8 THEN" +
+      " transform(sequence(1, size(toks) - 7), i -> md5(concat_ws(' ', slice(toks, i, 8))))" +
+      " ELSE array(md5(concat_ws(' ', toks))) END"
+
+  /** Shared x47/x49 core: containment pairs ≥ 0.5 over df-capped
+    * 8-token shingles of `docs` (doc_id, toks). Columns:
+    * (d1, d2, n1, n2, shared, containment).
+    */
+  private def containmentPairs(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(expr(Shingle8Sql)).as("sh"))
+      .distinct()
+    graft.Caching.withPersisted(sh) { ss =>
+      val sizes = ss.groupBy(col("doc_id")).agg(cnt.as("n"))
+      val rare = ss.groupBy(col("sh")).agg(cnt.as("df"))
+        .filter(col("df") <= ContainmentDfCap).select(col("sh"))
+      val indexed = ss.join(rare, Seq("sh"))
+      indexed.as("a")
+        .join(indexed.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(cnt.as("shared"))
+        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+        .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+        .withColumn("containment",
+          col("shared").cast(DoubleType) / least(col("n1"), col("n2")))
+        .filter(col("containment") >= 0.5)
+    }
+  }
+
   /** x47 — near-containment detection: pairs where the SMALLER
     * document's 8-token shingle set is ≥50% covered by the larger's
     * (overlap coefficient `shared / min(|A|,|B|)`). This is the
@@ -1653,32 +1705,10 @@ object Extras {
     */
   def x47Containment(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = t(s, dir, "documents")
-      .select($"doc_id", TextFns.tokenize($"text").as("toks"))
-      .select($"doc_id", explode(expr(
-        "CASE WHEN size(toks) >= 8 THEN" +
-          " transform(sequence(1, size(toks) - 7), i -> md5(concat_ws(' ', slice(toks, i, 8))))" +
-          " ELSE array(md5(concat_ws(' ', toks))) END")).as("sh"))
-      .distinct()
-    graft.Caching.withPersisted(sh) { ss =>
-      val sizes = ss.groupBy($"doc_id").agg(cnt.as("n"))
-      val rare = ss.groupBy($"sh").agg(cnt.as("df"))
-        .filter($"df" <= ContainmentDfCap).select($"sh")
-      val indexed = ss.join(rare, Seq("sh"))
-      val pairs = indexed.as("a")
-        .join(indexed.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(cnt.as("shared"))
-      pairs
-        .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), Seq("d1"))
-        .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), Seq("d2"))
-        .withColumn("containment",
-          $"shared".cast(DoubleType) / least($"n1", $"n2"))
-        .filter($"containment" >= 0.5)
-        .select($"d1", $"d2", $"n1", $"n2", $"shared", $"containment")
-        .orderBy($"d1", $"d2")
-    }
+    containmentPairs(t(s, dir, "documents")
+        .select($"doc_id", TextFns.tokenize($"text").as("toks")))
+      .select($"d1", $"d2", $"n1", $"n2", $"shared", $"containment")
+      .orderBy($"d1", $"d2")
   }
 
   /** x48 — click attribution: each purchase's value is split linearly
@@ -1734,73 +1764,38 @@ object Extras {
     */
   def x49PipelineFunnel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = t(s, dir, "documents")
-      .withColumn("toks", TextFns.tokenize($"text"))
-      .select($"doc_id", $"lang", $"source", $"text", $"toks",
-        size($"toks").cast(LongType).as("n_toks"),
-        (($"n_chars".cast(DoubleType) - (size($"toks") - 1)) / size($"toks"))
-          .as("avg_tok_len"),
-        (size(array_distinct($"toks")).cast(DoubleType) / size($"toks"))
-          .as("diversity"),
-        (TextFns.markerCount("toks", TextFns.Stopwords).cast(DoubleType) /
-          size($"toks")).as("stop_ratio"),
-        (lit(0.4) * least(size($"toks") / 100.0, lit(1.0)) +
-          lit(0.3) * (lit(1.0) -
-            TextFns.markerCount("toks", TextFns.Stopwords).cast(DoubleType) /
-              size($"toks")) +
-          lit(0.3) * least((($"n_chars".cast(DoubleType) - (size($"toks") - 1)) /
-            size($"toks")) / 8.0, lit(1.0))).as("score"))
-    // s1: quality filter (x38's cascade as one predicate)
-    val s1 = base.filter($"n_toks" >= 16 &&
-      $"avg_tok_len" >= 3.8 && $"avg_tok_len" <= 5.2 &&
-      $"diversity" >= 0.32 && $"stop_ratio" <= 0.125)
+    val base = withCascadeFeatures(t(s, dir, "documents")
+        .withColumn("toks", TextFns.tokenize($"text")))
+      .withColumn("score",
+        lit(0.4) * least($"n_toks" / 100.0, lit(1.0)) +
+          lit(0.3) * (lit(1.0) - $"stop_ratio") +
+          lit(0.3) * least($"avg_tok_len" / 8.0, lit(1.0)))
+      .select($"doc_id", $"lang", $"source", $"text", $"toks", $"n_toks",
+        $"avg_tok_len", $"diversity", $"stop_ratio", $"score")
+    // s1: quality filter — x38's rules as the shared predicate
+    val s1 = base.filter(cascadeKeep)
     // s2: exact dedup — keep the min doc_id per content hash
     val keepers = s1.groupBy(md5($"text").as("h")).agg(min($"doc_id").as("doc_id"))
     val s2 = s1.join(keepers.select($"doc_id"), Seq("doc_id"), "left_semi")
-    // s3: containment dedup — x47 pairs among s2 survivors; the doc
-    // with FEWER shingles loses (tie: the larger doc_id)
-    val sh = s2.select($"doc_id", explode(expr(
-      "CASE WHEN size(toks) >= 8 THEN" +
-        " transform(sequence(1, size(toks) - 7), i -> md5(concat_ws(' ', slice(toks, i, 8))))" +
-        " ELSE array(md5(concat_ws(' ', toks))) END")).as("sh"))
+    // s3: containment dedup — x47's shared pair core among the s2
+    // survivors; the doc with FEWER shingles loses (tie: larger id)
+    val losers = containmentPairs(s2.select($"doc_id", $"toks"))
+      .select(when($"n1" < $"n2", $"d1").when($"n2" < $"n1", $"d2")
+        .otherwise(greatest($"d1", $"d2")).as("doc_id"))
       .distinct()
-    val s3 = graft.Caching.withPersisted(sh) { ss =>
-      val sizes = ss.groupBy($"doc_id").agg(cnt.as("n"))
-      val rare = ss.groupBy($"sh").agg(cnt.as("df"))
-        .filter($"df" <= ContainmentDfCap).select($"sh")
-      val indexed = ss.join(rare, Seq("sh"))
-      val losers = indexed.as("a")
-        .join(indexed.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(cnt.as("shared"))
-        .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), Seq("d1"))
-        .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), Seq("d2"))
-        .filter($"shared".cast(DoubleType) / least($"n1", $"n2") >= 0.5)
-        .select(when($"n1" < $"n2", $"d1").when($"n2" < $"n1", $"d2")
-          .otherwise(greatest($"d1", $"d2")).as("doc_id"))
-        .distinct()
-      // losers feeds stages 3, 4 AND 5 of the union — persist the tiny
-      // id set so the quadratic pair computation runs once, not 3x
-      graft.Caching.withPersisted(losers) { ls =>
-        s2.join(ls, Seq("doc_id"), "left_anti")
-      }
+    // losers feeds stages 3, 4 AND 5 of the union — persist the tiny
+    // id set so the quadratic pair computation runs once, not 3x
+    val s3 = graft.Caching.withPersisted(losers) { ls =>
+      s2.join(ls, Seq("doc_id"), "left_anti")
     }
     // s4: per-source cap — top-20 by score (ties to the smaller id)
     val capW = org.apache.spark.sql.expressions.Window
       .partitionBy($"source").orderBy($"score".desc, $"doc_id")
     val s4 = s3.withColumn("_rk", row_number().over(capW))
       .filter($"_rk" <= 20).drop("_rk")
-    // s5: mixture — x26 rates recomputed over the s4 survivors
-    val perLang = s4.groupBy($"lang").agg(sum($"n_toks").as("lang_toks"))
-    val total = perLang.agg(sum($"lang_toks").as("total_toks"))
-    val rates = perLang.join(broadcast(MixtureWeights.toDF("lang", "w")), Seq("lang"))
-      .crossJoin(broadcast(total))
-      .select($"lang",
-        greatest(lit(1L), floor(least(lit(1.0),
-          lit(0.5) * $"total_toks".cast(DoubleType) * $"w" /
-            $"lang_toks".cast(DoubleType)) * 100.0)).as("keep_pct"))
-    val s5 = s4.join(broadcast(rates), Seq("lang"))
+    // s5: mixture — x26's shared rate grid recomputed over s4
+    val s5 = s4.join(broadcast(mixtureRates(s4.select($"lang", $"n_toks"))),
+        Seq("lang"))
       .filter(idBucket($"doc_id") < $"keep_pct")
     def stage(name: String, df: DataFrame) =
       df.agg(cnt.as("n_docs"), coalesce(sum($"n_toks"), lit(0L)).as("n_toks"))

@@ -57,8 +57,13 @@ object LakeSink {
           dated.write.mode("append").partitionBy("ingest_date").parquet(lake)
           done = true
         } catch {
-          case e: Throwable if attempt < maxRetries =>
+          // NonFatal only: an interrupt/OOM must surface, not re-write
+          // the batch; every failed attempt is logged so sink
+          // flakiness stays diagnosable
+          case scala.util.control.NonFatal(e) if attempt < maxRetries =>
             attempt += 1
+            System.err.println(
+              s"[lakesink] $entity batch $batchId attempt $attempt failed: ${e.getMessage}")
             Thread.sleep(backoffMs << (attempt - 1))
         }
       }
@@ -71,10 +76,18 @@ object LakeSink {
 
   /** Start the streaming sink: every micro-batch of `events` commits
     * through [[commitBatch]].
+    *
+    * The checkpoint defaults to `<lake>/_checkpoints/<entity>` — it
+    * must be DURABLE, because the ledger's replay detection keys on
+    * the checkpoint's batch ids: with a temp checkpoint a restarted
+    * query would recount from 0 and the ledger would discard fresh
+    * batches as replays (silent data loss).
     */
-  def start(events: DataFrame, lake: String,
-      entity: String = "events"): StreamingQuery =
+  def start(events: DataFrame, lake: String, entity: String = "events",
+      checkpoint: Option[String] = None): StreamingQuery =
     events.writeStream.outputMode("append")
+      .option("checkpointLocation",
+        checkpoint.getOrElse(s"$lake/_checkpoints/$entity"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         commitBatch(batch, lake, entity, batchId)
         ()
