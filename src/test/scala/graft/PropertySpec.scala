@@ -93,11 +93,14 @@ class PropertySpec extends AnyFunSuite {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
-    // several shapes: singleton, collision-heavy tiny tier space, larger
+    // several shapes: singleton, collision-heavy tiny tier space, larger;
+    // every shape carries some NULL keys (they must keep flowing through
+    // the bucket join and sort first within their tier, like the naive form)
     for ((n, tiers) <- Seq((1, 1), (37, 2), (400, 5))) {
       val df = (1L to n.toLong).toDF("id")
         .withColumn("tier", pmod(col("id") * 7919, lit(tiers)).cast("long"))
-        .withColumn("skey", md5(concat(lit("seed:"), col("id").cast("string"))))
+        .withColumn("skey", when(pmod(col("id"), lit(11)) === 0, lit(null))
+          .otherwise(md5(concat(lit("seed:"), col("id").cast("string")))))
       val fast = graft.operators.GlobalOrder
         .withPosition(df, "tier", "skey", "id")
         .select(col("id"), col("pos")).collect()
