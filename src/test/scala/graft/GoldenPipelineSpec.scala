@@ -113,8 +113,16 @@ class GoldenPipelineSpec extends AnyFunSuite {
       .orderBy("id").collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("cr_1", "cr_2")) // id guard + dedup
     assert(rows(0).getString(1) == "new") // last fetch wins (E4)
-    // without a version column: id-dedup still collapses refetches
-    assert(Bronze.creativeSilver(refetched.drop("fetch_ts")).count() == 2)
+    // without a version column the survivor must still be DETERMINISTIC:
+    // the full-payload ordering picks the same row on every run and on
+    // any partitioning (dropDuplicates' arbitrary pick would not)
+    val unversioned = refetched.drop("fetch_ts")
+    val run1 = Bronze.creativeSilver(unversioned)
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    val run2 = Bronze.creativeSilver(unversioned.repartition(7))
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(run1.length == 2 && run1 == run2,
+      "survivor identity must not depend on partitioning")
   }
 
   test("creative silver: G13 name unescape + G12 inside object_story_spec") {
