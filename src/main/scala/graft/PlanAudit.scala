@@ -210,6 +210,10 @@ object PlanAudit {
     audit("x50_leak_safe_split")(
       "split layers on the CC labels without a cartesian" ->
         (p => !p.contains("CartesianProduct")))
+    audit("x51_token_drift")(
+      "grand totals broadcast back (1-row frame)" ->
+        (_.contains("BroadcastExchange")),
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")))
 
     println(s"\nPlan audit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()

@@ -106,7 +106,8 @@ object SparkEntry {
     "x47_containment" -> (X.x47Containment _),
     "x48_attribution" -> (X.x48Attribution _),
     "x49_pipeline_funnel" -> (X.x49PipelineFunnel _),
-    "x50_leak_safe_split" -> (X.x50LeakSafeSplit _)
+    "x50_leak_safe_split" -> (X.x50LeakSafeSplit _),
+    "x51_token_drift" -> (X.x51TokenDrift _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

@@ -1833,6 +1833,39 @@ object Extras {
       .orderBy($"doc_id")
   }
 
+  /** x51 — token-distribution drift monitor: split the corpus into two
+    * deterministic halves (id-hash bucket < 50 vs rest — the same grid
+    * every sampler uses) and surface the 20 tokens whose relative
+    * frequency differs most between the halves, plus each side's
+    * probabilities. On a healthy corpus the halves agree; a skewed
+    * ingest, a bad shard, or train/serve skew shows up as mass moving
+    * between specific tokens. Run it A/B on corpus-version pairs or
+    * arrival-time halves — the split predicate is the only knob.
+    *
+    * Portability shape: probabilities are exact-int counts divided
+    * once (IEEE-exact); drift = |p_a − p_b| needs no libm. Scale
+    * shape: one token-keyed aggregate carrying both halves' counts
+    * (two conditional sums — the split never scans twice), then the
+    * salted two-phase top-k.
+    */
+  def x51TokenDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = t(s, dir, "documents")
+      .select((idBucket($"doc_id") < 50).as("in_a"),
+        explode(TextFns.tokenize($"text")).as("tok"))
+    val counts = toks.groupBy($"tok").agg(
+      sum(when($"in_a", 1L).otherwise(0L)).as("n_a"),
+      sum(when(!$"in_a", 1L).otherwise(0L)).as("n_b"))
+    val totals = counts.agg(sum($"n_a").as("t_a"), sum($"n_b").as("t_b"))
+    val scored = counts.crossJoin(broadcast(totals))
+      .withColumn("p_a", $"n_a".cast(DoubleType) / $"t_a")
+      .withColumn("p_b", $"n_b".cast(DoubleType) / $"t_b")
+      .withColumn("drift", abs($"p_a" - $"p_b"))
+    saltedTopK(scored, Nil, $"tok", $"drift", "rank", 20)
+      .select($"rank", $"tok", $"n_a", $"n_b", $"p_a", $"p_b", $"drift")
+      .orderBy($"rank")
+  }
+
   /** q26 Aggregator twin — typed [[VectorFns.CentroidAgg]] centroid
     * (float-sum order differs by design → rows-only check; the
     * decimal-exact Q26 is the hash-checked form).

@@ -462,6 +462,28 @@ object ExtrasOracle {
         |    CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM s5)
         |ORDER BY stage""".stripMargin,
 
+    "x51_token_drift" ->
+      """WITH toks AS (SELECT
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |      AS BIGINT) % 100 < 50 AS in_a,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok,
+        |    CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        |  FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS t_a,
+        |    CAST(SUM(n_b) AS BIGINT) AS t_b FROM c),
+        |sc AS (SELECT tok, n_a, n_b,
+        |    CAST(n_a AS DOUBLE) / t_a AS p_a,
+        |    CAST(n_b AS DOUBLE) / t_b AS p_b,
+        |    abs(CAST(n_a AS DOUBLE) / t_a - CAST(n_b AS DOUBLE) / t_b) AS drift
+        |  FROM c, tot),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY drift DESC, tok)
+        |    AS BIGINT) AS rank FROM sc)
+        |SELECT rank, tok, n_a, n_b, p_a, p_b, drift FROM r
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
     "x01_dedup_exact" ->
       """SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS n_dups,
         |  MIN(doc_id) AS keeper

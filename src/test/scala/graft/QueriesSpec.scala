@@ -403,6 +403,22 @@ class QueriesSpec extends AnyFunSuite {
       "train holds the bulk of the 90/5/5 grid")
   }
 
+  test("x51 drift rows are rank-ordered probability gaps on a shared vocab") {
+    val rows = Extras.x51TokenDrift(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getDouble(6) >= b.getDouble(6), "drift non-increasing in rank")
+      case _ =>
+    }
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(6) -
+        math.abs(r.getDouble(4) - r.getDouble(5))) < 1e-15)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getLong(2) + r.getLong(3) > 0)
+    }
+  }
+
   test("entry() returns non-empty flagship result") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
