@@ -72,27 +72,23 @@ object Compaction {
     // dynamic overwrite only for the duration of the rewrites — a
     // leaked session-wide 'dynamic' would change the semantics of a
     // caller's later intentional full-table overwrite
-    val prevMode =
-      spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try flagged.toSeq.map { r =>
-      val partDir = r.getString(0) // e.g. ingest_date=2024-01-03
-      val Array(partCol, escaped) = partDir.split("=", 2)
-      // directory names are Hive-escaped; the column filter needs the
-      // raw value or an escaped partition never matches (and the
-      // empty-frame overwrite would be reported as a rewrite)
-      val value = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .unescapePathName(escaped)
-      val nOut = math.max(1L,
-        (r.getLong(2) + targetFileBytes - 1) / targetFileBytes).toInt
-      spark.read.parquet(tableDir)
-        .filter(col(partCol) === value)
-        .repartition(nOut)
-        .write.mode("overwrite").partitionBy(partCol).parquet(tableDir)
-      partDir
-    } finally prevMode match {
-      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    Deletes.withDynamicOverwrite(spark) {
+      flagged.toSeq.map { r =>
+        val partDir = r.getString(0) // e.g. ingest_date=2024-01-03
+        val Array(partCol, escaped) = partDir.split("=", 2)
+        // directory names are Hive-escaped; the column filter needs the
+        // raw value or an escaped partition never matches (and the
+        // empty-frame overwrite would be reported as a rewrite)
+        val value = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(escaped)
+        val nOut = math.max(1L,
+          (r.getLong(2) + targetFileBytes - 1) / targetFileBytes).toInt
+        spark.read.parquet(tableDir)
+          .filter(col(partCol) === value)
+          .repartition(nOut)
+          .write.mode("overwrite").partitionBy(partCol).parquet(tableDir)
+        partDir
+      }
     }
   }
 }
