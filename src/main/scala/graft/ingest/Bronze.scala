@@ -201,7 +201,7 @@ object Bronze {
         // silver rows). Rank on the full serialized payload: arbitrary
         // but total and reproducible on any partitioning.
         val w = Window.partitionBy(col("id"))
-          .orderBy(to_json(struct(guarded.columns.map(col): _*)).desc)
+          .orderBy(to_json(struct(guarded.columns.toIndexedSeq.map(col): _*)).desc)
         guarded.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
     }
