@@ -57,11 +57,20 @@ object Main {
         case "insights" => (Schemas.insights, Bronze.insightsSilver _, "insights")
         case other => sys.error(s"unknown entity '$other' (campaign|ad_set|ad|insights)")
       }
-      // tag the quarantine slice with the ingest day so a re-run of
-      // the same batch overwrites its slice instead of appending dups
+      // tag the quarantine slice with the BATCH IDENTITY (input path),
+      // not the wall-clock day: a replay of the same file then
+      // overwrites its own slice even when run on a later calendar day
+      // (ADVICE r6 #4), while distinct input files keep distinct slices
+      val batchTag = {
+        val base = new java.io.File(json).getName
+          .replaceAll("[^A-Za-z0-9._-]", "_")
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(json.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+        s"$base-$h"
+      }
       val clean = Bronze.quarantine(
         Bronze.readJson(spark, json, schema), lake, entity,
-        batchTag = Some(java.time.LocalDate.now(java.time.ZoneOffset.UTC).toString))
+        batchTag = Some(batchTag))
       val out = silver(clean)
         .withColumn("ingest_date", org.apache.spark.sql.functions.current_date())
       // manifest records THIS batch's row count, not the cumulative

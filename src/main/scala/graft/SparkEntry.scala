@@ -107,7 +107,8 @@ object SparkEntry {
     "x48_attribution" -> (X.x48Attribution _),
     "x49_pipeline_funnel" -> (X.x49PipelineFunnel _),
     "x50_leak_safe_split" -> (X.x50LeakSafeSplit _),
-    "x51_token_drift" -> (X.x51TokenDrift _)
+    "x51_token_drift" -> (X.x51TokenDrift _),
+    "x52_time_travel" -> (X.x52TimeTravel _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

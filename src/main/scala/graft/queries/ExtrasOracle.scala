@@ -58,6 +58,26 @@ object ExtrasOracle {
        |lab AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM cc GROUP BY node)""".stripMargin
 
   val sql: Map[String, String] = Map(
+    // Recomputes each snapshot version's digest straight from the raw
+    // table: v1 = status F, v2 = +O, v3 = minus o_orderkey%7==0 keys,
+    // v4 = compaction (data-identical to v3 by contract). A broken
+    // commit swap / delete / compaction hash-mismatches here.
+    "x52_time_travel" -> {
+      val dig = "CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(28,10)))" +
+        " AS VARCHAR) AS DOUBLE) AS total_price, " +
+        "MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key"
+      s"""WITH d2 AS (SELECT * FROM orders WHERE o_orderstatus IN ('F','O')),
+         |d3 AS (SELECT * FROM d2 WHERE o_orderkey % 7 <> 0),
+         |dig AS (
+         |  SELECT CAST(1 AS BIGINT) AS version, $dig FROM orders
+         |    WHERE o_orderstatus = 'F'
+         |  UNION ALL SELECT CAST(2 AS BIGINT), $dig FROM d2
+         |  UNION ALL SELECT CAST(3 AS BIGINT), $dig FROM d3
+         |  UNION ALL SELECT CAST(4 AS BIGINT), $dig FROM d3)
+         |SELECT version, n_rows, total_price, min_key, max_key
+         |FROM dig ORDER BY version""".stripMargin
+    },
     "x31_seq_pack" -> {
       val b = Extras.SeqPackBudget
       s"""WITH d AS (SELECT doc_id,

@@ -14,13 +14,19 @@ import graft.ingest.Manifest
   * flaky boundary is the SINK (object-store 429/503s), so the backoff
   * loop lives around the micro-batch write.
   *
-  * Exactly-once contract: each micro-batch commits at most once — a
-  * replayed batch id (restart re-delivers the last uncommitted batch)
-  * is skipped via the `_ledger/<entity>/batch-<id>` marker. The marker
-  * lands AFTER the data write, so a crash between the two replays the
-  * batch: at-least-once at the file level, made exactly-once by the
-  * downstream keep-latest dedup (Q19 / ingest upsert) — the same
-  * contract as the reference's re-fetch-and-overwrite daily mode.
+  * Delivery contract: AT-LEAST-ONCE at the file level. The
+  * `_ledger/<entity>/batch-<id>` marker (written AFTER the data) stops
+  * a restarted query from re-committing an already-marked batch, but
+  * two failure shapes still duplicate files: a crash between write and
+  * marker replays the whole batch, and a mid-JOB failure inside one
+  * attempt can leave that attempt's already-committed task files
+  * behind before the retry re-appends (object stores have no job-level
+  * rollback). Keyed consumers recover exactly-once via the downstream
+  * keep-latest dedup (Q19 / ingest upsert) — the same contract as the
+  * reference's re-fetch-and-overwrite daily mode; non-keyed consumers
+  * see duplicates unless they read through a snapshot-committed table
+  * ([[graft.operators.SnapshotLog]]), whose commit lists exactly one
+  * successful attempt's files and never exposes orphans.
   *
   * Scale: the ledger is one O(bytes) marker per micro-batch (the shape
   * of a commit-log entry); the write itself is an append of the
