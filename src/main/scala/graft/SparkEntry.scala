@@ -107,6 +107,7 @@ object SparkEntry {
     "x48_attribution" -> (X.x48Attribution _),
     "x49_pipeline_funnel" -> (X.x49PipelineFunnel _),
     "x50_leak_safe_split" -> (X.x50LeakSafeSplit _),
+    "x11b_binary_assets" -> (X.x11bBinaryAssets _),
     "x51_token_drift" -> (X.x51TokenDrift _),
     "x52_time_travel" -> (X.x52TimeTravel _)
   )

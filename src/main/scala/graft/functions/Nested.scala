@@ -172,4 +172,55 @@ object Nested {
     pageId.as("page_id"),
     struct(message.as("message"), link.as("link"),
       children.as("child_attachments")).as("link_data"))
+
+  /** G22: CTA payload — null when the type is blank, uppercased
+    * otherwise (3_Creative_Composer.py:45-56; None ≡ null under the
+    * uniform column schema, same convention as [[swapMedia]]).
+    */
+  def buildCallToAction(ctaType: Column, link: Column): Column = {
+    val t = upper(trim(coalesce(ctaType, lit(""))))
+    when(t =!= "", struct(t.as("type"), struct(link.as("link")).as("value")))
+  }
+
+  /** G22: assemble a collection (product-set) spec — the
+    * `template_data` variant (3_Creative_Composer.py:277-327). The
+    * reference's required-field ValueErrors become a null spec here
+    * (page_id, product_set_id, link, and one of image_hash/video_id
+    * are mandatory), so invalid rows are filterable instead of
+    * job-fatal — the quarantine convention of the ingest layer.
+    */
+  def buildCollectionSpec(pageId: Column, message: Column, headline: Column,
+      link: Column, ctaType: Column, imageHash: Column, videoId: Column,
+      productSetId: Column): Column = {
+    def req(c: Column) = trim(coalesce(c, lit(""))) =!= ""
+    when(req(pageId) && req(productSetId) && req(link) &&
+        (req(imageHash) || req(videoId)),
+      struct(
+        trim(pageId).as("page_id"),
+        struct(
+          message.as("message"), headline.as("name"), trim(link).as("link"),
+          trim(productSetId).as("product_set_id"),
+          imageHash.as("image_hash"), videoId.as("video_id"),
+          buildCallToAction(ctaType, trim(link)).as("call_to_action"))
+          .as("template_data")))
+  }
+
+  /** G22: raw-JSON passthrough creative (3_Creative_Composer.py:330-339)
+    * — parse an operator-supplied JSON payload against the typed spec
+    * schema (`specType` = the creative table's object_story_spec type),
+    * override the name when one is given, and reject (null) payloads
+    * without an `object_story_spec` object. Unknown JSON fields drop —
+    * the lake's creative schema is the write contract.
+    */
+  def buildRawCreative(rawJson: Column, creativeName: Column,
+      specType: DataType): Column = {
+    val parsed = from_json(rawJson, StructType(Seq(
+      StructField("name", StringType),
+      StructField("object_story_spec", specType))))
+    when(parsed.getField("object_story_spec").isNotNull,
+      struct(
+        when(trim(coalesce(creativeName, lit(""))) =!= "", trim(creativeName))
+          .otherwise(parsed.getField("name")).as("name"),
+        parsed.getField("object_story_spec").as("object_story_spec")))
+  }
 }

@@ -132,7 +132,11 @@ object Schemas {
         f("template_data", StructType(Seq(
           f("message", StringType), f("name", StringType), f("link", StringType),
           f("product_set_id", StringType),
-          f("retailer_item_ids", ArrayType(StringType))))))), "素材規格"),
+          f("retailer_item_ids", ArrayType(StringType)),
+          // collection creatives carry cover media + CTA in
+          // template_data (3_Creative_Composer.py:277-327)
+          f("image_hash", StringType), f("video_id", StringType),
+          f("call_to_action", cta)))))), "素材規格"),
       f("image_url", StringType),
       f("video_id", StringType),
       f("thumbnail_url", StringType),

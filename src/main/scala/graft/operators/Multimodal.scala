@@ -62,4 +62,54 @@ object Multimodal {
     import s.implicits._
     assetsFromDocuments(docs).mapPartitions(decodeStub)
   }
+
+  /** A8: materialize a real on-disk asset fixture from the documents
+    * table — one file per doc, written EXECUTOR-side (foreachPartition;
+    * no driver loop), extensions alternating by doc_id parity so the
+    * mime mapping below is exercised. Capped at `maxDocs`: this is the
+    * upload-surface analog (pages/2_Creative_Uploader.py:74-140), not a
+    * lake layout — a real asset lake keeps payloads in parquet row
+    * groups or an object store, never millions of tiny local files.
+    */
+  def writeAssetFiles(docs: DataFrame, dir: String, maxDocs: Long = 200): Unit = {
+    new java.io.File(dir).mkdirs()
+    docs.filter(col("doc_id") <= maxDocs)
+      .select(col("doc_id").cast(LongType), col("text"))
+      .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        it.foreach { r =>
+          val id = r.getLong(0)
+          val ext = if (id % 2 == 0) "bin" else "txt"
+          val f = new java.io.File(dir, s"asset-$id.$ext")
+          val out = new java.io.FileOutputStream(f)
+          try out.write(r.getString(1).getBytes("UTF-8")) finally out.close()
+        }
+      }
+  }
+
+  /** A8: the REAL binary ingestion path — `spark.read.format
+    * ("binaryFile")` over an asset directory gives (path,
+    * modificationTime, length, content); doc id and mime derive from
+    * the file name. At scale the source parallelizes by file and
+    * `maxBytesPerPartition` bounds task input; pushing a
+    * `pathGlobFilter` restricts the listing without reading payloads.
+    */
+  def assetsFromBinaryFiles(s: org.apache.spark.sql.SparkSession,
+      dir: String): Dataset[AssetRow] = {
+    import s.implicits._
+    s.read.format("binaryFile").load(dir)
+      .select(
+        regexp_extract(col("path"), "asset-([0-9]+)\\.", 1)
+          .cast(LongType).as("doc_id"),
+        when(col("path").endsWith(".bin"), lit("application/octet-stream"))
+          .otherwise(lit("text/plain")).as("mime"),
+        col("content"))
+      .as[AssetRow]
+  }
+
+  /** Decode stage over the binaryFile source. */
+  def extractFeaturesFromFiles(s: org.apache.spark.sql.SparkSession,
+      dir: String): Dataset[AssetFeatures] = {
+    import s.implicits._
+    assetsFromBinaryFiles(s, dir).mapPartitions(decodeStub)
+  }
 }

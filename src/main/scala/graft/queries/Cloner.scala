@@ -106,6 +106,28 @@ object Cloner {
     Manifest.record(aligned, lakeDir, entity, rows)
   }
 
+  /** G22 raw-JSON creation mode (3_Creative_Composer.py:330-339):
+    * operator-supplied JSON payloads → lake-ready creative rows. Rows
+    * without a parseable `object_story_spec` object are DROPPED (the
+    * reference raises per payload; a batch pipeline quarantines), new
+    * creatives default to PAUSED like every payload builder (G21), and
+    * ids are caller-stamped (`<prefix><row id>`), keeping the compose
+    * idempotent.
+    */
+  def composeRawCreatives(raws: DataFrame, rawCol: String, nameCol: String,
+      idCol: String, idPrefix: String): DataFrame = {
+    val specType = graft.model.Schemas.creative("object_story_spec").dataType
+    raws
+      .withColumn("_p",
+        Nested.buildRawCreative(col(rawCol), col(nameCol), specType))
+      .filter(col("_p").isNotNull)
+      .select(
+        rewire(col(idCol), idPrefix).as("id"),
+        col("_p").getField("name").as("name"),
+        Nested.defaultPausedStatus(lit(null)).as("status"),
+        col("_p").getField("object_story_spec").as("object_story_spec"))
+  }
+
   /** Clone a creative with edited text/link (G20 rewrite + G21 strip):
     * the EDIT step of the round-trip.
     */

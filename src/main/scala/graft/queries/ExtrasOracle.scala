@@ -689,17 +689,24 @@ object ExtrasOracle {
          |WHERE rn <= 3 ORDER BY p_id, rank""".stripMargin,
 
     "x06_ann_lsh" ->
-      s"""WITH planes AS (SELECT vec_id AS j, embedding AS pe FROM embeddings
-         |  WHERE vec_id BETWEEN 1 AND 8),
-         |dots AS (SELECT e.vec_id, p.j, ${dot("e.embedding", "p.pe")} AS dot
+      s"""WITH planes AS (SELECT vec_id AS j, (vec_id - 1) // 8 AS tbl,
+         |    embedding AS pe FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+         |dots AS (SELECT e.vec_id, p.j, p.tbl, ${dot("e.embedding", "p.pe")} AS dot
          |  FROM embeddings e, planes p, generate_series(1, 64) t(i)
-         |  GROUP BY e.vec_id, p.j),
-         |buckets AS (SELECT vec_id, CAST(SUM(CASE WHEN dot > 0.0
-         |    THEN (CAST(1 AS BIGINT) << CAST(j - 1 AS INT)) ELSE 0 END) AS BIGINT)
-         |  AS bucket FROM dots GROUP BY vec_id),
-         |pb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
-         |cand AS (SELECT b.vec_id FROM buckets b, pb
-         |  WHERE b.bucket = pb.bucket AND b.vec_id <> 0),
+         |  GROUP BY e.vec_id, p.j, p.tbl),
+         |buckets AS (SELECT vec_id, tbl, CAST(SUM(CASE WHEN dot > 0.0
+         |    THEN (CAST(1 AS BIGINT) << CAST((j - 1) % 8 AS INT)) ELSE 0 END)
+         |    AS BIGINT) AS bucket FROM dots GROUP BY vec_id, tbl),
+         |pb AS (SELECT tbl, bucket FROM buckets WHERE vec_id = 0),
+         |masks AS (SELECT CAST(0 AS BIGINT) AS mask
+         |  UNION ALL SELECT (CAST(1 AS BIGINT) << j) FROM generate_series(0, 7) t(j)
+         |  UNION ALL SELECT (CAST(1 AS BIGINT) << i) | (CAST(1 AS BIGINT) << j)
+         |    FROM generate_series(0, 7) s(i), generate_series(0, 7) t(j)
+         |    WHERE i < j),
+         |pbuckets AS (SELECT DISTINCT pb.tbl, xor(pb.bucket, masks.mask) AS bucket
+         |  FROM pb, masks),
+         |cand AS (SELECT DISTINCT b.vec_id FROM buckets b JOIN pbuckets p
+         |  ON b.tbl = p.tbl AND b.bucket = p.bucket WHERE b.vec_id <> 0),
          |probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
          |cos AS (SELECT e.vec_id, ${dot("e.embedding", "probe.pe")} AS dot,
          |    ${dot("e.embedding", "e.embedding")} AS n1,
@@ -1082,6 +1089,18 @@ object ExtrasOracle {
         |  (CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 640) + 1 AS fake_width,
         |  (CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 480) + 1 AS fake_height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // x11's digest restricted to the fixture cap, with the parity-based
+    // mime the file extensions encode.
+    "x11b_binary_assets" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'application/octet-stream'
+        |       ELSE 'text/plain' END AS mime,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+        |  md5(text) AS content_hash,
+        |  (CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 640) + 1 AS fake_width,
+        |  (CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 480) + 1 AS fake_height
+        |FROM documents WHERE doc_id <= 200 ORDER BY doc_id""".stripMargin,
 
     "x12_embed_neardup" ->
       s"""WITH planes AS (SELECT vec_id AS j, embedding AS pe FROM embeddings

@@ -102,4 +102,44 @@ class ClonerSpec extends AnyFunSuite {
     assert(ld.getString(ld.fieldIndex("link")) == "https://cloned.example")
     assert(!cloned.columns.contains("thumbnail_url"))
   }
+
+  test("collection creative (template_data) clone survives the lake round-trip") {
+    val lake = java.nio.file.Files.createTempDirectory("cloner_coll").toString
+    val stamped = creatives.drop("_corrupt_record")
+      .withColumn("ingest_date", lit("2025-09-01"))
+    Bronze.writePartitioned(stamped, s"$lake/creatives")
+
+    val cloned = Cloner.cloneCreative(
+      spark.read.parquet(s"$lake/creatives"), "9900003", "cc_",
+      newMessage = lit("新合集"), newTitle = lit(null), newLink = lit(null))
+    Cloner.appendEntity(cloned, lake, "creatives", ingestDate = "2025-09-02")
+
+    val back = spark.read.parquet(s"$lake/creatives")
+      .filter(col("id") === "cc_9900003").collect()
+    assert(back.length == 1)
+    val spec = back(0).getStruct(back(0).fieldIndex("object_story_spec"))
+    val td = spec.getStruct(spec.fieldIndex("template_data"))
+    assert(td.getString(td.fieldIndex("message")) == "新合集") // G20 edit applied
+    assert(td.getString(td.fieldIndex("product_set_id")) == "ps_1") // survived
+    assert(td.getString(td.fieldIndex("link")) == "https://ex.com/c")
+    assert(td.getSeq[String](td.fieldIndex("retailer_item_ids")) == Seq("SKU9"))
+  }
+
+  test("raw-JSON creatives compose into lake-ready rows; junk quarantined") {
+    import spark.implicits._
+    val composed = Cloner.composeRawCreatives(
+      Seq(
+        ("r1", """{"name":"from-raw","object_story_spec":{"page_id":"777","template_data":{"product_set_id":"ps_9","link":"https://raw"}}}""", ""),
+        ("r2", """{"name":"broken"}""", "")).toDF("rid", "raw", "nm"),
+      rawCol = "raw", nameCol = "nm", idCol = "rid", idPrefix = "raw_")
+    val rows = composed.collect()
+    assert(rows.length == 1, "spec-less payload dropped")
+    val r = rows(0)
+    assert(r.getString(r.fieldIndex("id")) == "raw_r1")
+    assert(r.getString(r.fieldIndex("name")) == "from-raw")
+    assert(r.getString(r.fieldIndex("status")) == "PAUSED")
+    val spec = r.getStruct(r.fieldIndex("object_story_spec"))
+    val td = spec.getStruct(spec.fieldIndex("template_data"))
+    assert(td.getString(td.fieldIndex("product_set_id")) == "ps_9")
+  }
 }

@@ -118,4 +118,48 @@ class NestedSpec extends AnyFunSuite {
     val cta = ld.getStruct(ld.fieldIndex("call_to_action"))
     assert(cta.getString(cta.fieldIndex("type")) == "LEARN_MORE")
   }
+
+  test("G22 collection spec truth table: required fields and CTA casing") {
+    import spark.implicits._
+    // (page, msg, head, link, cta, image, video, product_set, expectNull)
+    val cases = Seq(
+      ("777", "m", "h", "https://l", "learn_more", "ih", null, "ps_1", false),
+      ("777", "m", "h", "https://l", "", null, "vid1", "ps_1", false),
+      ("", "m", "h", "https://l", "X", "ih", null, "ps_1", true),   // no page
+      ("777", "m", "h", "", "X", "ih", null, "ps_1", true),         // no link
+      ("777", "m", "h", "https://l", "X", null, null, "ps_1", true), // no media
+      ("777", "m", "h", "https://l", "X", "ih", null, " ", true))   // no set
+    val df = cases.toDF("p", "m", "h", "l", "cta", "ih", "vid", "ps", "expectNull")
+      .select(col("expectNull"), Nested.buildCollectionSpec(col("p"), col("m"),
+        col("h"), col("l"), col("cta"), col("ih"), col("vid"), col("ps")).as("s"))
+    df.collect().foreach { r =>
+      assert(r.isNullAt(1) == r.getBoolean(0), s"required-field gate: $r")
+    }
+    val ok = df.filter(!col("expectNull")).select(
+      col("s.template_data.product_set_id"),
+      col("s.template_data.call_to_action.type"),
+      col("s.template_data.video_id")).collect()
+    assert(ok(0).getString(0) == "ps_1")
+    assert(ok(0).getString(1) == "LEARN_MORE") // uppercased
+    assert(ok(1).isNullAt(1), "blank CTA type -> no call_to_action")
+    assert(ok(1).getString(2) == "vid1")
+  }
+
+  test("G22 raw passthrough: name override, spec required, junk dropped") {
+    import spark.implicits._
+    val specType = Schemas.creative("object_story_spec").dataType
+    val raws = Seq(
+      ("""{"name":"orig","object_story_spec":{"page_id":"777",
+         "link_data":{"link":"https://x"}}}""".replaceAll("\n\\s*", ""), "newname"),
+      ("""{"name":"keepme","object_story_spec":{"page_id":"8"}}""", ""),
+      ("""{"name":"no-spec"}""", "n"),
+      ("""not json at all""", "n"))
+      .toDF("raw", "nm")
+      .select(Nested.buildRawCreative(col("raw"), col("nm"), specType).as("p"))
+      .collect()
+    assert(!raws(0).isNullAt(0) && raws(0).getStruct(0).getString(0) == "newname")
+    assert(raws(1).getStruct(0).getString(0) == "keepme") // blank name keeps raw's
+    assert(raws(2).isNullAt(0), "object_story_spec is mandatory")
+    assert(raws(3).isNullAt(0), "unparseable payload rejected")
+  }
 }

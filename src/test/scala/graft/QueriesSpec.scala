@@ -75,6 +75,32 @@ class QueriesSpec extends AnyFunSuite {
       s"LSH recalled $recalled of ${exact09.size} exact 0.9-pairs")
   }
 
+  test("ANN variants: recall@3 vs x05 brute-force truth >= 0.8") {
+    // retrieval QUALITY gate (r6 verdict ask #5): determinism is
+    // hash-checked by the driver, but nothing else stops a "faster"
+    // rewrite from silently trading accuracy. Truth = x05's exact
+    // top-3 for probe vec_id 0 (the probe every approximate variant
+    // shares); with k=3 the 0.8 bar means all three must be recovered.
+    val truth = Extras.x05AnnBrute(spark, sf).collect()
+      .filter(_.getLong(0) == 0L).sortBy(_.getLong(3)).take(3)
+      .map(_.getLong(1)).toSet
+    assert(truth.size == 3)
+    val variants: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "x06_ann_lsh" -> Extras.x06AnnLsh(spark, sf),
+      "x13_ann_ivf" -> Extras.x13AnnIvf(spark, sf),
+      "x21_ann_sq" -> Extras.x21AnnSq(spark, sf),
+      "x25_ann_pq" -> Extras.x25AnnPq(spark, sf))
+    val recalls = variants.map { case (name, df) =>
+      // every variant's output is cosine-desc ordered; top-3 = head(3)
+      val got = df.limit(3).collect()
+        .map(r => r.getLong(r.fieldIndex("vec_id"))).toSet
+      name -> truth.intersect(got).size.toDouble / truth.size
+    }
+    recalls.foreach { case (name, r) =>
+      assert(r >= 0.8, s"$name recall@3 = $r (truth $truth); all: $recalls")
+    }
+  }
+
   test("x27 confusion matrix partitions the corpus and is diagonal-heavy") {
     val cm = Extras.x27ClassifyCentroid(spark, sf).collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
