@@ -204,9 +204,29 @@ object PlanAudit {
       "purchase-click pairing is a user_id equi-join" ->
         (p => !p.contains("CartesianProduct")),
       "last-touch flag is purchase-partitioned" -> (_.contains("Window")))
+    audit("x30_source_caps")(
+      "per-source cap runs the salted two-phase rank (partial _lr)" ->
+        (_.contains("_lr")),
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")))
     audit("x49_pipeline_funnel")(
       "six-stage composition stays cartesian-free" ->
-        (p => !p.contains("CartesianProduct")))
+        (p => !p.contains("CartesianProduct")),
+      // stage 4 must reuse the SAME salted helper as x30 — the plain
+      // per-source window would concentrate a hot source on one task
+      "stage-4 cap runs the salted two-phase rank (partial _lr)" ->
+        (_.contains("_lr")))
+    audit("x06_ann_lsh")(
+      "bucket probing is an equi-join (no cartesian beyond tiny probes)" ->
+        (p => !p.contains("CartesianProduct")),
+      "decimal_dot kernel in plan" -> (_.contains("decimal_dot")))
+    audit("x11b_binary_assets")(
+      "assets come from a real binaryFile source" ->
+        (_.contains("binaryFile")),
+      "decode runs at the typed mapPartitions boundary" ->
+        (p => p.contains("SerializeFromObject") || p.contains("MapPartitions")))
+    audit("x52_time_travel")(
+      "version digests are plain aggregates over snapshot file scans" ->
+        (p => p.contains("HashAggregate") && !p.contains("CartesianProduct")))
     audit("x50_leak_safe_split")(
       "split layers on the CC labels without a cartesian" ->
         (p => !p.contains("CartesianProduct")))
