@@ -57,16 +57,16 @@ object Main {
         case "insights" => (Schemas.insights, Bronze.insightsSilver _, "insights")
         case other => sys.error(s"unknown entity '$other' (campaign|ad_set|ad|insights)")
       }
-      // tag the quarantine slice with the BATCH IDENTITY (input path),
-      // not the wall-clock day: a replay of the same file then
-      // overwrites its own slice even when run on a later calendar day
-      // (ADVICE r6 #4), while distinct input files keep distinct slices
+      // tag the quarantine slice with the BATCH IDENTITY (the input
+      // file's CANONICAL path — `data/b.json`, `./data/b.json` and the
+      // absolute spelling all resolve to one tag), not the wall-clock
+      // day: a replay of the same file then overwrites its own slice
+      // even when run on a later calendar day (ADVICE r6 #4), while
+      // distinct input files keep distinct slices
       val batchTag = {
-        val base = new java.io.File(json).getName
-          .replaceAll("[^A-Za-z0-9._-]", "_")
-        val h = java.security.MessageDigest.getInstance("MD5")
-          .digest(json.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-        s"$base-$h"
+        val file = new java.io.File(json)
+        val base = file.getName.replaceAll("[^A-Za-z0-9._-]", "_")
+        s"$base-${Hashing.md5hex(file.getCanonicalPath).take(8)}"
       }
       val clean = Bronze.quarantine(
         Bronze.readJson(spark, json, schema), lake, entity,

@@ -48,7 +48,8 @@ object Bronze {
     *
     * The bad-row probe is `head(1)` (first-row short-circuit), not a
     * count; the quarantine write is only the bad sliver. With a
-    * `batchTag` (the ingest CLI passes its day) the sliver lands in a
+    * `batchTag` (the ingest CLI derives one from the batch file's
+    * canonical path) the sliver lands in a
     * tag-scoped subdirectory in OVERWRITE mode, so re-running the same
     * batch — the advertised recovery path — replaces its quarantine
     * slice instead of appending duplicate corrupt rows that a later

@@ -1,7 +1,6 @@
 package graft.operators
 
-import java.security.MessageDigest
-
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -33,8 +32,7 @@ object Multimodal {
   case class AssetFeatures(doc_id: Long, mime: String, byte_len: Long,
       content_hash: String, fake_width: Long, fake_height: Long)
 
-  def md5hex(b: Array[Byte]): String =
-    MessageDigest.getInstance("MD5").digest(b).map("%02x".format(_)).mkString
+  def md5hex(b: Array[Byte]): String = graft.Hashing.md5hex(b)
 
   /** Stubbed decoder: one hash pass per asset; "dimensions" are a
     * deterministic function of the hash so the oracle can recompute
@@ -64,25 +62,30 @@ object Multimodal {
   }
 
   /** A8: materialize a real on-disk asset fixture from the documents
-    * table — one file per doc, written EXECUTOR-side (foreachPartition;
-    * no driver loop), extensions alternating by doc_id parity so the
-    * mime mapping below is exercised. Capped at `maxDocs`: this is the
-    * upload-surface analog (pages/2_Creative_Uploader.py:74-140), not a
-    * lake layout — a real asset lake keeps payloads in parquet row
-    * groups or an object store, never millions of tiny local files.
+    * table — one file per doc, extensions alternating by doc_id parity
+    * so the mime mapping below is exercised. Written DRIVER-side
+    * through the configured Hadoop `FileSystem`: the fixture must land
+    * where the subsequent `binaryFile` LISTING will look, which on any
+    * non-local master is the shared FS — an executor-side
+    * `java.io.File` write would scatter files across worker-local
+    * disks the driver never sees. The collect is `maxDocs`-capped
+    * (scheduler-sized): this is the upload-surface analog
+    * (pages/2_Creative_Uploader.py:74-140), not a lake layout — a real
+    * asset lake keeps payloads in parquet row groups or an object
+    * store, never millions of tiny files.
     */
   def writeAssetFiles(docs: DataFrame, dir: String, maxDocs: Long = 200): Unit = {
-    new java.io.File(dir).mkdirs()
+    val base = new Path(dir)
+    val f = base.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+    f.mkdirs(base)
     docs.filter(col("doc_id") <= maxDocs)
       .select(col("doc_id").cast(LongType), col("text"))
-      .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
-        it.foreach { r =>
-          val id = r.getLong(0)
-          val ext = if (id % 2 == 0) "bin" else "txt"
-          val f = new java.io.File(dir, s"asset-$id.$ext")
-          val out = new java.io.FileOutputStream(f)
-          try out.write(r.getString(1).getBytes("UTF-8")) finally out.close()
-        }
+      .collect()
+      .foreach { r =>
+        val id = r.getLong(0)
+        val ext = if (id % 2 == 0) "bin" else "txt"
+        val out = f.create(new Path(base, s"asset-$id.$ext"), true)
+        try out.write(r.getString(1).getBytes("UTF-8")) finally out.close()
       }
   }
 

@@ -25,13 +25,20 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * invisible: rewrites ADD files and only the final log entry swaps
   * them in, leaving prior versions readable until [[vacuum]].
   *
-  * Atomicity: the commit is one `fs.create(path, overwrite = false)` of
-  * the next version file — atomic on local disk and HDFS; concurrent
-  * committers race on the version number and the loser rebases (reads
-  * the new head and re-resolves its add/remove sets, which commute for
-  * disjoint files). On an object store without atomic create-if-absent
-  * this slot would be a conditional PUT — same protocol, different
-  * primitive.
+  * Atomicity: a commit writes its full JSON document to a hidden tmp
+  * file and RENAMES it onto the next version slot — rename is atomic
+  * on local disk and HDFS, so a crash mid-write can never leave a
+  * truncated head entry (the tmp is invisible to [[versions]]).
+  * Concurrent committers race on the version number; a loser whose
+  * file-set changes are DISJOINT from the winner's rebases (replays
+  * its add/remove sets against the new head — appends always commute)
+  * while an overlapping loser aborts with
+  * `ConcurrentModificationException` rather than silently dropping the
+  * winner's files or resurrecting its deletes — the caller retries the
+  * whole operation against the new head, exactly Delta's
+  * optimistic-concurrency contract. On an object store without atomic
+  * rename this slot would be a conditional PUT — same protocol,
+  * different primitive.
   *
   * Scale shape: a commit document is O(files) driver-side metadata —
   * the same cost class as a Delta JSON commit; at a million-file table
@@ -167,10 +174,22 @@ object SnapshotLog {
 
   /** Commit `files` as the next version, rebasing on a version race:
     * if another writer took version N first, recompute the listing
-    * against the new head via `rebase(headFiles)` and try N+1.
+    * against the new head via `rebase(headFiles)` and try N+1 —
+    * UNLESS the winner's changes touch this writer's conflict domain
+    * (`conflictsWith` is true for some file the winner added or
+    * removed relative to `base`), in which case the rebase would not
+    * commute (a delete could drop the winner's appended-but-unscanned
+    * rows; a compact could resurrect the winner's deletes) and the
+    * commit aborts with `ConcurrentModificationException` for the
+    * caller to retry the whole operation.
+    *
+    * `private[graft]` (not `private`) so the spec can drive the
+    * race/conflict paths deterministically.
     */
-  private def commit(spark: SparkSession, tableDir: String, op: String,
-      schema: StructType, partCols: Seq[String])(
+  private[graft] def commit(spark: SparkSession, tableDir: String, op: String,
+      schema: StructType, partCols: Seq[String],
+      base: Option[Snapshot] = None,
+      conflictsWith: String => Boolean = _ => false)(
       rebase: Seq[String] => Seq[String]): Long = {
     val f = fs(spark, tableDir)
     f.mkdirs(logDir(tableDir))
@@ -178,6 +197,17 @@ object SnapshotLog {
     while (true) {
       val head = latestVersion(spark, tableDir)
       val headFiles = head.map(snapshotAt(spark, tableDir, _).files).getOrElse(Nil)
+      base.filter(b => !head.contains(b.version)).foreach { b =>
+        // lost the race: abort unless the winner's add/remove set is
+        // disjoint from this writer's domain (then the rebase commutes)
+        val baseSet = b.files.toSet
+        val clash = (headFiles.toSet diff baseSet) ++ (baseSet diff headFiles.toSet)
+        if (clash.exists(conflictsWith))
+          throw new java.util.ConcurrentModificationException(
+            s"$op@$tableDir lost the commit race to a writer that touched " +
+            s"its file domain (base v${b.version}, head v${head.getOrElse(0L)}); " +
+            "retry the operation against the new head")
+      }
       val next = head.getOrElse(0L) + 1
       val root = mapper.createObjectNode()
       root.put("version", next)
@@ -189,20 +219,27 @@ object SnapshotLog {
       val arr = root.putArray("files")
       rebase(headFiles).sorted.foreach(arr.add)
       val doc = mapper.writeValueAsString(root)
+      // full document to a hidden tmp first: a crash mid-write leaves
+      // only an ignorable tmp, never a truncated version file
+      val tmp = new Path(logDir(tableDir),
+        s".tmp-${java.util.UUID.randomUUID()}.json")
       try {
-        // overwrite = false → create-if-absent is the atomic slot two
-        // concurrent committers race on; the loser lands in the catch.
-        // NOTE: the loop body up to here re-reads the head, so a loser
-        // REBASES (its add/remove sets replay against the new listing)
+        val out = f.create(tmp, true)
+        try out.write(doc.getBytes("UTF-8")) finally out.close()
+        // the exists+rename pair is the slot two concurrent committers
+        // race on (atomic create-if-absent on HDFS; guarded by the
+        // in-process lock on local fs); the loser lands in the catch.
+        // NOTE: the loop body re-reads the head, so a loser REBASES.
         commitLock.synchronized {
           val p = versionPath(tableDir, next)
-          if (f.exists(p)) throw new java.io.IOException(s"version taken: $p")
-          val out = f.create(p, false)
-          try out.write(doc.getBytes("UTF-8")) finally out.close()
+          if (f.exists(p) || !f.rename(tmp, p))
+            throw new java.io.IOException(s"version taken: $p")
         }
         return next
       } catch {
-        case _: java.io.IOException if attempts < 10 => attempts += 1
+        case _: java.io.IOException if attempts < 10 =>
+          attempts += 1
+          f.delete(tmp, false)
       }
     }
     sys.error("unreachable")
@@ -250,19 +287,33 @@ object SnapshotLog {
   def overwritePartitions(df: DataFrame, tableDir: String,
       partCols: Seq[String]): Long = {
     require(partCols.nonEmpty, "overwritePartitions needs partition columns")
+    val spark = df.sparkSession
+    val base = headSnapshot(spark, tableDir)
     val added = stage(df, tableDir, partCols)
     val touched = added.map(partPrefix).toSet
-    commit(df.sparkSession, tableDir, "overwrite_partitions",
-      readSchema(df, partCols), partCols) { headFiles =>
+    commit(spark, tableDir, "overwrite_partitions",
+      readSchema(df, partCols), partCols, base,
+      fp => touched.contains(partPrefix(fp))) { headFiles =>
       headFiles.filterNot(fp => touched.contains(partPrefix(fp))) ++ added
     }
   }
+
+  private def headSnapshot(spark: SparkSession,
+      tableDir: String): Option[Snapshot] =
+    latestVersion(spark, tableDir).map(snapshotAt(spark, tableDir, _))
 
   /** `part=a/part2=b/file.parquet` → `part=a/part2=b`. */
   private def partPrefix(rel: String): String = {
     val i = rel.lastIndexOf('/')
     if (i < 0) "" else rel.substring(0, i)
   }
+
+  /** True when any `col=value` directory segment of `rel` matches one
+    * of `leaves` — depth-agnostic, so a single-column predicate finds
+    * its partition inside a multi-level `p1=a/p2=b/...` layout too.
+    */
+  private def inPartitions(rel: String, leaves: Set[String]): Boolean =
+    partPrefix(rel).split('/').exists(leaves.contains)
 
   /** Hive directory leaf for one partition value (null → reserved
     * default-partition name), shared with [[Deletes]]' semantics.
@@ -293,10 +344,12 @@ object SnapshotLog {
     val survivors = table.filter(affectedPred)
       .join(broadcast(keys), Seq(keyCol), "left_anti")
     val added = stage(survivors, tableDir, snap.partCols)
+    // segment match (not whole-prefix equality): with multi-level
+    // partitioning the doomed leaf is one segment of a deeper path
     val doomedDirs = affected.map(v => partLeaf(partCol, v)).toSet
-    val v = commit(spark, tableDir, "delete", snap.schema, snap.partCols) {
-      headFiles =>
-        headFiles.filterNot(fp => doomedDirs.contains(partPrefix(fp))) ++ added
+    val v = commit(spark, tableDir, "delete", snap.schema, snap.partCols,
+      Some(snap), fp => inPartitions(fp, doomedDirs)) { headFiles =>
+        headFiles.filterNot(fp => inPartitions(fp, doomedDirs)) ++ added
     }
     (v, affected)
   }
@@ -318,8 +371,16 @@ object SnapshotLog {
     val f = fs(spark, tableDir)
     val byPart = snap.files.groupBy(partPrefix)
     val flagged = byPart.toSeq.sortBy(_._1).flatMap { case (part, files) =>
-      val bytes = files.map(rel =>
-        f.getFileStatus(new Path(tableDir, rel)).getLen).sum
+      // one listStatus per partition DIRECTORY, not one getFileStatus
+      // RPC per file — O(partitions) driver metadata calls at scale
+      val dirPath = if (part.isEmpty) new Path(tableDir)
+        else new Path(tableDir, part)
+      val lens = f.listStatus(dirPath).iterator
+        .map(st => st.getPath.getName -> st.getLen).toMap
+      val bytes = files.map { rel =>
+        val name = rel.substring(rel.lastIndexOf('/') + 1)
+        lens.getOrElse(name, f.getFileStatus(new Path(tableDir, rel)).getLen)
+      }.sum
       if (files.length > maxFiles &&
           bytes / math.max(files.length, 1) < targetFileBytes)
         Some((part, files, math.max(1L,
@@ -333,7 +394,12 @@ object SnapshotLog {
         .parquet(files.map(rel => new Path(tableDir, rel).toString): _*)
       stage(part.repartition(nOut), tableDir, snap.partCols)
     }
-    val v = commit(spark, tableDir, "compact", snap.schema, snap.partCols) {
+    // conflict domain = exactly the files being rewritten: if a racing
+    // delete unlinked any of them, re-adding their contents would
+    // resurrect deleted rows → abort; racing appends commute (their
+    // new files pass through the rebase untouched)
+    val v = commit(spark, tableDir, "compact", snap.schema, snap.partCols,
+      Some(snap), replaced.contains) {
       headFiles => headFiles.filterNot(replaced.contains) ++ added
     }
     (v, flagged.map(_._1))
@@ -344,21 +410,30 @@ object SnapshotLog {
     * this, `readAt` of an expired version fails loudly instead of
     * reading half-vacuumed data. This is the retention boundary that
     * makes [[deleteByKeys]] a real purge. Returns deleted rel paths.
+    *
+    * `staleGraceMs` protects IN-FLIGHT writers: a commit's staged
+    * files are already renamed into the live tree before its log entry
+    * exists, so an unreferenced file younger than the grace window is
+    * presumed staged-not-yet-committed and kept (Delta's retention
+    * check, scaled to commit latency rather than its 7-day default).
+    * Pass 0 only when no writer can be concurrent.
     */
-  def vacuum(spark: SparkSession, tableDir: String,
-      retainLast: Int = 2): Seq[String] = {
+  def vacuum(spark: SparkSession, tableDir: String, retainLast: Int = 2,
+      staleGraceMs: Long = 20 * 60 * 1000L): Seq[String] = {
     val f = fs(spark, tableDir)
     val all = versions(spark, tableDir)
     val retained = all.takeRight(math.max(retainLast, 1))
     val keep = retained
       .flatMap(v => snapshotAt(spark, tableDir, v).files).toSet
+    val cutoffMs = System.currentTimeMillis() - math.max(staleGraceMs, 0L)
     val dropped = mutable.ArrayBuffer.empty[String]
     def walk(p: Path, rel: String): Unit =
       f.listStatus(p).foreach { st =>
         val name = st.getPath.getName
         if (st.isDirectory) {
           if (!name.startsWith("_")) walk(st.getPath, s"$rel$name/")
-        } else if (name.endsWith(".parquet") && !keep.contains(rel + name)) {
+        } else if (name.endsWith(".parquet") && !keep.contains(rel + name) &&
+            st.getModificationTime < cutoffMs) {
           f.delete(st.getPath, false)
           dropped += rel + name
         }
@@ -366,6 +441,13 @@ object SnapshotLog {
     walk(new Path(tableDir), "")
     all.dropRight(math.max(retainLast, 1))
       .foreach(v => f.delete(versionPath(tableDir, v), false))
+    // orphaned commit tmps (crashed writers) age out on the same clock
+    val ld = logDir(tableDir)
+    if (f.exists(ld)) f.listStatus(ld).foreach { st =>
+      if (st.getPath.getName.startsWith(".tmp-") &&
+          st.getModificationTime < cutoffMs)
+        f.delete(st.getPath, false)
+    }
     dropped.toSeq.sorted
   }
 }

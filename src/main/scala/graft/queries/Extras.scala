@@ -40,6 +40,19 @@ object Extras {
 
   private val P = TextFns.HashMod
 
+  /** Deterministic per-(query, input-dir) scratch directory for the
+    * fixture-building queries (x11b asset files, x52 snapshot table),
+    * wiped on entry so every call rebuilds from zero — idempotent
+    * under re-runs, and concurrent sf dirs can't collide.
+    */
+  private def scratchDir(s: SparkSession, name: String, dir: String): String = {
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_${name}_" + graft.Hashing.md5hex(dir).take(6)).getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    path
+  }
+
   /** Distinct (doc_id, tok) pairs — the token index every dedup path
     * shares. At scale this is the one shuffle all candidates flow
     * through. Multi-consumer callers (x02: signatures + masks + vocab)
@@ -1374,13 +1387,7 @@ object Extras {
     */
   def x11bBinaryAssets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val fixture = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_x11b_" + java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-    ).getAbsolutePath
-    // rebuilt from zero on every call — idempotent under re-runs
-    val p = new org.apache.hadoop.fs.Path(fixture)
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val fixture = scratchDir(s, "x11b", dir)
     Multimodal.writeAssetFiles(t(s, dir, "documents"), fixture)
     Multimodal.extractFeaturesFromFiles(s, fixture)
       .toDF()
@@ -1932,13 +1939,7 @@ object Extras {
   def x52TimeTravel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.operators.{Compaction, Deletes, SnapshotLog}
-    val tbl = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_x52_" + java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-    ).getAbsolutePath
-    // rebuilt from zero on every call — idempotent under re-runs
-    val p = new org.apache.hadoop.fs.Path(tbl)
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val tbl = scratchDir(s, "x52", dir)
     val orders = t(s, dir, "orders")
     val parts = Seq("o_orderstatus")
     SnapshotLog.overwrite(orders.filter($"o_orderstatus" === "F"), tbl, parts)

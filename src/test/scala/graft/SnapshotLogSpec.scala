@@ -52,7 +52,7 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(latest.filter($"id".isin(2L, 3L)).count() == 0)
     // right-to-be-forgotten clock: history serves them until vacuum
     assert(SnapshotLog.readAt(spark, t, 1).filter($"id".isin(2L, 3L)).count() == 2)
-    SnapshotLog.vacuum(spark, t, retainLast = 1)
+    SnapshotLog.vacuum(spark, t, retainLast = 1, staleGraceMs = 0L)
     assertThrows[IllegalArgumentException](SnapshotLog.readAt(spark, t, 1))
   }
 
@@ -103,10 +103,73 @@ class SnapshotLogSpec extends AnyFunSuite {
     val t = freshTable()
     SnapshotLog.overwrite(rows("a", 1 to 4), t, Seq("part"))
     SnapshotLog.overwritePartitions(rows("a", 5 to 6), t, Seq("part"))
-    val dropped = SnapshotLog.vacuum(spark, t, retainLast = 1)
+    val dropped = SnapshotLog.vacuum(spark, t, retainLast = 1, staleGraceMs = 0L)
     assert(dropped.nonEmpty, "v1's unlinked files are vacuumable")
     assert(SnapshotLog.versions(spark, t) == Seq(2L))
     assert(SnapshotLog.read(spark, t).count() == 2, "latest untouched")
+  }
+
+  test("deleteByKeys handles multi-level partitioning without duplication") {
+    val t = freshTable()
+    val df = Seq((1L, "a", "x", "p1"), (2L, "a", "y", "p2"), (3L, "b", "x", "p3"))
+      .toDF("id", "p1", "p2", "payload")
+    SnapshotLog.overwrite(df, t, Seq("p1", "p2"))
+    val (_, affected) =
+      SnapshotLog.deleteByKeys(spark, t, "id", Seq(1L).toDF("id"), "p1")
+    assert(affected == Seq("a"))
+    val latest = SnapshotLog.read(spark, t)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(latest == Seq(2L, 3L),
+      s"no doomed rows and no duplicated survivors: $latest")
+  }
+
+  test("a racing writer with an overlapping file domain aborts, disjoint rebases") {
+    val t = freshTable()
+    SnapshotLog.overwrite(rows("a", 1 to 4), t, Seq("part"))
+    val base = SnapshotLog.snapshotAt(spark, t, 1)
+    // winner: appends into part=a AFTER the loser planned against v1
+    SnapshotLog.append(rows("a", 100 to 101), t, Seq("part"))
+    // loser whose domain covers part=a (a delete that never scanned the
+    // winner's files): must abort, not silently drop them
+    assertThrows[java.util.ConcurrentModificationException] {
+      SnapshotLog.commit(spark, t, "delete", base.schema, base.partCols,
+        Some(base), fp => fp.startsWith("part=a/"))(head => head)
+    }
+    // a loser with a disjoint domain rebases and commits fine
+    val v = SnapshotLog.commit(spark, t, "delete", base.schema, base.partCols,
+      Some(base), fp => fp.startsWith("part=zzz/"))(head => head)
+    assert(v == 3L)
+    assert(SnapshotLog.read(spark, t).count() == 6, "nothing lost")
+  }
+
+  test("a torn tmp from a crashed committer is invisible and aged out") {
+    val t = freshTable()
+    SnapshotLog.overwrite(rows("a", 1 to 3), t, Seq("part"))
+    // simulate a crash mid-commit: a partial document in the log dir
+    val tmp = new java.io.File(t + "/_graft_log/.tmp-dead.json")
+    val w = new java.io.FileOutputStream(tmp)
+    try w.write("{\"version\":".getBytes("UTF-8")) finally w.close()
+    assert(SnapshotLog.versions(spark, t) == Seq(1L), "tmp is not a version")
+    assert(SnapshotLog.read(spark, t).count() == 3, "reads unaffected")
+    SnapshotLog.append(rows("a", Seq(4)), t, Seq("part"))
+    assert(SnapshotLog.read(spark, t).count() == 4, "commits unaffected")
+    SnapshotLog.vacuum(spark, t, staleGraceMs = 0L)
+    assert(!tmp.exists, "orphaned tmp aged out by vacuum")
+  }
+
+  test("vacuum's grace window protects staged-but-uncommitted files") {
+    val t = freshTable()
+    SnapshotLog.overwrite(rows("a", 1 to 3), t, Seq("part"))
+    // simulate an in-flight writer: an unreferenced parquet freshly
+    // renamed into the live tree (stage() done, log entry pending)
+    val staged = new java.io.File(t + "/part=a/staged-in-flight.parquet")
+    val w = new java.io.FileOutputStream(staged)
+    try w.write(Array[Byte](1, 2, 3)) finally w.close()
+    assert(SnapshotLog.vacuum(spark, t).isEmpty, "fresh file inside grace kept")
+    assert(staged.exists)
+    assert(SnapshotLog.vacuum(spark, t, staleGraceMs = 0L)
+      .contains("part=a/staged-in-flight.parquet"))
+    assert(!staged.exists)
   }
 
   test("empty snapshot reads back with the committed schema") {
