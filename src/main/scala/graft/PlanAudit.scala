@@ -227,6 +227,9 @@ object PlanAudit {
     audit("x52_time_travel")(
       "version digests are plain aggregates over snapshot file scans" ->
         (p => p.contains("HashAggregate") && !p.contains("CartesianProduct")))
+    audit("x53_merge_upsert")(
+      "merged head digests are plain aggregates over snapshot scans" ->
+        (p => p.contains("HashAggregate") && !p.contains("CartesianProduct")))
     audit("x50_leak_safe_split")(
       "split layers on the CC labels without a cartesian" ->
         (p => !p.contains("CartesianProduct")))

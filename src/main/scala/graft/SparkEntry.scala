@@ -109,7 +109,8 @@ object SparkEntry {
     "x50_leak_safe_split" -> (X.x50LeakSafeSplit _),
     "x11b_binary_assets" -> (X.x11bBinaryAssets _),
     "x51_token_drift" -> (X.x51TokenDrift _),
-    "x52_time_travel" -> (X.x52TimeTravel _)
+    "x52_time_travel" -> (X.x52TimeTravel _),
+    "x53_merge_upsert" -> (X.x53MergeUpsert _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

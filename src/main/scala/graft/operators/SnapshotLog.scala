@@ -1,6 +1,7 @@
 package graft.operators
 
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileSystem, Path}
@@ -52,10 +53,15 @@ object SnapshotLog {
 
   /** One committed table state. `files` are table-relative paths
     * (`part=v/name.parquet`), sorted; `schema` includes partition
-    * columns so an empty snapshot still reads with the right shape.
+    * columns so an empty snapshot still reads with the right shape;
+    * `txns` carries the cumulative app → last-committed-version map
+    * (Delta's txnAppId/txnVersion) that makes [[appendTxn]] replays
+    * idempotent — each commit stores the FULL map, like the full file
+    * listing, so the check is one head read.
     */
   case class Snapshot(version: Long, op: String, files: Seq[String],
-      schema: StructType, partCols: Seq[String])
+      schema: StructType, partCols: Seq[String],
+      txns: Map[String, Long] = Map.empty)
 
   private val mapper = new ObjectMapper()
 
@@ -110,8 +116,12 @@ object SnapshotLog {
       .map(i => n.get("files").get(i).asText())
     val parts = (0 until n.get("part_cols").size())
       .map(i => n.get("part_cols").get(i).asText())
+    val txns = Option(n.get("txns")).map { tn =>
+      tn.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+    }.getOrElse(Map.empty[String, Long])
     Snapshot(n.get("version").asLong(), n.get("op").asText(), files,
-      DataType.fromJson(n.get("schema").asText()).asInstanceOf[StructType], parts)
+      DataType.fromJson(n.get("schema").asText()).asInstanceOf[StructType],
+      parts, txns)
   }
 
   /** Scan exactly one committed version — time travel. Old versions
@@ -189,14 +199,22 @@ object SnapshotLog {
   private[graft] def commit(spark: SparkSession, tableDir: String, op: String,
       schema: StructType, partCols: Seq[String],
       base: Option[Snapshot] = None,
-      conflictsWith: String => Boolean = _ => false)(
+      conflictsWith: String => Boolean = _ => false,
+      txn: Option[(String, Long)] = None)(
       rebase: Seq[String] => Seq[String]): Long = {
     val f = fs(spark, tableDir)
     f.mkdirs(logDir(tableDir))
     var attempts = 0
     while (true) {
       val head = latestVersion(spark, tableDir)
-      val headFiles = head.map(snapshotAt(spark, tableDir, _).files).getOrElse(Nil)
+      val headSnap = head.map(snapshotAt(spark, tableDir, _))
+      val headFiles = headSnap.map(_.files).getOrElse(Nil)
+      val headTxns = headSnap.map(_.txns).getOrElse(Map.empty[String, Long])
+      // idempotence slot: a replayed (appId, version) — rechecked on
+      // every race retry, so even a zombie twin commits at most once;
+      // its staged orphans age out via vacuum's grace clock
+      if (txn.exists { case (app, v) => headTxns.get(app).exists(_ >= v) })
+        return head.get
       base.filter(b => !head.contains(b.version)).foreach { b =>
         // lost the race: abort unless the winner's add/remove set is
         // disjoint from this writer's domain (then the rebase commutes)
@@ -216,6 +234,8 @@ object SnapshotLog {
       root.put("schema", schema.json)
       val pc = root.putArray("part_cols")
       partCols.foreach(pc.add)
+      val tx = root.putObject("txns")
+      (headTxns ++ txn).foreach { case (k, v) => tx.put(k, v) }
       val arr = root.putArray("files")
       rebase(headFiles).sorted.foreach(arr.add)
       val doc = mapper.writeValueAsString(root)
@@ -264,6 +284,27 @@ object SnapshotLog {
     val added = stage(df, tableDir, partCols)
     commit(df.sparkSession, tableDir, "append", readSchema(df, partCols),
       partCols)(headFiles => headFiles ++ added)
+  }
+
+  /** Idempotent append keyed by `(appId, version)` — the exactly-once
+    * primitive for streaming sinks ([[graft.streaming.SnapshotSink]]):
+    * a replayed micro-batch (same appId, version ≤ the last committed
+    * for that app) is a no-op BEFORE staging, and the same check
+    * replays inside the commit loop on every race retry, so even a
+    * zombie twin of the query commits each version at most once
+    * (Delta's txnAppId/txnVersion protocol). Returns the table version
+    * holding the batch — the fresh commit's, or the existing head's
+    * when the batch was already in.
+    */
+  def appendTxn(df: DataFrame, tableDir: String, partCols: Seq[String],
+      appId: String, version: Long): Long = {
+    val spark = df.sparkSession
+    val replayed = headSnapshot(spark, tableDir)
+      .filter(_.txns.get(appId).exists(_ >= version))
+    if (replayed.isDefined) return replayed.get.version
+    val added = stage(df, tableDir, partCols)
+    commit(spark, tableDir, "append", readSchema(df, partCols), partCols,
+      txn = Some(appId -> version))(headFiles => headFiles ++ added)
   }
 
   /** The schema a READER of this table sees: partition columns read
@@ -350,6 +391,51 @@ object SnapshotLog {
     val v = commit(spark, tableDir, "delete", snap.schema, snap.partCols,
       Some(snap), fp => inPartitions(fp, doomedDirs)) { headFiles =>
         headFiles.filterNot(fp => inPartitions(fp, doomedDirs)) ++ added
+    }
+    (v, affected)
+  }
+
+  /** Delta-style MERGE (keyed upsert): each row of `updates` replaces
+    * the table row sharing its `keyCol` value, unmatched update rows
+    * insert, unmatched table rows survive untouched — the table-level
+    * form of the keep-latest upsert (Q19/H5), made atomic. Only the
+    * partitions that hold a matched key or receive an update row are
+    * rewritten and swapped in ONE commit; a concurrent writer touching
+    * an affected partition aborts this merge (conflict domain) rather
+    * than being silently clobbered, and matched keys whose update row
+    * carries a NEW `partCol` value move partitions correctly (the old
+    * copy's partition is rewritten too).
+    *
+    * `updates` must be key-unique — pre-dedup with keep-latest if the
+    * delta can carry several versions of one key (same requirement as
+    * Delta's MERGE multiple-match error). No broadcast hint on the
+    * joins: a merge delta ranges from KBs to a large backfill, so the
+    * planner (AQE at runtime) picks broadcast vs shuffle by size.
+    * Returns (newVersion, affectedPartitionValues).
+    */
+  def merge(spark: SparkSession, tableDir: String, updates: DataFrame,
+      keyCol: String, partCol: String): (Long, Seq[Any]) = {
+    val table = read(spark, tableDir)
+    val snap = snapshotAt(spark, tableDir, latestVersion(spark, tableDir).get)
+    require(table.columns.sorted.sameElements(updates.columns.sorted),
+      s"merge schema mismatch: table has ${table.columns.sorted.mkString(",")}" +
+      s" vs updates ${updates.columns.sorted.mkString(",")}")
+    val updKeys = updates.select(col(keyCol))
+    val affected = table.join(updKeys, Seq(keyCol), "left_semi")
+      .select(col(partCol))
+      .union(updates.select(col(partCol)))
+      .distinct()
+      .collect().map(_.get(0)).toSeq // partition values: scheduler-sized
+    if (affected.isEmpty) return (snap.version, Nil)
+    val affectedPred = affected.map(v => col(partCol) <=> lit(v)).reduce(_ || _)
+    val rewritten = table.filter(affectedPred)
+      .join(updKeys, Seq(keyCol), "left_anti")
+      .unionByName(updates.select(table.columns.map(col).toIndexedSeq: _*))
+    val added = stage(rewritten, tableDir, snap.partCols)
+    val doomed = affected.map(v => partLeaf(partCol, v)).toSet
+    val v = commit(spark, tableDir, "merge", snap.schema, snap.partCols,
+      Some(snap), fp => inPartitions(fp, doomed)) { headFiles =>
+        headFiles.filterNot(fp => inPartitions(fp, doomed)) ++ added
     }
     (v, affected)
   }

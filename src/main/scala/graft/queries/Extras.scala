@@ -1959,6 +1959,41 @@ object Extras {
     }.reduce(_ unionAll _).orderBy($"version")
   }
 
+  /** x53 — atomic MERGE upsert on a snapshot table
+    * ([[graft.operators.SnapshotLog.merge]]): the table-level form of
+    * the keep-latest upsert the reference's daily
+    * re-fetch-and-overwrite mode implies (Q19/H5 and its citations)
+    * made transactional. Builds the orders table
+    * as a snapshot, merges a delta that RE-PRICES every 10th order
+    * and MOVES it to status P (a cross-partition key move — the hard
+    * upsert case) plus INSERTS a clone of every 97th order under a
+    * fresh key, then digests the merged head per status. The oracle
+    * recomputes the merge relationally (anti-join ∪ updates ∪
+    * inserts), so a dropped survivor, duplicated key, or missed
+    * partition move all hash-mismatch.
+    */
+  def x53MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.SnapshotLog
+    val tbl = scratchDir(s, "x53", dir)
+    val orders = t(s, dir, "orders")
+    SnapshotLog.overwrite(orders, tbl, Seq("o_orderstatus"))
+    val updates = orders.filter($"o_orderkey" % 10 === 0)
+      .withColumn("o_totalprice", $"o_totalprice" + 100)
+      .withColumn("o_orderstatus", lit("P"))
+    val inserts = orders.filter($"o_orderkey" % 97 === 0)
+      .withColumn("o_orderkey", $"o_orderkey" + 10000000L)
+    SnapshotLog.merge(s, tbl, updates.unionByName(inserts),
+      "o_orderkey", "o_orderstatus")
+    SnapshotLog.read(s, tbl)
+      .groupBy($"o_orderstatus")
+      .agg(cnt.as("n_rows"),
+        dsum($"o_totalprice").as("total_price"),
+        min($"o_orderkey").as("min_key"),
+        max($"o_orderkey").as("max_key"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** q26 Aggregator twin — typed [[VectorFns.CentroidAgg]] centroid
     * (float-sum order differs by design → rows-only check; the
     * decimal-exact Q26 is the hash-checked form).

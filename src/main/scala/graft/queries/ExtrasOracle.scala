@@ -78,6 +78,31 @@ object ExtrasOracle {
          |SELECT version, n_rows, total_price, min_key, max_key
          |FROM dig ORDER BY version""".stripMargin
     },
+    // Recomputes x53's merge relationally: survivors (keys not in the
+    // delta) ∪ re-priced/status-moved updates ∪ fresh-key inserts,
+    // then the same per-status digest. Decimal sum routes through
+    // VARCHAR (float parity with Spark's double→decimal cast).
+    "x53_merge_upsert" -> {
+      val dig = "CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(28,10)))" +
+        " AS VARCHAR) AS DOUBLE) AS total_price, " +
+        "MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key"
+      s"""WITH cols AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+         |  FROM orders),
+         |upd AS (SELECT o_orderkey, 'P' AS o_orderstatus,
+         |    o_totalprice + 100 AS o_totalprice
+         |  FROM cols WHERE o_orderkey % 10 = 0),
+         |ins AS (SELECT o_orderkey + 10000000 AS o_orderkey,
+         |    o_orderstatus, o_totalprice
+         |  FROM cols WHERE o_orderkey % 97 = 0),
+         |merged AS (
+         |  SELECT * FROM cols WHERE o_orderkey % 10 <> 0
+         |  UNION ALL SELECT * FROM upd
+         |  UNION ALL SELECT * FROM ins)
+         |SELECT o_orderstatus, $dig
+         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    },
+
     "x31_seq_pack" -> {
       val b = Extras.SeqPackBudget
       s"""WITH d AS (SELECT doc_id,

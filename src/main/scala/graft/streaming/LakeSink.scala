@@ -26,7 +26,9 @@ import graft.ingest.Manifest
   * reference's re-fetch-and-overwrite daily mode; non-keyed consumers
   * see duplicates unless they read through a snapshot-committed table
   * ([[graft.operators.SnapshotLog]]), whose commit lists exactly one
-  * successful attempt's files and never exposes orphans.
+  * successful attempt's files and never exposes orphans —
+  * [[SnapshotSink]] is that upgrade packaged as a sink: txn-keyed
+  * snapshot commits give exactly-once at the read level.
   *
   * Scale: the ledger is one O(bytes) marker per micro-batch (the shape
   * of a commit-log entry); the write itself is an append of the

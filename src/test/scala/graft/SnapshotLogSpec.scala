@@ -123,6 +123,42 @@ class SnapshotLogSpec extends AnyFunSuite {
       s"no doomed rows and no duplicated survivors: $latest")
   }
 
+  test("merge upserts: updates replace, inserts append, keys can move partitions") {
+    val t = freshTable()
+    SnapshotLog.overwrite(rows("a", 1 to 4).union(rows("b", 5 to 8)), t, Seq("part"))
+    // id 2 re-payloads in place, id 3 MOVES a→b, id 100 inserts into c
+    val updates = Seq((2L, "a", "u2"), (3L, "b", "u3"), (100L, "c", "new"))
+      .toDF("id", "part", "payload")
+    val (v, affected) = SnapshotLog.merge(spark, t, updates, "id", "part")
+    assert(v == 2L)
+    assert(affected.toSet == Set("a", "b", "c"))
+    val latest = SnapshotLog.read(spark, t).select($"id", $"part", $"payload")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(latest.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 100L),
+      s"no duplicate, no loss: $latest")
+    assert(latest.find(_._1 == 2L).contains((2L, "a", "u2")))
+    assert(latest.find(_._1 == 3L).contains((3L, "b", "u3")), "key moved partition")
+    assert(latest.find(_._1 == 100L).contains((100L, "c", "new")))
+    // the pre-merge version is untouched history
+    assert(SnapshotLog.readAt(spark, t, 1)
+      .filter($"payload".startsWith("u")).count() == 0)
+  }
+
+  test("appendTxn is idempotent per (appId, version)") {
+    val t = freshTable()
+    SnapshotLog.overwrite(rows("a", 1 to 2), t, Seq("part"))
+    val v1 = SnapshotLog.appendTxn(rows("b", 3 to 4), t, Seq("part"), "app", 0L)
+    assert(v1 == 2L)
+    // replay of batch 0 — even with different data attached — is a no-op
+    val v2 = SnapshotLog.appendTxn(rows("c", 9 to 9), t, Seq("part"), "app", 0L)
+    assert(v2 == 2L)
+    assert(SnapshotLog.read(spark, t).count() == 4, "replay added nothing")
+    // a different app's version counter is independent
+    val v3 = SnapshotLog.appendTxn(rows("c", 9 to 9), t, Seq("part"), "other", 0L)
+    assert(v3 == 3L)
+    assert(SnapshotLog.read(spark, t).count() == 5)
+  }
+
   test("a racing writer with an overlapping file domain aborts, disjoint rebases") {
     val t = freshTable()
     SnapshotLog.overwrite(rows("a", 1 to 4), t, Seq("part"))

@@ -252,4 +252,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(lake).count() == 5)
     assert(graft.ingest.Manifest.history(replay, lake, "events").size == 3)
   }
+
+  test("SnapshotSink commits micro-batches as snapshot versions, exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.SnapshotLog
+    val tbl = java.nio.file.Files.createTempDirectory("graft-snapsink")
+      .toString + "/t"
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Events.Event]
+    def ev(id: Long, day: Int) = Events.Event(
+      id, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"),
+      1L, "view", 1.0, "{}")
+    val q = graft.streaming.SnapshotSink.start(input.toDS().toDF(), tbl)
+    try {
+      input.addData(ev(1, 1), ev(2, 1))
+      q.processAllAvailable()
+      input.addData(ev(3, 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(SnapshotLog.read(spark, tbl).count() == 3)
+    val head = SnapshotLog.latestVersion(spark, tbl).get
+    // a crash-replayed batch id is a committed no-op, not a duplicate —
+    // even with different data attached (the checkpoint contract says
+    // same id ⇒ same batch, so the txn map may discard it)
+    val replay = Seq(ev(9, 3)).toDF()
+    assert(SnapshotLog.appendTxn(replay, tbl, Nil, "snapshot-sink", 0L) == head)
+    assert(SnapshotLog.read(spark, tbl).count() == 3)
+    // the next batch id commits one new version
+    assert(SnapshotLog.appendTxn(replay, tbl, Nil, "snapshot-sink", 2L) == head + 1)
+    assert(SnapshotLog.read(spark, tbl).count() == 4)
+  }
 }
