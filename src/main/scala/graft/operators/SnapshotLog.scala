@@ -277,13 +277,53 @@ object SnapshotLog {
   }
 
   /** Append `df`: new files join the head listing. Concurrent appends
-    * commute — a rebase just re-unions against the new head.
+    * commute — a rebase just re-unions against the new head. The
+    * committed schema is the by-name UNION of the table's and the
+    * frame's (Delta's mergeSchema): new columns land nullable, old
+    * files read them as null, and a same-name type conflict fails
+    * fast instead of committing an unreadable listing.
     */
   def append(df: DataFrame, tableDir: String,
       partCols: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    val schema = evolvedSchema(headSnapshot(spark, tableDir), df, partCols)
     val added = stage(df, tableDir, partCols)
-    commit(df.sparkSession, tableDir, "append", readSchema(df, partCols),
+    commit(spark, tableDir, "append", schema,
       partCols)(headFiles => headFiles ++ added)
+  }
+
+  /** By-name schema union against the current head (no head → the
+    * frame's own read schema). Partition columns must match the
+    * table's exactly — a mismatched layout would scatter files Spark
+    * can no longer resolve to one partitioning.
+    */
+  private def evolvedSchema(head: Option[Snapshot],
+      df: DataFrame, partCols: Seq[String]): StructType = {
+    val incoming = readSchema(df, partCols)
+    head match {
+      case None => incoming
+      case Some(head) =>
+        require(head.partCols == partCols,
+          s"partition columns $partCols do not match the table's ${head.partCols}")
+        val existing = head.schema.fields.map(f => f.name -> f).toMap
+        incoming.fields.foreach { f =>
+          existing.get(f.name).foreach { ef =>
+            require(ef.dataType == f.dataType,
+              s"schema evolution type conflict on '${f.name}': table has " +
+              s"${ef.dataType.simpleString}, frame has ${f.dataType.simpleString}")
+          }
+        }
+        val newFields = incoming.fields
+          .filterNot(f => existing.contains(f.name))
+          .map(_.copy(nullable = true)) // absent from every older file
+        if (newFields.isEmpty) head.schema
+        else {
+          // keep partition columns last (Spark appends them on read)
+          val parts = head.schema.fields.filter(f => partCols.contains(f.name))
+          val data = head.schema.fields.filterNot(f => partCols.contains(f.name))
+          StructType(data ++ newFields ++ parts)
+        }
+    }
   }
 
   /** Idempotent append keyed by `(appId, version)` — the exactly-once
@@ -302,8 +342,9 @@ object SnapshotLog {
     val replayed = headSnapshot(spark, tableDir)
       .filter(_.txns.get(appId).exists(_ >= version))
     if (replayed.isDefined) return replayed.get.version
+    val schema = evolvedSchema(headSnapshot(spark, tableDir), df, partCols)
     val added = stage(df, tableDir, partCols)
-    commit(spark, tableDir, "append", readSchema(df, partCols), partCols,
+    commit(spark, tableDir, "append", schema, partCols,
       txn = Some(appId -> version))(headFiles => headFiles ++ added)
   }
 
@@ -330,10 +371,11 @@ object SnapshotLog {
     require(partCols.nonEmpty, "overwritePartitions needs partition columns")
     val spark = df.sparkSession
     val base = headSnapshot(spark, tableDir)
+    val schema = evolvedSchema(base, df, partCols)
     val added = stage(df, tableDir, partCols)
     val touched = added.map(partPrefix).toSet
     commit(spark, tableDir, "overwrite_partitions",
-      readSchema(df, partCols), partCols, base,
+      schema, partCols, base,
       fp => touched.contains(partPrefix(fp))) { headFiles =>
       headFiles.filterNot(fp => touched.contains(partPrefix(fp))) ++ added
     }
@@ -489,6 +531,51 @@ object SnapshotLog {
       headFiles => headFiles.filterNot(replaced.contains) ++ added
     }
     (v, flagged.map(_._1))
+  }
+
+  /** Z-order OPTIMIZE routed through the log: rewrite every partition
+    * of the head along the Morton curve of `cols`
+    * ([[ZOrder.layout]]) into `ceil(bytes/targetFileBytes)` files and
+    * swap the listing in ONE commit — data-identical, layout-only.
+    * Readers concurrent with the rewrite keep the old snapshot; a
+    * racing delete on any rewritten file aborts this optimize
+    * (conflict domain = the whole replaced listing) so it can never
+    * resurrect purged rows. The stats pass behind the Morton key runs
+    * per partition, keeping each partition's curve tight over its own
+    * value ranges. Returns (newVersion, rewrittenPartitions).
+    */
+  def optimizeZOrder(spark: SparkSession, tableDir: String,
+      cols: Seq[String], targetFileBytes: Long = 128L << 20): (Long, Seq[String]) = {
+    val head = latestVersion(spark, tableDir).getOrElse(
+      sys.error(s"$tableDir has no committed snapshot"))
+    val snap = snapshotAt(spark, tableDir, head)
+    require(cols.forall(c => !snap.partCols.contains(c)),
+      s"z-order columns $cols must not overlap partition columns ${snap.partCols}")
+    val f = fs(spark, tableDir)
+    val plans = snap.files.groupBy(partPrefix).toSeq.sortBy(_._1).map {
+      case (part, files) =>
+        val dirPath = if (part.isEmpty) new Path(tableDir)
+          else new Path(tableDir, part)
+        val lens = f.listStatus(dirPath).iterator
+          .map(st => st.getPath.getName -> st.getLen).toMap
+        val bytes = files.map { rel =>
+          val name = rel.substring(rel.lastIndexOf('/') + 1)
+          lens.getOrElse(name, f.getFileStatus(new Path(tableDir, rel)).getLen)
+        }.sum
+        (part, files, math.max(1L,
+          (bytes + targetFileBytes - 1) / targetFileBytes).toInt)
+    }
+    val replaced = snap.files.toSet
+    val added = plans.flatMap { case (_, files, nOut) =>
+      val part = spark.read.option("basePath", tableDir).schema(snap.schema)
+        .parquet(files.map(rel => new Path(tableDir, rel).toString): _*)
+      stage(ZOrder.layout(part, cols, nOut), tableDir, snap.partCols)
+    }
+    val v = commit(spark, tableDir, "zorder", snap.schema, snap.partCols,
+      Some(snap), replaced.contains) {
+      headFiles => headFiles.filterNot(replaced.contains) ++ added
+    }
+    (v, plans.map(_._1))
   }
 
   /** Drop every data file not referenced by the newest `retainLast`

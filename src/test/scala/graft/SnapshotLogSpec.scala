@@ -208,6 +208,53 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(!staged.exists)
   }
 
+  test("optimizeZOrder rewrites layout atomically, data-identical") {
+    val t = freshTable()
+    // two clusterable dims spread across many small files
+    val df = (1 to 200).map(i => (i.toLong, (i * 37 % 100).toLong, "a"))
+      .toDF("x", "y", "part")
+    (0 until 4).foreach { k =>
+      val slice = df.filter($"x" % 4 === k)
+      if (k == 0) SnapshotLog.overwrite(slice, t, Seq("part"))
+      else SnapshotLog.append(slice, t, Seq("part"))
+    }
+    val before = SnapshotLog.read(spark, t)
+    val nFilesBefore = before.inputFiles.length
+    val (v, parts) = SnapshotLog.optimizeZOrder(spark, t, Seq("x", "y"))
+    assert(v == 5L && parts == Seq("part=a"))
+    val after = SnapshotLog.read(spark, t)
+    assert(after.inputFiles.length < nFilesBefore, "layout consolidated")
+    assert(after.select($"x", $"y").as[(Long, Long)].collect().sorted.toSeq
+      == before.select($"x", $"y").as[(Long, Long)].collect().sorted.toSeq,
+      "data identical")
+    // pre-optimize version still resolves its own files
+    assert(SnapshotLog.readAt(spark, t, 4).count() == 200)
+  }
+
+  test("append with new columns evolves the schema by name union") {
+    val t = freshTable()
+    SnapshotLog.overwrite(rows("a", 1 to 3), t, Seq("part"))
+    val evolved = Seq((10L, "b", "v10", 0.5))
+      .toDF("id", "part", "payload", "score")
+    SnapshotLog.append(evolved, t, Seq("part"))
+    val df = SnapshotLog.read(spark, t)
+    assert(df.columns.toSeq == Seq("id", "payload", "score", "part"),
+      "new column appended before the partition column")
+    assert(df.count() == 4)
+    assert(df.filter($"score".isNull).count() == 3, "old files read null")
+    assert(df.filter($"id" === 10L).select($"score").as[Double].head() == 0.5)
+    // time travel keeps the PRE-evolution schema
+    assert(SnapshotLog.readAt(spark, t, 1).columns.toSeq
+      == Seq("id", "payload", "part"))
+    // a same-name type conflict fails fast, nothing committed
+    val bad = Seq((11L, "b", 1.0)).toDF("id", "part", "payload")
+    assertThrows[IllegalArgumentException](SnapshotLog.append(bad, t, Seq("part")))
+    // so does a mismatched partitioning
+    assertThrows[IllegalArgumentException](
+      SnapshotLog.append(rows("c", Seq(12)), t, Seq("payload")))
+    assert(SnapshotLog.latestVersion(spark, t).contains(2L))
+  }
+
   test("empty snapshot reads back with the committed schema") {
     val t = freshTable()
     SnapshotLog.overwrite(rows("a", 1 to 0), t, Seq("part"))
