@@ -41,13 +41,16 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * rename this slot would be a conditional PUT — same protocol,
   * different primitive.
   *
-  * Scale shape: a commit document is O(files) driver-side metadata —
-  * the same cost class as a Delta JSON commit; at a million-file table
-  * the full-listing form is what Delta's periodic CHECKPOINT file is,
-  * and an add/remove delta encoding between checkpoints is the obvious
-  * evolution (not needed at this table count). All data movement is
-  * executor-side Spark jobs; the driver only lists, renames and writes
-  * KB-scale log entries.
+  * Scale shape: a commit document is O(CHANGED files) — add/remove
+  * deltas, with the full listing only on every
+  * [[CheckpointInterval]]-th version (Delta's commit-JSON +
+  * periodic-checkpoint split), so a single append to a million-file
+  * table writes KBs, not tens of MBs. Snapshot resolution replays at
+  * most `CheckpointInterval - 1` KB-scale log reads forward from the
+  * nearest checkpoint; [[vacuum]] promotes the oldest retained
+  * version to a checkpoint before expiring the entries it would have
+  * replayed through. All data movement is executor-side Spark jobs;
+  * the driver only lists, renames and writes KB-scale log entries.
   */
 object SnapshotLog {
 
@@ -96,14 +99,18 @@ object SnapshotLog {
   def latestVersion(spark: SparkSession, tableDir: String): Option[Long] =
     versions(spark, tableDir).lastOption
 
-  /** Load one committed snapshot; throws if the version was never
-    * committed or has been vacuumed away.
+  /** Every `CheckpointInterval`-th commit stores the FULL file listing
+    * (a checkpoint, like Delta's); the commits between store only
+    * adds/removes deltas, so per-commit metadata is O(changed files)
+    * instead of O(table files) — the difference between KBs and tens
+    * of MBs per commit on a million-file table. Resolution walks back
+    * at most `CheckpointInterval - 1` KB-scale log reads.
     */
-  def snapshotAt(spark: SparkSession, tableDir: String, version: Long): Snapshot = {
-    val f = fs(spark, tableDir)
-    val p = versionPath(tableDir, version)
-    require(f.exists(p), s"snapshot v$version does not exist under $tableDir " +
-      "(never committed, or removed by vacuum)")
+  private[graft] val CheckpointInterval = 10L
+
+  private def readDoc(f: FileSystem, tableDir: String,
+      v: Long): com.fasterxml.jackson.databind.JsonNode = {
+    val p = versionPath(tableDir, v)
     val st = f.getFileStatus(p)
     val in = f.open(p)
     val doc = try {
@@ -111,15 +118,46 @@ object SnapshotLog {
       in.readFully(buf)
       new String(buf, "UTF-8")
     } finally in.close()
-    val n = mapper.readTree(doc)
-    val files = (0 until n.get("files").size())
-      .map(i => n.get("files").get(i).asText())
-    val parts = (0 until n.get("part_cols").size())
-      .map(i => n.get("part_cols").get(i).asText())
+    mapper.readTree(doc)
+  }
+
+  private def strArr(n: com.fasterxml.jackson.databind.JsonNode,
+      key: String): Seq[String] =
+    Option(n.get(key)).map(a => (0 until a.size()).map(i => a.get(i).asText()))
+      .getOrElse(Seq.empty)
+
+  /** Load one committed snapshot; throws if the version was never
+    * committed or has been vacuumed away. A delta-encoded version is
+    * reconstructed by replaying adds/removes forward from the nearest
+    * checkpoint at or below it.
+    */
+  def snapshotAt(spark: SparkSession, tableDir: String, version: Long): Snapshot = {
+    val f = fs(spark, tableDir)
+    require(f.exists(versionPath(tableDir, version)),
+      s"snapshot v$version does not exist under $tableDir " +
+      "(never committed, or removed by vacuum)")
+    // walk back to the nearest full listing; docs ends up
+    // checkpoint-first, requested-version-last
+    var docs = List(readDoc(f, tableDir, version))
+    var v = version
+    while (!docs.head.has("files")) {
+      v -= 1
+      require(v >= 1 && f.exists(versionPath(tableDir, v)),
+        s"cannot reconstruct v$version under $tableDir: log entry v$v " +
+        "is missing (removed by vacuum without a retained checkpoint?)")
+      docs = readDoc(f, tableDir, v) :: docs
+    }
+    var files: Seq[String] = strArr(docs.head, "files")
+    docs.tail.foreach { d =>
+      val rm = strArr(d, "removes").toSet
+      files = files.filterNot(rm.contains) ++ strArr(d, "adds")
+    }
+    val n = docs.last // the requested version's own doc: op/schema/txns
+    val parts = strArr(n, "part_cols")
     val txns = Option(n.get("txns")).map { tn =>
       tn.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
     }.getOrElse(Map.empty[String, Long])
-    Snapshot(n.get("version").asLong(), n.get("op").asText(), files,
+    Snapshot(n.get("version").asLong(), n.get("op").asText(), files.sorted,
       DataType.fromJson(n.get("schema").asText()).asInstanceOf[StructType],
       parts, txns)
   }
@@ -136,6 +174,45 @@ object SnapshotLog {
     spark.read.option("basePath", tableDir)
       .schema(snap.schema)
       .parquet(snap.files.map(rel => new Path(tableDir, rel).toString): _*)
+  }
+
+  /** Change feed (CDF-lite): the rows carried by files LINKED IN over
+    * `(fromVersion, toVersion]`, stamped `_commit_version` — Delta's
+    * change-data-feed shape at file granularity. For an append-only
+    * table (the [[graft.streaming.SnapshotSink]] case) this is exactly
+    * the new rows per commit, which makes a downstream incremental
+    * consumer a loop of `changesBetween(lastSeen, head)`. For rewrite
+    * ops (delete/merge/compact) the added files hold the rewritten
+    * partitions' SURVIVORS, not a row-level delta — diff against the
+    * prior version (x33's snapshot-diff) when row-level change types
+    * are needed. Cost: log metadata + a scan of only the added files —
+    * never a full-table re-read.
+    */
+  def changesBetween(spark: SparkSession, tableDir: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion > toVersion $toVersion")
+    if (fromVersion == toVersion) {
+      val snap = snapshotAt(spark, tableDir, toVersion)
+      return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+        .withColumn("_commit_version", lit(toVersion))
+    }
+    val frames = (fromVersion + 1 to toVersion).map { v =>
+      val snap = snapshotAt(spark, tableDir, v)
+      val prev = if (v == 1) Set.empty[String]
+        else snapshotAt(spark, tableDir, v - 1).files.toSet
+      val adds = snap.files.filterNot(prev.contains)
+      val base =
+        if (adds.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+        else
+          spark.read.option("basePath", tableDir).schema(snap.schema)
+            .parquet(adds.map(rel => new Path(tableDir, rel).toString): _*)
+      base.withColumn("_commit_version", lit(v))
+    }
+    frames.reduceLeft(_ unionByName (_, allowMissingColumns = true))
   }
 
   /** Scan the latest committed version. */
@@ -236,8 +313,19 @@ object SnapshotLog {
       partCols.foreach(pc.add)
       val tx = root.putObject("txns")
       (headTxns ++ txn).foreach { case (k, v) => tx.put(k, v) }
-      val arr = root.putArray("files")
-      rebase(headFiles).sorted.foreach(arr.add)
+      val listing = rebase(headFiles).sorted
+      // deltas always (O(changed files)); the full listing only on
+      // checkpoint versions — between them snapshotAt replays forward
+      val headSet = headFiles.toSet
+      val listingSet = listing.toSet
+      val adds = root.putArray("adds")
+      listing.filterNot(headSet.contains).foreach(adds.add)
+      val removes = root.putArray("removes")
+      headFiles.filterNot(listingSet.contains).foreach(removes.add)
+      if (next == 1L || next % CheckpointInterval == 0L) {
+        val arr = root.putArray("files")
+        listing.foreach(arr.add)
+      }
       val doc = mapper.writeValueAsString(root)
       // full document to a hidden tmp first: a crash mid-write leaves
       // only an ignorable tmp, never a truncated version file
@@ -612,8 +700,32 @@ object SnapshotLog {
         }
       }
     walk(new Path(tableDir), "")
-    all.dropRight(math.max(retainLast, 1))
-      .foreach(v => f.delete(versionPath(tableDir, v), false))
+    val expired = all.dropRight(math.max(retainLast, 1))
+    // promote the oldest retained version to a checkpoint if it is
+    // delta-encoded: its reconstruction chain is about to be deleted.
+    // The rewrite is semantically the same doc plus the full listing;
+    // delete+rename under the lock leaves only a sub-ms missing-doc
+    // window on filesystems whose rename cannot overwrite.
+    if (expired.nonEmpty) retained.headOption.foreach { v =>
+      val doc = readDoc(f, tableDir, v)
+      if (!doc.has("files")) {
+        val snap = snapshotAt(spark, tableDir, v) // pre-deletion chain
+        val root = doc.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+        val arr = root.putArray("files")
+        snap.files.foreach(arr.add)
+        val tmp = new Path(logDir(tableDir),
+          s".tmp-${java.util.UUID.randomUUID()}.json")
+        val out = f.create(tmp, true)
+        try out.write(mapper.writeValueAsString(root).getBytes("UTF-8"))
+        finally out.close()
+        commitLock.synchronized {
+          val p = versionPath(tableDir, v)
+          f.delete(p, false)
+          require(f.rename(tmp, p), s"checkpoint promotion failed: $p")
+        }
+      }
+    }
+    expired.foreach(v => f.delete(versionPath(tableDir, v), false))
     // orphaned commit tmps (crashed writers) age out on the same clock
     val ld = logDir(tableDir)
     if (f.exists(ld)) f.listStatus(ld).foreach { st =>

@@ -255,6 +255,54 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(SnapshotLog.latestVersion(spark, t).contains(2L))
   }
 
+  test("delta-encoded log reconstructs any version across checkpoints") {
+    val t = freshTable()
+    // 25 single-row commits: checkpoints at v1, v10, v20; all else deltas
+    (1 to 25).foreach { i =>
+      if (i == 1) SnapshotLog.overwrite(rows("a", Seq(i)), t, Seq("part"))
+      else SnapshotLog.append(rows("a", Seq(i)), t, Seq("part"))
+    }
+    // spot-check versions on both sides of each checkpoint
+    Seq(1L, 9L, 10L, 11L, 19L, 20L, 25L).foreach { v =>
+      assert(SnapshotLog.readAt(spark, t, v).count() == v,
+        s"v$v reconstructs to $v rows")
+    }
+    // a rewrite mid-chain (delete v26) reconstructs too
+    Deletes.deleteByKeys(spark, t, "id", Seq(5L, 6L).toDF("id"), "part")
+    assert(SnapshotLog.read(spark, t).count() == 23)
+    assert(SnapshotLog.readAt(spark, t, 25).count() == 25, "history intact")
+  }
+
+  test("vacuum promotes the oldest retained version to a checkpoint") {
+    val t = freshTable()
+    (1 to 7).foreach { i =>
+      if (i == 1) SnapshotLog.overwrite(rows("a", Seq(i)), t, Seq("part"))
+      else SnapshotLog.append(rows("a", Seq(i)), t, Seq("part"))
+    }
+    // v5..v7 retained; v5 is delta-encoded and its chain (v1..v4) expires
+    SnapshotLog.vacuum(spark, t, retainLast = 3, staleGraceMs = 0L)
+    assert(SnapshotLog.versions(spark, t) == Seq(5L, 6L, 7L))
+    Seq(5L, 6L, 7L).foreach { v =>
+      assert(SnapshotLog.readAt(spark, t, v).count() == v,
+        s"v$v readable after its delta chain expired")
+    }
+    assertThrows[IllegalArgumentException](SnapshotLog.readAt(spark, t, 4))
+  }
+
+  test("changesBetween feeds exactly the per-commit appended rows") {
+    val t = freshTable()
+    SnapshotLog.overwrite(rows("a", 1 to 2), t, Seq("part"))
+    SnapshotLog.append(rows("b", 3 to 5), t, Seq("part"))
+    SnapshotLog.append(rows("a", 6 to 6), t, Seq("part"))
+    val changes = SnapshotLog.changesBetween(spark, t, 1, 3)
+      .select($"id", $"_commit_version").as[(Long, Long)].collect().sorted.toSeq
+    assert(changes == Seq((3L, 2L), (4L, 2L), (5L, 2L), (6L, 3L)),
+      s"only post-v1 rows, stamped with their commit: $changes")
+    // empty range yields an empty, schema-stable frame
+    val none = SnapshotLog.changesBetween(spark, t, 3, 3)
+    assert(none.count() == 0 && none.columns.contains("_commit_version"))
+  }
+
   test("empty snapshot reads back with the committed schema") {
     val t = freshTable()
     SnapshotLog.overwrite(rows("a", 1 to 0), t, Seq("part"))
