@@ -621,6 +621,42 @@ object SnapshotLog {
     (v, flagged.map(_._1))
   }
 
+  /** Restore the table to an older version's contents — by committing
+    * a NEW version whose listing is the old one's file set (Delta's
+    * RESTORE): pure metadata, no data movement, and the botched
+    * versions in between stay in history for the post-mortem. Fails
+    * if any of the old files were already vacuumed. Conflict domain is
+    * everything (a restore that races any writer must abort — it
+    * would silently undo the winner).
+    */
+  def restore(spark: SparkSession, tableDir: String, version: Long): Long = {
+    val target = snapshotAt(spark, tableDir, version)
+    val head = snapshotAt(spark, tableDir,
+      latestVersion(spark, tableDir).get)
+    val f = fs(spark, tableDir)
+    target.files.foreach { rel =>
+      require(f.exists(new Path(tableDir, rel)),
+        s"cannot restore v$version: $rel was vacuumed")
+    }
+    commit(spark, tableDir, "restore", target.schema, target.partCols,
+      Some(head), _ => true)(_ => target.files)
+  }
+
+  /** The commit history, newest first: one row per retained log entry
+    * with its op, timestamp and add/remove counts (DESCRIBE HISTORY).
+    * Driver-side log metadata only — never touches data files.
+    */
+  def history(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, tableDir)
+    versions(spark, tableDir).reverse.map { v =>
+      val n = readDoc(f, tableDir, v)
+      (v, n.get("op").asText(), n.get("at_ms").asLong(),
+        strArr(n, "adds").size.toLong, strArr(n, "removes").size.toLong,
+        n.has("files"))
+    }.toDF("version", "op", "at_ms", "n_added", "n_removed", "is_checkpoint")
+  }
+
   /** Z-order OPTIMIZE routed through the log: rewrite every partition
     * of the head along the Morton curve of `cols`
     * ([[ZOrder.layout]]) into `ceil(bytes/targetFileBytes)` files and

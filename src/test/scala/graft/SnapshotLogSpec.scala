@@ -303,6 +303,24 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(none.count() == 0 && none.columns.contains("_commit_version"))
   }
 
+  test("restore rewinds contents as a new version; history narrates the log") {
+    val t = freshTable()
+    SnapshotLog.overwrite(rows("a", 1 to 3), t, Seq("part"))
+    SnapshotLog.append(rows("b", 4 to 5), t, Seq("part"))
+    Deletes.deleteByKeys(spark, t, "id", Seq(1L).toDF("id"), "part")
+    assert(SnapshotLog.read(spark, t).count() == 4)
+    val v = SnapshotLog.restore(spark, t, 2)
+    assert(v == 4L)
+    assert(SnapshotLog.read(spark, t).count() == 5, "contents rewound")
+    assert(SnapshotLog.readAt(spark, t, 3).count() == 4,
+      "the botched version stays in history for the post-mortem")
+    val h = SnapshotLog.history(spark, t)
+      .as[(Long, String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(h.map(_._1) == Seq(4L, 3L, 2L, 1L), "newest first")
+    assert(h.map(_._2) == Seq("restore", "delete", "append", "overwrite"))
+    assert(h.last._6, "v1 is a checkpoint")
+  }
+
   test("empty snapshot reads back with the committed schema") {
     val t = freshTable()
     SnapshotLog.overwrite(rows("a", 1 to 0), t, Seq("part"))
