@@ -64,7 +64,8 @@ object SnapshotLog {
     */
   case class Snapshot(version: Long, op: String, files: Seq[String],
       schema: StructType, partCols: Seq[String],
-      txns: Map[String, Long] = Map.empty)
+      txns: Map[String, Long] = Map.empty,
+      stats: Map[String, Map[String, (Double, Double)]] = Map.empty)
 
   private val mapper = new ObjectMapper()
 
@@ -126,6 +127,59 @@ object SnapshotLog {
     Option(n.get(key)).map(a => (0 until a.size()).map(i => a.get(i).asText()))
       .getOrElse(Seq.empty)
 
+  private def statsOf(n: com.fasterxml.jackson.databind.JsonNode)
+      : Map[String, Map[String, (Double, Double)]] =
+    Option(n.get("stats")).map { sn =>
+      sn.fields().asScala.map { e =>
+        e.getKey -> e.getValue.fields().asScala.map { c =>
+          c.getKey -> (c.getValue.get(0).asDouble(), c.getValue.get(1).asDouble())
+        }.toMap
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  /** Per-file (min, max) for every top-level numeric column, straight
+    * from the parquet FOOTERS of freshly-staged files — one KB-scale
+    * driver read per added file, the same cost class as the staging
+    * renames. Annotated physical types (decimal-as-int64, timestamps,
+    * strings) are skipped: their raw stats are not in logical units,
+    * and wrong stats prune wrongly. This is Delta's per-add stats
+    * JSON: the scan-time file pruning it buys ([[readWhere]]) needs
+    * no footer opens at all.
+    */
+  private def collectStats(f: FileSystem, tableDir: String,
+      rels: Seq[String]): Map[String, Map[String, (Double, Double)]] = {
+    import org.apache.parquet.column.statistics._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    rels.map { rel =>
+      val in = HadoopInputFile.fromPath(new Path(tableDir, rel), f.getConf)
+      val r = ParquetFileReader.open(in)
+      val cols = try {
+        r.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala)
+          .flatMap { c =>
+            val p = c.getPath.toDotString
+            val st = c.getStatistics
+            val ann = c.getPrimitiveType.getLogicalTypeAnnotation
+            val plain = ann == null || ann.isInstanceOf[
+              org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation]
+            if (p.contains('.') || !plain || st == null || st.isEmpty ||
+                !st.hasNonNullValue) None
+            else st match {
+              case s: LongStatistics => Some(p -> (s.getMin.toDouble, s.getMax.toDouble))
+              case s: IntStatistics => Some(p -> (s.getMin.toDouble, s.getMax.toDouble))
+              case s: DoubleStatistics => Some(p -> (s.getMin, s.getMax))
+              case s: FloatStatistics => Some(p -> (s.getMin.toDouble, s.getMax.toDouble))
+              case _ => None
+            }
+          }
+          .groupBy(_._1)
+          .map { case (p, vs) => // min/max across the file's row groups
+            p -> (vs.map(_._2._1).min, vs.map(_._2._2).max) }
+      } finally r.close()
+      rel -> cols
+    }.filter(_._2.nonEmpty).toMap
+  }
+
   /** Load one committed snapshot; throws if the version was never
     * committed or has been vacuumed away. A delta-encoded version is
     * reconstructed by replaying adds/removes forward from the nearest
@@ -148,9 +202,11 @@ object SnapshotLog {
       docs = readDoc(f, tableDir, v) :: docs
     }
     var files: Seq[String] = strArr(docs.head, "files")
+    var stats = statsOf(docs.head) // full map on checkpoints
     docs.tail.foreach { d =>
       val rm = strArr(d, "removes").toSet
       files = files.filterNot(rm.contains) ++ strArr(d, "adds")
+      stats = (stats -- rm) ++ statsOf(d) // adds-only on delta docs
     }
     val n = docs.last // the requested version's own doc: op/schema/txns
     val parts = strArr(n, "part_cols")
@@ -159,7 +215,7 @@ object SnapshotLog {
     }.getOrElse(Map.empty[String, Long])
     Snapshot(n.get("version").asLong(), n.get("op").asText(), files.sorted,
       DataType.fromJson(n.get("schema").asText()).asInstanceOf[StructType],
-      parts, txns)
+      parts, txns, stats)
   }
 
   /** Scan exactly one committed version — time travel. Old versions
@@ -213,6 +269,39 @@ object SnapshotLog {
       base.withColumn("_commit_version", lit(v))
     }
     frames.reduceLeft(_ unionByName (_, allowMissingColumns = true))
+  }
+
+  /** Stats-pruned range scan (data skipping): drop every file whose
+    * logged per-file [min, max] on `colName` cannot overlap
+    * `[lo, hi]`, then scan the survivors with the predicate applied
+    * (parquet row-group stats prune further inside each file). The
+    * file-list pruning is pure LOG metadata — no footer opens, no
+    * listing — which at 100 TB is the difference between planning over
+    * a million file handles and reading a few KB of commit JSON. Files
+    * without stats on the column are kept (never prune on ignorance).
+    * Pair with [[optimizeZOrder]]: clustering is what makes per-file
+    * ranges tight enough to prune on more than one column.
+    */
+  def readWhere(spark: SparkSession, tableDir: String, colName: String,
+      lo: Double, hi: Double): DataFrame = {
+    val snap = snapshotAt(spark, tableDir,
+      latestVersion(spark, tableDir).getOrElse(
+        sys.error(s"$tableDir has no committed snapshot")))
+    val pred = col(colName) >= lit(lo) && col(colName) <= lit(hi)
+    val keep = snap.files.filter { rel =>
+      snap.stats.get(rel).flatMap(_.get(colName)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    }
+    if (keep.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+        .filter(pred)
+    spark.read.option("basePath", tableDir)
+      .schema(snap.schema)
+      .parquet(keep.map(rel => new Path(tableDir, rel).toString): _*)
+      .filter(pred)
   }
 
   /** Scan the latest committed version. */
@@ -318,11 +407,30 @@ object SnapshotLog {
       // checkpoint versions — between them snapshotAt replays forward
       val headSet = headFiles.toSet
       val listingSet = listing.toSet
+      val added = listing.filterNot(headSet.contains)
+      val removed = headFiles.filterNot(listingSet.contains)
       val adds = root.putArray("adds")
-      listing.filterNot(headSet.contains).foreach(adds.add)
+      added.foreach(adds.add)
       val removes = root.putArray("removes")
-      headFiles.filterNot(listingSet.contains).foreach(removes.add)
-      if (next == 1L || next % CheckpointInterval == 0L) {
+      removed.foreach(removes.add)
+      // per-add footer stats (data skipping); checkpoints carry the
+      // full map so reconstruction never reopens a footer
+      val addedStats = collectStats(f, tableDir, added)
+      val checkpoint = next == 1L || next % CheckpointInterval == 0L
+      val fullStats =
+        if (checkpoint)
+          (headSnap.map(_.stats).getOrElse(Map.empty) -- removed) ++ addedStats
+        else addedStats
+      if (fullStats.nonEmpty) {
+        val sn = root.putObject("stats")
+        fullStats.foreach { case (rel, cols) =>
+          val cn = sn.putObject(rel)
+          cols.foreach { case (c, (mn, mx)) =>
+            val a = cn.putArray(c); a.add(mn); a.add(mx)
+          }
+        }
+      }
+      if (checkpoint) {
         val arr = root.putArray("files")
         listing.foreach(arr.add)
       }
@@ -749,6 +857,16 @@ object SnapshotLog {
         val root = doc.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
         val arr = root.putArray("files")
         snap.files.foreach(arr.add)
+        root.remove("stats") // promote to the FULL stats map too
+        if (snap.stats.nonEmpty) {
+          val sn = root.putObject("stats")
+          snap.stats.foreach { case (rel, cols) =>
+            val cn = sn.putObject(rel)
+            cols.foreach { case (c, (mn, mx)) =>
+              val a = cn.putArray(c); a.add(mn); a.add(mx)
+            }
+          }
+        }
         val tmp = new Path(logDir(tableDir),
           s".tmp-${java.util.UUID.randomUUID()}.json")
         val out = f.create(tmp, true)

@@ -321,6 +321,35 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(h.last._6, "v1 is a checkpoint")
   }
 
+  test("readWhere prunes files from log stats and matches the full scan") {
+    val t = freshTable()
+    val df = (1 to 400).map(i => (i.toLong, (i * 37 % 100).toLong, "a"))
+      .toDF("x", "y", "part")
+    (0 until 4).foreach { k =>
+      val slice = df.filter($"x" % 4 === k)
+      if (k == 0) SnapshotLog.overwrite(slice, t, Seq("part"))
+      else SnapshotLog.append(slice, t, Seq("part"))
+    }
+    // z-order clusters x so per-file x-ranges become disjoint segments
+    SnapshotLog.optimizeZOrder(spark, t, Seq("x", "y"),
+      targetFileBytes = 2048)
+    val full = SnapshotLog.read(spark, t)
+    val pruned = SnapshotLog.readWhere(spark, t, "x", 1, 50)
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      s"stats pruned the file list: ${pruned.inputFiles.length} of ${full.inputFiles.length}")
+    assert(pruned.select($"x").as[Long].collect().sorted.toSeq
+      == full.filter($"x".between(1, 50)).select($"x").as[Long]
+        .collect().sorted.toSeq, "pruning loses no qualifying row")
+    // stats survive delta reconstruction (the optimize commit is v5 —
+    // a delta entry resolved through the v1 checkpoint)
+    val snap = SnapshotLog.snapshotAt(spark, t,
+      SnapshotLog.latestVersion(spark, t).get)
+    assert(snap.files.forall(f => snap.stats.contains(f)),
+      "every live file carries stats")
+    // an out-of-range probe prunes everything without failing
+    assert(SnapshotLog.readWhere(spark, t, "x", 5000, 6000).count() == 0)
+  }
+
   test("empty snapshot reads back with the committed schema") {
     val t = freshTable()
     SnapshotLog.overwrite(rows("a", 1 to 0), t, Seq("part"))
