@@ -230,6 +230,15 @@ object PlanAudit {
     audit("x53_merge_upsert")(
       "merged head digests are plain aggregates over snapshot scans" ->
         (p => p.contains("HashAggregate") && !p.contains("CartesianProduct")))
+    audit("x54_data_skipping")(
+      "range digest is a plain aggregate over the pruned file scan" ->
+        (p => p.contains("HashAggregate") && !p.contains("CartesianProduct")),
+      "the range predicate reaches the parquet scan" ->
+        (_.contains("PushedFilters: [IsNotNull(o_orderkey), " +
+          "GreaterThanOrEqual(o_orderkey")))
+    audit("x55_change_feed")(
+      "per-commit digests are plain aggregates over added-file scans" ->
+        (p => p.contains("HashAggregate") && !p.contains("CartesianProduct")))
     audit("x50_leak_safe_split")(
       "split layers on the CC labels without a cartesian" ->
         (p => !p.contains("CartesianProduct")))

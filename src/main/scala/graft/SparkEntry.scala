@@ -110,7 +110,9 @@ object SparkEntry {
     "x11b_binary_assets" -> (X.x11bBinaryAssets _),
     "x51_token_drift" -> (X.x51TokenDrift _),
     "x52_time_travel" -> (X.x52TimeTravel _),
-    "x53_merge_upsert" -> (X.x53MergeUpsert _)
+    "x53_merge_upsert" -> (X.x53MergeUpsert _),
+    "x54_data_skipping" -> (X.x54DataSkipping _),
+    "x55_change_feed" -> (X.x55ChangeFeed _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

@@ -287,7 +287,14 @@ object SnapshotLog {
     val snap = snapshotAt(spark, tableDir,
       latestVersion(spark, tableDir).getOrElse(
         sys.error(s"$tableDir has no committed snapshot")))
-    val pred = col(colName) >= lit(lo) && col(colName) <= lit(hi)
+    // literals in the column's own type → the predicate reaches the
+    // parquet scan as-is (no cast in the way of pushdown)
+    val dt = snap.schema.fields.find(_.name == colName).map(_.dataType)
+    val (lLo, lHi) = dt match {
+      case Some(t) => (lit(lo).cast(t), lit(hi).cast(t))
+      case None => (lit(lo), lit(hi))
+    }
+    val pred = col(colName) >= lLo && col(colName) <= lHi
     val keep = snap.files.filter { rel =>
       snap.stats.get(rel).flatMap(_.get(colName)) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi

@@ -1994,6 +1994,57 @@ object Extras {
       .orderBy($"o_orderstatus")
   }
 
+  /** x54 — stats-pruned scan (data skipping) under the hash gate:
+    * snapshot the orders table, z-order it on (o_orderkey, o_custkey)
+    * ([[graft.operators.SnapshotLog.optimizeZOrder]]), then answer a
+    * key-range digest through [[graft.operators.SnapshotLog.readWhere]]
+    * — the file list pruned from LOG stats alone. The oracle computes
+    * the same range digest relationally from the raw table, so a
+    * wrongly-pruned file (lost rows) or stale stats hash-mismatch.
+    */
+  def x54DataSkipping(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.SnapshotLog
+    val tbl = scratchDir(s, "x54", dir)
+    val orders = t(s, dir, "orders")
+    SnapshotLog.overwrite(orders, tbl, Seq("o_orderstatus"))
+    // small target files → many curve segments → real pruning at sf0.01
+    SnapshotLog.optimizeZOrder(s, tbl, Seq("o_orderkey", "o_custkey"),
+      targetFileBytes = 256L << 10)
+    SnapshotLog.readWhere(s, tbl, "o_orderkey", 1000, 60000)
+      .groupBy($"o_orderstatus")
+      .agg(cnt.as("n_rows"),
+        dsum($"o_totalprice").as("total_price"),
+        min($"o_orderkey").as("min_key"),
+        max($"o_orderkey").as("max_key"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** x55 — change feed under the hash gate: build the table in three
+    * append commits, then digest
+    * [[graft.operators.SnapshotLog.changesBetween]] per commit. The
+    * oracle recomputes each commit's row set from the same modulus
+    * split, so a change feed that leaks prior files, drops a commit,
+    * or mis-stamps `_commit_version` hash-mismatches.
+    */
+  def x55ChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.SnapshotLog
+    val tbl = scratchDir(s, "x55", dir)
+    val orders = t(s, dir, "orders")
+    val parts = Seq("o_orderstatus")
+    SnapshotLog.overwrite(orders.filter($"o_orderkey" % 3 === 0), tbl, parts)
+    SnapshotLog.append(orders.filter($"o_orderkey" % 3 === 1), tbl, parts)
+    SnapshotLog.append(orders.filter($"o_orderkey" % 3 === 2), tbl, parts)
+    SnapshotLog.changesBetween(s, tbl, 1, 3)
+      .groupBy($"_commit_version")
+      .agg(cnt.as("n_rows"),
+        dsum($"o_totalprice").as("total_price"),
+        min($"o_orderkey").as("min_key"),
+        max($"o_orderkey").as("max_key"))
+      .orderBy($"_commit_version")
+  }
+
   /** q26 Aggregator twin — typed [[VectorFns.CentroidAgg]] centroid
     * (float-sum order differs by design → rows-only check; the
     * decimal-exact Q26 is the hash-checked form).

@@ -103,6 +103,33 @@ object ExtrasOracle {
          |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
     },
 
+    // x54's range digest recomputed relationally — a wrongly-pruned
+    // file (lost rows) on the Spark side hash-mismatches here.
+    "x54_data_skipping" -> {
+      val dig = "CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(28,10)))" +
+        " AS VARCHAR) AS DOUBLE) AS total_price, " +
+        "MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key"
+      s"""SELECT o_orderstatus, $dig
+         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 60000
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    },
+
+    // x55's per-commit digests from the same modulus split: v1 = keys
+    // %3=0 (not in the (1,3] window), v2 = %3=1, v3 = %3=2.
+    "x55_change_feed" -> {
+      val dig = "CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(28,10)))" +
+        " AS VARCHAR) AS DOUBLE) AS total_price, " +
+        "MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key"
+      s"""SELECT CAST(2 AS BIGINT) AS _commit_version, $dig
+         |  FROM orders WHERE o_orderkey % 3 = 1
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), $dig
+         |  FROM orders WHERE o_orderkey % 3 = 2
+         |ORDER BY _commit_version""".stripMargin
+    },
+
     "x31_seq_pack" -> {
       val b = Extras.SeqPackBudget
       s"""WITH d AS (SELECT doc_id,
