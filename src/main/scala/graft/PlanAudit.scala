@@ -246,6 +246,17 @@ object PlanAudit {
       "grand totals broadcast back (1-row frame)" ->
         (_.contains("BroadcastExchange")),
       "no cartesian product" -> (p => !p.contains("CartesianProduct")))
+    audit("x56_segment_dedup")(
+      "doom flag joins back by segment hash (no cartesian)" ->
+        (p => !p.contains("CartesianProduct")),
+      "reassembly is a doc_id aggregate, not a window" ->
+        (p => p.contains("ObjectHashAggregate") && !p.contains("WindowExec")))
+    audit("x57_lm_quality")(
+      "count join is a bigram-hash equi-join (no cartesian)" ->
+        (p => !p.contains("CartesianProduct")),
+      "corpus totals broadcast back (1-row frame)" ->
+        (_.contains("BroadcastExchange")),
+      "no window anywhere" -> (p => !p.contains("WindowExec")))
 
     println(s"\nPlan audit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()

@@ -112,7 +112,9 @@ object SparkEntry {
     "x52_time_travel" -> (X.x52TimeTravel _),
     "x53_merge_upsert" -> (X.x53MergeUpsert _),
     "x54_data_skipping" -> (X.x54DataSkipping _),
-    "x55_change_feed" -> (X.x55ChangeFeed _)
+    "x55_change_feed" -> (X.x55ChangeFeed _),
+    "x56_segment_dedup" -> (X.x56SegmentDedup _),
+    "x57_lm_quality" -> (X.x57LmQuality _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

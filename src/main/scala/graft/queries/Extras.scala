@@ -1924,6 +1924,109 @@ object Extras {
       .orderBy($"rank")
   }
 
+  /** Segment geometry for x56: non-overlapping 3-token segments (the
+    * "line" unit — this corpus has no newlines, so a fixed token run
+    * stands in for C4's line). Doc-frequency ≥ 2 marks a segment as
+    * cross-document boilerplate.
+    */
+  val SegTokens = 3
+  val SegMinDf = 2L
+
+  /** x56 — corpus-level segment dedup WITH rewrite (C4/CCNet line
+    * dedup): split every document into non-overlapping token segments,
+    * drop each segment whose exact text appears in ≥ [[SegMinDf]]
+    * distinct documents, and REASSEMBLE the cleaned document in
+    * original segment order. x44 only audits the boilerplate fraction;
+    * this is the pipeline stage that actually strips it.
+    *
+    * Scale shape: segments are row-local (`sequence` + explode); the
+    * doc-frequency pass is one aggregate keyed on the segment's md5
+    * (fixed-width shuffle key); the doom flag joins back BY HASH with
+    * fan-out = df (bounded: boilerplate is small relative to corpus);
+    * reassembly is a doc_id-keyed aggregate whose per-group state is
+    * one document — `sort_array(collect_list(struct(k, seg)))` orders
+    * within the group, so there is NO window and no global sort.
+    * Every doc survives (possibly with empty clean_text): the flag is
+    * a left join, not a filter-then-regroup.
+    */
+  def x56SegmentDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = SegTokens
+    val segs = t(s, dir, "documents")
+      .select($"doc_id", TextFns.tokenize($"text").as("toks"))
+      .select($"doc_id", explode(expr(
+        s"sequence(0L, CAST(ceil(size(toks) / $w.0) AS BIGINT) - 1)")).as("k"),
+        $"toks")
+      .select($"doc_id", $"k",
+        concat_ws(" ", expr(s"slice(toks, CAST(k AS INT) * $w + 1, $w)"))
+          .as("seg_txt"))
+      .withColumn("seg_h", md5($"seg_txt"))
+    graft.Caching.withPersisted(segs) { sg =>
+      val boiler = sg.groupBy($"seg_h")
+        .agg(countDistinct($"doc_id").as("df"))
+        .filter($"df" >= SegMinDf)
+        .select($"seg_h", lit(true).as("is_b"))
+      sg.join(boiler, Seq("seg_h"), "left")
+        .withColumn("keep", $"is_b".isNull)
+        .groupBy($"doc_id")
+        .agg(cnt.as("n_segs"),
+          sum(when($"keep", 1L).otherwise(0L)).as("kept_segs"),
+          array_join(transform(
+            sort_array(collect_list(when($"keep", struct($"k", $"seg_txt")))),
+            p => p("seg_txt")), " ").as("clean_text"))
+        .orderBy($"doc_id")
+    }
+  }
+
+  /** x57 — n-gram LM familiarity score (the KenLM-perplexity-filter
+    * shape of CCNet/RefinedWeb, exact-integer form): score every
+    * document by how familiar its bigrams are to the corpus itself —
+    * sum over the doc's bigram occurrences of that bigram's
+    * corpus-wide count. Low familiarity ⇒ out-of-distribution or
+    * garbled text; the bucket thresholds are the quality knobs.
+    *
+    * Portability shape: the score is a sum of exact BIGINT counts
+    * (no log-probs — libm would break the DuckDB hash twin); the
+    * average is one IEEE-exact integer division; the bucket compares
+    * each doc to the CORPUS-MEAN familiarity by exact integer
+    * cross-multiplication (sum·T_n vs n·T_s — avg familiarity is
+    * scale-invariant on this corpus, so an absolute threshold would
+    * stop discriminating at another SF). Scale shape: bigrams are
+    * row-local; corpus counts are one aggregate keyed on the bigram's
+    * md5; the doc side PRE-AGGREGATES to (doc, bigram, multiplicity)
+    * before the count join, so join fan-out is document frequency,
+    * not occurrence count (the difference on a hot bigram at 100 TB);
+    * hot keys beyond that are AQE skew-join territory. Docs with < 2
+    * tokens survive with n_bigrams = 0 via the final left join.
+    */
+  def x57LmQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents")
+      .select($"doc_id", TextFns.tokenize($"text").as("toks"))
+    val bigs = d.filter(size($"toks") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(toks) - 1)," +
+          " i -> concat_ws(' ', slice(toks, i, 2)))")).as("big"))
+      .withColumn("big_h", md5($"big"))
+      .groupBy($"doc_id", $"big_h").agg(cnt.as("m"))
+    val counts = bigs.groupBy($"big_h").agg(sum($"m").as("c"))
+    val scored = bigs.join(counts, Seq("big_h"))
+      .groupBy($"doc_id")
+      .agg(sum($"m").as("n_bigrams"), sum($"m" * $"c").as("sum_freq"))
+    val totals = scored.agg(sum($"n_bigrams").as("t_n"),
+      sum($"sum_freq").as("t_s"))
+    d.select($"doc_id").join(scored, Seq("doc_id"), "left")
+      .crossJoin(broadcast(totals))
+      .select($"doc_id",
+        coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+        coalesce($"sum_freq", lit(0L)).as("sum_freq"),
+        ($"sum_freq".cast(DoubleType) / $"n_bigrams").as("avg_freq"),
+        when($"sum_freq" * $"t_n" > $"n_bigrams" * $"t_s", "familiar")
+          .when($"n_bigrams" > 0L, "unfamiliar")
+          .otherwise("empty").as("bucket"))
+      .orderBy($"doc_id")
+  }
+
   /** x52 — snapshot-log time travel end-to-end (the Delta/Iceberg-shaped
     * capability of [[graft.operators.SnapshotLog]], north-star
     * BASELINE.json "spark_approach"): build a versioned orders table in

@@ -556,6 +556,53 @@ object ExtrasOracle {
         |SELECT rank, tok, n_a, n_b, p_a, p_b, drift FROM r
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
+    // x56: non-overlapping 3-token segments; a segment with distinct-doc
+    // frequency >= 2 is boilerplate; docs reassemble from kept segments
+    // in order (string_agg ORDER BY k twins Spark's sort_array).
+    "x56_segment_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |seg AS (SELECT doc_id, k,
+        |    array_to_string(toks[k*3+1 : k*3+3], ' ') AS seg_txt
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(0,
+        |      CAST(ceil(len(toks) / 3.0) AS BIGINT) - 1)) AS k FROM d)),
+        |boiler AS (SELECT seg_txt FROM
+        |    (SELECT seg_txt, COUNT(DISTINCT doc_id) AS df FROM seg GROUP BY 1)
+        |  WHERE df >= 2),
+        |fl AS (SELECT s.doc_id, s.k, s.seg_txt, b.seg_txt IS NULL AS keep
+        |  FROM seg s LEFT JOIN boiler b USING (seg_txt))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_segs,
+        |  coalesce(string_agg(CASE WHEN keep THEN seg_txt END, ' '
+        |    ORDER BY k), '') AS clean_text
+        |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // x57: bigram familiarity — exact-integer corpus counts, doc-side
+    // multiplicity pre-agg, integer cross-multiplied buckets.
+    "x57_lm_quality" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |bg AS (SELECT doc_id, array_to_string(toks[i : i+1], ' ') AS big
+        |  FROM (SELECT doc_id, toks,
+        |      unnest(generate_series(1, len(toks) - 1)) AS i
+        |    FROM d WHERE len(toks) >= 2)),
+        |m AS (SELECT doc_id, big, CAST(COUNT(*) AS BIGINT) AS m
+        |  FROM bg GROUP BY 1, 2),
+        |c AS (SELECT big, CAST(SUM(m) AS BIGINT) AS c FROM m GROUP BY 1),
+        |sc AS (SELECT doc_id, CAST(SUM(m.m) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(m.m * c.c) AS BIGINT) AS sum_freq
+        |  FROM m JOIN c USING (big) GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_bigrams) AS BIGINT) AS t_n,
+        |    CAST(SUM(sum_freq) AS BIGINT) AS t_s FROM sc)
+        |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+        |  coalesce(sum_freq, 0) AS sum_freq,
+        |  CAST(sum_freq AS DOUBLE) / n_bigrams AS avg_freq,
+        |  CASE WHEN sum_freq * t_n > n_bigrams * t_s THEN 'familiar'
+        |       WHEN n_bigrams > 0 THEN 'unfamiliar'
+        |       ELSE 'empty' END AS bucket
+        |FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id, tot
+        |ORDER BY d.doc_id""".stripMargin,
+
     "x01_dedup_exact" ->
       """SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS n_dups,
         |  MIN(doc_id) AS keeper

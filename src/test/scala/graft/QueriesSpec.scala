@@ -445,6 +445,54 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("x56 rewrite strips exactly the cross-doc segments; every doc survives") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = Extras.x56SegmentDedup(spark, sf).collect()
+    assert(out.length == docs.count(), "rewrite must keep every doc")
+    // segment df truth, recomputed naively
+    val w = Extras.SegTokens
+    val segDf = scala.collection.mutable.Map.empty[String, Set[Long]]
+    docs.select(col("doc_id"), col("text")).collect().foreach { r =>
+      val toks = r.getString(1).split(" ")
+      toks.grouped(w).map(_.mkString(" ")).foreach { s =>
+        segDf(s) = segDf.getOrElse(s, Set.empty) + r.getLong(0)
+      }
+    }
+    val boiler = segDf.filter(_._2.size >= Extras.SegMinDf).keySet
+    out.foreach { r =>
+      val kept = r.getString(3).split(" ").filter(_.nonEmpty)
+        .grouped(w).map(_.mkString(" ")).toSeq
+      // reassembled text contains NO boilerplate segment...
+      kept.foreach(s => assert(!boiler.contains(s),
+        s"doc ${r.getLong(0)} kept boilerplate segment '$s'"))
+      // ...and kept_segs + dropped == n_segs with dropped all boilerplate
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+    assert(out.map(_.getLong(1)).sum > out.map(_.getLong(2)).sum,
+      "fixture must actually contain cross-doc segments")
+  }
+
+  test("x57 familiarity: buckets split on the corpus mean; avg consistent") {
+    val rows = Extras.x57LmQuality(spark, sf).collect()
+    val tN = rows.map(_.getLong(1)).sum
+    val tS = rows.map(_.getLong(2)).sum
+    var (hi, lo) = (0, 0)
+    rows.foreach { r =>
+      val (n, s) = (r.getLong(1), r.getLong(2))
+      if (n > 0)
+        assert(math.abs(r.getDouble(3) - s.toDouble / n) < 1e-12)
+      r.getString(4) match {
+        case "familiar" =>
+          hi += 1; assert(BigInt(s) * tN > BigInt(n) * tS)
+        case "unfamiliar" =>
+          lo += 1; assert(n > 0 && BigInt(s) * tN <= BigInt(n) * tS)
+        case "empty" => assert(n == 0)
+      }
+    }
+    assert(hi > 0 && lo > 0, "corpus-mean split must discriminate")
+  }
+
   test("entry() returns non-empty flagship result") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
