@@ -246,6 +246,12 @@ object PlanAudit {
       "grand totals broadcast back (1-row frame)" ->
         (_.contains("BroadcastExchange")),
       "no cartesian product" -> (p => !p.contains("CartesianProduct")))
+    audit("x58_deletion_vectors")(
+      "version digests are plain aggregates over snapshot scans" ->
+        (p => p.contains("HashAggregate") && !p.contains("CartesianProduct")),
+      "MoR versions subtract DVs via a BROADCAST anti-join" ->
+        (p => p.contains("BroadcastHashJoin LeftAnti") ||
+          p.contains("LeftAnti BuildRight")))
     audit("x56_segment_dedup")(
       "doom flag joins back by segment hash (no cartesian)" ->
         (p => !p.contains("CartesianProduct")),

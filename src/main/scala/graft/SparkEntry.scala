@@ -114,7 +114,8 @@ object SparkEntry {
     "x54_data_skipping" -> (X.x54DataSkipping _),
     "x55_change_feed" -> (X.x55ChangeFeed _),
     "x56_segment_dedup" -> (X.x56SegmentDedup _),
-    "x57_lm_quality" -> (X.x57LmQuality _)
+    "x57_lm_quality" -> (X.x57LmQuality _),
+    "x58_deletion_vectors" -> (X.x58DeletionVectors _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

@@ -8,7 +8,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 
 /** Versioned-snapshot commit log over a plain-parquet, hive-partitioned
   * table — the atomic-commit / time-travel layer the north star names
@@ -60,12 +60,17 @@ object SnapshotLog {
     * `txns` carries the cumulative app → last-committed-version map
     * (Delta's txnAppId/txnVersion) that makes [[appendTxn]] replays
     * idempotent — each commit stores the FULL map, like the full file
-    * listing, so the check is one head read.
+    * listing, so the check is one head read. `dvs` maps a data file to
+    * the DELETION-VECTOR files (under `_graft_dv/`) whose
+    * (file_name, row_index) rows are subtracted from it at read time
+    * — Delta's merge-on-read DV shape, as a parquet relation instead
+    * of a roaring bitmap.
     */
   case class Snapshot(version: Long, op: String, files: Seq[String],
       schema: StructType, partCols: Seq[String],
       txns: Map[String, Long] = Map.empty,
-      stats: Map[String, Map[String, (Double, Double)]] = Map.empty)
+      stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
+      dvs: Map[String, Seq[String]] = Map.empty)
 
   private val mapper = new ObjectMapper()
 
@@ -126,6 +131,15 @@ object SnapshotLog {
       key: String): Seq[String] =
     Option(n.get(key)).map(a => (0 until a.size()).map(i => a.get(i).asText()))
       .getOrElse(Seq.empty)
+
+  private def dvsOf(n: com.fasterxml.jackson.databind.JsonNode)
+      : Map[String, Seq[String]] =
+    Option(n.get("dvs")).map { dn =>
+      dn.fields().asScala.map { e =>
+        e.getKey -> (0 until e.getValue.size())
+          .map(i => e.getValue.get(i).asText())
+      }.toMap
+    }.getOrElse(Map.empty)
 
   private def statsOf(n: com.fasterxml.jackson.databind.JsonNode)
       : Map[String, Map[String, (Double, Double)]] =
@@ -203,10 +217,19 @@ object SnapshotLog {
     }
     var files: Seq[String] = strArr(docs.head, "files")
     var stats = statsOf(docs.head) // full map on checkpoints
+    var dvs = dvsOf(docs.head)     // full map on checkpoints
     docs.tail.foreach { d =>
       val rm = strArr(d, "removes").toSet
       files = files.filterNot(rm.contains) ++ strArr(d, "adds")
       stats = (stats -- rm) ++ statsOf(d) // adds-only on delta docs
+      // a removed data file sheds its DVs; a dvs_full doc (restore)
+      // REPLACES the map, a delta doc's dvs ACCUMULATE per file
+      // (a second MoR delete on a file unions with the first)
+      dvs =
+        if (d.has("dvs_full")) dvsOf(d)
+        else dvsOf(d).foldLeft(dvs -- rm) { case (m, (k, v)) =>
+          m.updated(k, (m.getOrElse(k, Seq.empty) ++ v).distinct)
+        }
     }
     val n = docs.last // the requested version's own doc: op/schema/txns
     val parts = strArr(n, "part_cols")
@@ -215,21 +238,69 @@ object SnapshotLog {
     }.getOrElse(Map.empty[String, Long])
     Snapshot(n.get("version").asLong(), n.get("op").asText(), files.sorted,
       DataType.fromJson(n.get("schema").asText()).asInstanceOf[StructType],
-      parts, txns, stats)
+      parts, txns, stats, dvs)
   }
 
-  /** Scan exactly one committed version — time travel. Old versions
-    * stay readable (their files are only unlinked by [[vacuum]]).
+  /** The DV row relation: `(file_path, row_index)` pairs doomed by
+    * merge-on-read deletes. The key is the FULL `_metadata.file_path`
+    * URI, not the bare file name: one Spark task writing several
+    * partition values emits the SAME part-NNNNN-uuid name under each
+    * partition directory, so a name-keyed DV would doom sibling
+    * partitions' rows. Both the doom scan and every read scan build
+    * their file lists from the same `new Path(tableDir, rel)` strings
+    * through the same Hadoop conf, so the qualified URIs match
+    * exactly. Caveat (documented trade): a DV'd table is pinned to
+    * its location — compact (purging the DVs) before relocating.
     */
-  def readAt(spark: SparkSession, tableDir: String, version: Long): DataFrame = {
-    val snap = snapshotAt(spark, tableDir, version)
-    if (snap.files.isEmpty)
+  private val DvSchema = StructType(Seq(
+    StructField("file_path", StringType, false),
+    StructField("row_index", LongType, false)))
+
+  private def dvDir(tableDir: String) = new Path(tableDir, "_graft_dv")
+
+  /** Read a subset of a snapshot's files with its deletion vectors
+    * applied. Files WITHOUT a DV scan untouched (the fast path — no
+    * metadata columns, no join); files with one anti-join their
+    * broadcast DV rows on `(_metadata.file_path, _metadata.row_index)`
+    * — per-file physical row positions, stable because data files are
+    * immutable once committed. The MoR contract is Delta's: DVs hold
+    * targeted-delete row sets (GDPR purges, correction patches), small
+    * relative to the table; bulk deletes belong to the copy-on-write
+    * path ([[deleteByKeys]]), and [[compact]] physically purges DVs.
+    */
+  private def readFiles(spark: SparkSession, tableDir: String,
+      snap: Snapshot, rels: Seq[String]): DataFrame = {
+    if (rels.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
     // basePath keeps the hive partition columns of explicit file reads
-    spark.read.option("basePath", tableDir)
+    def scan(fs: Seq[String]) = spark.read.option("basePath", tableDir)
       .schema(snap.schema)
-      .parquet(snap.files.map(rel => new Path(tableDir, rel).toString): _*)
+      .parquet(fs.map(rel => new Path(tableDir, rel).toString): _*)
+    val (dirty, clean) = rels.partition(snap.dvs.contains)
+    if (dirty.isEmpty) return scan(rels)
+    val dvRels = dirty.flatMap(snap.dvs(_)).distinct
+    val dv = spark.read.schema(DvSchema)
+      .parquet(dvRels.map(rel => new Path(tableDir, rel).toString): _*)
+    val outCols = snap.schema.fields.map(f => col(f.name)).toIndexedSeq
+    val sub = scan(dirty)
+      .withColumn("_dv_path", col("_metadata.file_path"))
+      .withColumn("_dv_row", col("_metadata.row_index"))
+      .join(broadcast(dv),
+        col("_dv_path") === dv("file_path") && col("_dv_row") === dv("row_index"),
+        "left_anti")
+      .select(outCols: _*)
+    if (clean.isEmpty) sub else scan(clean).unionByName(sub)
+  }
+
+  /** Scan exactly one committed version — time travel. Old versions
+    * stay readable (their files are only unlinked by [[vacuum]]), and
+    * each version subtracts exactly ITS deletion vectors — a
+    * pre-delete version still serves the since-doomed rows.
+    */
+  def readAt(spark: SparkSession, tableDir: String, version: Long): DataFrame = {
+    val snap = snapshotAt(spark, tableDir, version)
+    readFiles(spark, tableDir, snap, snap.files)
   }
 
   /** Change feed (CDF-lite): the rows carried by files LINKED IN over
@@ -259,14 +330,11 @@ object SnapshotLog {
       val prev = if (v == 1) Set.empty[String]
         else snapshotAt(spark, tableDir, v - 1).files.toSet
       val adds = snap.files.filterNot(prev.contains)
-      val base =
-        if (adds.isEmpty)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-        else
-          spark.read.option("basePath", tableDir).schema(snap.schema)
-            .parquet(adds.map(rel => new Path(tableDir, rel).toString): _*)
-      base.withColumn("_commit_version", lit(v))
+      // added files read through the adding version's own DVs (none at
+      // their birth version unless the commit both added and deleted);
+      // a delete_mor commit adds NO files, so its row removals don't
+      // surface here — diff snapshots (x33) for row-level change types
+      readFiles(spark, tableDir, snap, adds).withColumn("_commit_version", lit(v))
     }
     frames.reduceLeft(_ unionByName (_, allowMissingColumns = true))
   }
@@ -301,14 +369,7 @@ object SnapshotLog {
         case None => true
       }
     }
-    if (keep.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-        .filter(pred)
-    spark.read.option("basePath", tableDir)
-      .schema(snap.schema)
-      .parquet(keep.map(rel => new Path(tableDir, rel).toString): _*)
-      .filter(pred)
+    readFiles(spark, tableDir, snap, keep).filter(pred)
   }
 
   /** Scan the latest committed version. */
@@ -373,7 +434,9 @@ object SnapshotLog {
       schema: StructType, partCols: Seq[String],
       base: Option[Snapshot] = None,
       conflictsWith: String => Boolean = _ => false,
-      txn: Option[(String, Long)] = None)(
+      txn: Option[(String, Long)] = None,
+      dvAdds: Map[String, Seq[String]] = Map.empty,
+      dvFull: Option[Map[String, Seq[String]]] = None)(
       rebase: Seq[String] => Seq[String]): Long = {
     val f = fs(spark, tableDir)
     f.mkdirs(logDir(tableDir))
@@ -440,6 +503,25 @@ object SnapshotLog {
       if (checkpoint) {
         val arr = root.putArray("files")
         listing.foreach(arr.add)
+      }
+      // DV map: full replacement (restore, or any checkpoint — so
+      // reconstruction never replays past one), else this commit's
+      // per-file additions
+      val dvOut: Map[String, Seq[String]] =
+        if (dvFull.isDefined) dvFull.get
+        else if (checkpoint) {
+          val headDvs = headSnap.map(_.dvs).getOrElse(Map.empty)
+          dvAdds.foldLeft(headDvs -- removed) { case (m, (k, v)) =>
+            m.updated(k, (m.getOrElse(k, Seq.empty) ++ v).distinct)
+          }
+        } else dvAdds
+      if (dvFull.isDefined || checkpoint) root.put("dvs_full", true)
+      if (dvOut.nonEmpty || dvFull.isDefined || checkpoint) {
+        val dn = root.putObject("dvs")
+        dvOut.toSeq.sortBy(_._1).foreach { case (rel, dvFiles) =>
+          val a = dn.putArray(rel)
+          dvFiles.foreach(a.add)
+        }
       }
       val doc = mapper.writeValueAsString(root)
       // full document to a hidden tmp first: a crash mid-write leaves
@@ -640,6 +722,94 @@ object SnapshotLog {
     (v, affected)
   }
 
+  /** Merge-on-read row delete (Delta/Iceberg DELETION VECTORS): mark
+    * the rows matching `pred` as deleted WITHOUT rewriting any data
+    * file — the commit adds one KB-scale DV parquet of doomed
+    * `(file_name, row_index)` pairs and maps each affected data file
+    * to it; every read path subtracts them. This is the
+    * latency-shaped delete: a GDPR purge over a 100 TB table touches
+    * no data file at commit time, and [[compact]] / [[optimizeZOrder]]
+    * physically purge the doomed rows later (their rewrites read
+    * DV-aware and drop the entries). Contrast [[deleteByKeys]], the
+    * copy-on-write path that rewrites affected partitions up front —
+    * right when deletes are bulk, wrong when they are point lookups.
+    *
+    * Semantics: doomed rows are computed against the CURRENT snapshot
+    * (prior DVs applied, so re-deleting is idempotent and a second
+    * overlapping delete unions per file). Time travel to a pre-delete
+    * version still serves the rows; vacuum of that version is the
+    * right-to-be-forgotten clock, as with the copy-on-write path.
+    * Per-file stats stay as written — conservative (the doomed rows
+    * can only narrow true ranges), so data skipping never
+    * false-prunes. A concurrent rewrite (compact/zorder/delete) of an
+    * affected file aborts this commit rather than letting the DV
+    * reference a swapped-out file. Returns (version, doomedRowCount) —
+    * (head, 0) with no commit when nothing matches.
+    *
+    * The DV write is `repartition(1)`: ONE file per delete commit,
+    * deliberately — DV row sets are point-delete-sized by contract
+    * (Delta's DVs are single per-transaction bitmaps for the same
+    * reason); a predicate that dooms a table-sized row set belongs on
+    * the copy-on-write path.
+    */
+  def deleteWhere(spark: SparkSession, tableDir: String,
+      pred: org.apache.spark.sql.Column): (Long, Long) = {
+    val head = latestVersion(spark, tableDir).getOrElse(
+      sys.error(s"$tableDir has no committed snapshot"))
+    val snap = snapshotAt(spark, tableDir, head)
+    if (snap.files.isEmpty) return (head, 0L)
+    val f = fs(spark, tableDir)
+    val scan = spark.read.option("basePath", tableDir).schema(snap.schema)
+      .parquet(snap.files.map(rel => new Path(tableDir, rel).toString): _*)
+      .withColumn("_dv_path", col("_metadata.file_path"))
+      .withColumn("_dv_row", col("_metadata.row_index"))
+    val live =
+      if (snap.dvs.isEmpty) scan
+      else {
+        val dvRels = snap.dvs.values.flatten.toSeq.distinct
+        val dv = spark.read.schema(DvSchema)
+          .parquet(dvRels.map(rel => new Path(tableDir, rel).toString): _*)
+        scan.join(broadcast(dv),
+          col("_dv_path") === dv("file_path") &&
+            col("_dv_row") === dv("row_index"), "left_anti")
+      }
+    val doomed = live.filter(pred)
+      .select(col("_dv_path").as("file_path"), col("_dv_row").as("row_index"))
+      .persist()
+    try {
+      // affected FILE list is scheduler-sized driver metadata (the
+      // same class as Deletes' partition values)
+      val affectedPaths = doomed.select(col("file_path")).distinct()
+        .collect().map(_.getString(0)).toSet
+      if (affectedPaths.isEmpty) return (head, 0L)
+      val nDoomed = doomed.count()
+      // stage the single DV file invisibly, then rename into _graft_dv
+      val stagingDv = new Path(tableDir,
+        "_staging/dv-" + java.util.UUID.randomUUID().toString)
+      doomed.repartition(1).write.mode("overwrite").parquet(stagingDv.toString)
+      val dvName = f.listStatus(stagingDv)
+        .map(_.getPath.getName).find(_.endsWith(".parquet"))
+        .getOrElse(sys.error("DV write produced no parquet file"))
+      val dvRel = s"_graft_dv/$dvName"
+      f.mkdirs(dvDir(tableDir))
+      require(f.rename(new Path(stagingDv, dvName), new Path(tableDir, dvRel)),
+        s"DV rename failed: $dvRel")
+      f.delete(stagingDv, true)
+      // map qualified URIs back to table-relative paths (suffix match
+      // — each URI ends in exactly one of the listing's rel paths)
+      val affectedRels = snap.files
+        .filter(rel => affectedPaths.exists(_.endsWith("/" + rel)))
+      require(affectedRels.size == affectedPaths.size,
+        s"DV path mapping mismatch: ${affectedPaths.size} affected files " +
+        s"resolved to ${affectedRels.size} listing entries")
+      val affectedSet = affectedRels.toSet
+      val v = commit(spark, tableDir, "delete_mor", snap.schema,
+        snap.partCols, Some(snap), affectedSet.contains,
+        dvAdds = affectedRels.map(_ -> Seq(dvRel)).toMap)(identity)
+      (v, nDoomed)
+    } finally doomed.unpersist(blocking = false)
+  }
+
   /** Delta-style MERGE (keyed upsert): each row of `updates` replaces
     * the table row sharing its `keyCol` value, unmatched update rows
     * insert, unmatched table rows survive untouched — the table-level
@@ -721,8 +891,10 @@ object SnapshotLog {
     if (flagged.isEmpty) return (head, Nil)
     val replaced = flagged.flatMap(_._2).toSet
     val added = flagged.flatMap { case (_, files, nOut) =>
-      val part = spark.read.option("basePath", tableDir).schema(snap.schema)
-        .parquet(files.map(rel => new Path(tableDir, rel).toString): _*)
+      // DV-aware read: compaction PHYSICALLY PURGES merge-on-read
+      // deletes (the rewritten files carry survivors only, and the
+      // replaced files' DV entries fall out of the new snapshot)
+      val part = readFiles(spark, tableDir, snap, files)
       stage(part.repartition(nOut), tableDir, snap.partCols)
     }
     // conflict domain = exactly the files being rewritten: if a racing
@@ -749,12 +921,13 @@ object SnapshotLog {
     val head = snapshotAt(spark, tableDir,
       latestVersion(spark, tableDir).get)
     val f = fs(spark, tableDir)
-    target.files.foreach { rel =>
+    (target.files ++ target.dvs.values.flatten).foreach { rel =>
       require(f.exists(new Path(tableDir, rel)),
         s"cannot restore v$version: $rel was vacuumed")
     }
     commit(spark, tableDir, "restore", target.schema, target.partCols,
-      Some(head), _ => true)(_ => target.files)
+      Some(head), _ => true,
+      dvFull = Some(target.dvs))(_ => target.files)
   }
 
   /** The commit history, newest first: one row per retained log entry
@@ -806,8 +979,9 @@ object SnapshotLog {
     }
     val replaced = snap.files.toSet
     val added = plans.flatMap { case (_, files, nOut) =>
-      val part = spark.read.option("basePath", tableDir).schema(snap.schema)
-        .parquet(files.map(rel => new Path(tableDir, rel).toString): _*)
+      // DV-aware read: the clustered rewrite physically purges
+      // merge-on-read deletes along the way
+      val part = readFiles(spark, tableDir, snap, files)
       stage(ZOrder.layout(part, cols, nOut), tableDir, snap.partCols)
     }
     val v = commit(spark, tableDir, "zorder", snap.schema, snap.partCols,
@@ -851,6 +1025,21 @@ object SnapshotLog {
         }
       }
     walk(new Path(tableDir), "")
+    // DV files live under the log-invisible _graft_dv dir the data
+    // walk skips: sweep them against the retained snapshots' DV
+    // references, on the same grace clock (an unreferenced young DV
+    // may belong to an in-flight delete_mor commit)
+    val keepDvs = retained
+      .flatMap(v => snapshotAt(spark, tableDir, v).dvs.values.flatten).toSet
+    val dvd = dvDir(tableDir)
+    if (f.exists(dvd)) f.listStatus(dvd).foreach { st =>
+      val rel = s"_graft_dv/${st.getPath.getName}"
+      if (st.getPath.getName.endsWith(".parquet") && !keepDvs.contains(rel) &&
+          st.getModificationTime < cutoffMs) {
+        f.delete(st.getPath, false)
+        dropped += rel
+      }
+    }
     val expired = all.dropRight(math.max(retainLast, 1))
     // promote the oldest retained version to a checkpoint if it is
     // delta-encoded: its reconstruction chain is about to be deleted.
@@ -872,6 +1061,18 @@ object SnapshotLog {
             cols.foreach { case (c, (mn, mx)) =>
               val a = cn.putArray(c); a.add(mn); a.add(mx)
             }
+          }
+        }
+        // promote the FULL DV map as well — a checkpoint without it
+        // would resurrect merge-on-read-deleted rows after its
+        // reconstruction chain expires
+        root.remove("dvs")
+        root.put("dvs_full", true)
+        if (snap.dvs.nonEmpty) {
+          val dn = root.putObject("dvs")
+          snap.dvs.toSeq.sortBy(_._1).foreach { case (rel, dvFiles) =>
+            val a = dn.putArray(rel)
+            dvFiles.foreach(a.add)
           }
         }
         val tmp = new Path(logDir(tableDir),

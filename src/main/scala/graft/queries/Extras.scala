@@ -2148,6 +2148,37 @@ object Extras {
       .orderBy($"_commit_version")
   }
 
+  /** x58 — deletion vectors under the hash gate (merge-on-read
+    * deletes, [[graft.operators.SnapshotLog.deleteWhere]]): v1 loads
+    * orders, v2 and v3 are two OVERLAPPING MoR deletes (multiples of
+    * 5, then of 7 — no data file rewritten, only KB-scale DV commits),
+    * v4 compacts, physically purging the doomed rows. Digesting every
+    * version via `readAt` pins the whole contract: v2/v3 subtract
+    * exactly their DV row sets (overlap not double-counted), the
+    * pre-delete v1 still serves all rows, and v4's purge is
+    * data-identical to v3. The oracle recomputes each version
+    * relationally from the raw table.
+    */
+  def x58DeletionVectors(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.SnapshotLog
+    val tbl = scratchDir(s, "x58", dir)
+    val orders = t(s, dir, "orders")
+    SnapshotLog.overwrite(orders, tbl, Seq("o_orderstatus"))
+    SnapshotLog.deleteWhere(s, tbl, $"o_orderkey" % 5 === 0)
+    SnapshotLog.deleteWhere(s, tbl, $"o_orderkey" % 7 === 0)
+    SnapshotLog.compact(s, tbl, targetFileBytes = 1L << 30, maxFiles = 0)
+    SnapshotLog.versions(s, tbl).map { v =>
+      SnapshotLog.readAt(s, tbl, v).agg(
+        cnt.as("n_rows"),
+        dsum($"o_totalprice").as("total_price"),
+        min($"o_orderkey").as("min_key"),
+        max($"o_orderkey").as("max_key"))
+        .select(lit(v).as("version"), $"n_rows", $"total_price",
+          $"min_key", $"max_key")
+    }.reduce(_ unionAll _).orderBy($"version")
+  }
+
   /** q26 Aggregator twin — typed [[VectorFns.CentroidAgg]] centroid
     * (float-sum order differs by design → rows-only check; the
     * decimal-exact Q26 is the hash-checked form).

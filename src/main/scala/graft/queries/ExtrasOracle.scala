@@ -130,6 +130,25 @@ object ExtrasOracle {
          |ORDER BY _commit_version""".stripMargin
     },
 
+    // x58: v1 = all orders; v2 = minus multiples of 5 (MoR DV); v3 =
+    // minus multiples of 5 or 7 (overlapping DV union); v4 = compacted,
+    // data-identical to v3.
+    "x58_deletion_vectors" -> {
+      val dig = "CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(28,10)))" +
+        " AS VARCHAR) AS DOUBLE) AS total_price, " +
+        "MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key"
+      s"""WITH d2 AS (SELECT * FROM orders WHERE o_orderkey % 5 <> 0),
+         |d3 AS (SELECT * FROM d2 WHERE o_orderkey % 7 <> 0),
+         |dig AS (
+         |  SELECT CAST(1 AS BIGINT) AS version, $dig FROM orders
+         |  UNION ALL SELECT CAST(2 AS BIGINT), $dig FROM d2
+         |  UNION ALL SELECT CAST(3 AS BIGINT), $dig FROM d3
+         |  UNION ALL SELECT CAST(4 AS BIGINT), $dig FROM d3)
+         |SELECT version, n_rows, total_price, min_key, max_key
+         |FROM dig ORDER BY version""".stripMargin
+    },
+
     "x31_seq_pack" -> {
       val b = Extras.SeqPackBudget
       s"""WITH d AS (SELECT doc_id,

@@ -357,4 +357,130 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(df.columns.toSeq.sorted == Seq("id", "part", "payload"))
     assert(df.count() == 0)
   }
+
+  test("deleteWhere is merge-on-read: no data file rewritten, rows gone") {
+    val t = freshTable()
+    SnapshotLog.overwrite(rows("a", 1 to 10).union(rows("b", 11 to 20)),
+      t, Seq("part"))
+    val before = SnapshotLog.snapshotAt(spark, t, 1).files
+    val (v, n) = SnapshotLog.deleteWhere(spark, t, $"id" % 3 === 0)
+    assert(v == 2 && n == 6)
+    val snap = SnapshotLog.snapshotAt(spark, t, 2)
+    assert(snap.files == before, "MoR delete must not touch the listing")
+    assert(snap.dvs.nonEmpty && snap.dvs.values.flatten.toSet.size == 1,
+      "one DV file for the whole commit")
+    val latest = SnapshotLog.read(spark, t)
+    assert(latest.count() == 14)
+    assert(latest.filter($"id" % 3 === 0).count() == 0)
+    // time travel to the pre-delete version still serves the rows
+    assert(SnapshotLog.readAt(spark, t, 1).count() == 20)
+    // no-match predicate: no commit at all
+    val (v2, n2) = SnapshotLog.deleteWhere(spark, t, $"id" > 999)
+    assert(v2 == 2 && n2 == 0)
+  }
+
+  test("overlapping deleteWhere calls union per file; re-delete is idempotent") {
+    val t = freshTable()
+    SnapshotLog.overwrite(rows("a", 1 to 10), t, Seq("part"))
+    val (_, n1) = SnapshotLog.deleteWhere(spark, t, $"id" <= 4)
+    val (_, n2) = SnapshotLog.deleteWhere(spark, t, $"id" <= 6) // overlaps 1-4
+    assert(n1 == 4 && n2 == 2, "second delete dooms only still-live rows")
+    val latest = SnapshotLog.read(spark, t)
+    assert(latest.as[(Long, String, String)].collect().map(_._1).sorted.toSeq
+      == (7L to 10L))
+    // intermediate version reflects only the first delete
+    assert(SnapshotLog.readAt(spark, t, 2).count() == 6)
+  }
+
+  test("compact physically purges deletion vectors; restore resurrects them") {
+    val t = freshTable()
+    // many small files so compaction flags the partition
+    (1 to 5).foreach(i => SnapshotLog.append(
+      rows("a", (i * 10) to (i * 10 + 3)), t, Seq("part")))
+    SnapshotLog.deleteWhere(spark, t, $"id" % 2 === 0) // v6
+    val live = SnapshotLog.read(spark, t).as[(Long, String, String)]
+      .collect().map(_._1).sorted.toSeq
+    val (v7, parts) = SnapshotLog.compact(spark, t, maxFiles = 1)
+    assert(parts.nonEmpty, "fixture must trigger compaction")
+    val after = SnapshotLog.snapshotAt(spark, t, v7)
+    assert(after.dvs.isEmpty, "compaction drops the DV entries")
+    assert(SnapshotLog.read(spark, t).as[(Long, String, String)]
+      .collect().map(_._1).sorted.toSeq == live,
+      "compaction is data-identical through the DV filter")
+    // restore to the pre-compact MoR version brings its DV map back
+    val v8 = SnapshotLog.restore(spark, t, 6)
+    assert(SnapshotLog.snapshotAt(spark, t, v8).dvs.nonEmpty)
+    assert(SnapshotLog.read(spark, t).as[(Long, String, String)]
+      .collect().map(_._1).sorted.toSeq == live)
+    // and restoring to the pre-DELETE version drops the DVs entirely
+    val v9 = SnapshotLog.restore(spark, t, 5)
+    assert(SnapshotLog.snapshotAt(spark, t, v9).dvs.isEmpty)
+    assert(SnapshotLog.read(spark, t).count() == live.size * 2L,
+      "pre-delete restore serves the doomed rows again")
+  }
+
+  test("vacuum sweeps unreferenced DV files, keeps referenced ones") {
+    val t = freshTable()
+    SnapshotLog.overwrite(rows("a", 1 to 10), t, Seq("part"))
+    SnapshotLog.deleteWhere(spark, t, $"id" <= 3)          // v2: DV
+    SnapshotLog.compact(spark, t, maxFiles = 0)            // v3: purged
+    val fsys = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dvDir = new org.apache.hadoop.fs.Path(t, "_graft_dv")
+    assert(fsys.listStatus(dvDir).count(_.getPath.getName.endsWith(".parquet")) == 1)
+    // retain v2+v3: the DV is still referenced by v2 → kept
+    SnapshotLog.vacuum(spark, t, retainLast = 2, staleGraceMs = 0L)
+    assert(fsys.listStatus(dvDir).count(_.getPath.getName.endsWith(".parquet")) == 1)
+    assert(SnapshotLog.readAt(spark, t, 2).count() == 7, "v2 still DV-filtered")
+    // retain only v3 (DV-free): the DV file is swept
+    SnapshotLog.vacuum(spark, t, retainLast = 1, staleGraceMs = 0L)
+    assert(!fsys.exists(dvDir) ||
+      fsys.listStatus(dvDir).count(_.getPath.getName.endsWith(".parquet")) == 0)
+    assert(SnapshotLog.read(spark, t).count() == 7)
+  }
+
+  test("checkpoint promotion carries the DV map across expired chains") {
+    val t = freshTable()
+    SnapshotLog.overwrite(rows("a", 1 to 10), t, Seq("part"))
+    SnapshotLog.deleteWhere(spark, t, $"id" <= 2)  // v2 (delta doc)
+    SnapshotLog.append(rows("b", 11 to 12), t, Seq("part")) // v3
+    SnapshotLog.append(rows("b", 13 to 14), t, Seq("part")) // v4
+    // expire v1-v2; v3 (delta-encoded) must be promoted WITH the DVs
+    SnapshotLog.vacuum(spark, t, retainLast = 2, staleGraceMs = 0L)
+    assert(SnapshotLog.readAt(spark, t, 3).filter($"id" <= 2).count() == 0,
+      "promoted checkpoint keeps the merge-on-read delete")
+    assert(SnapshotLog.read(spark, t).count() == 12)
+  }
+
+  test("DV keys survive same-named files across partition dirs") {
+    val t = freshTable()
+    // repartition(2) makes each task hold BOTH partition values, so
+    // the write emits the SAME part-file name under part=a and part=b
+    // — a bare-name DV key would doom sibling-partition rows
+    SnapshotLog.overwrite(
+      rows("a", 1 to 10).union(rows("b", 11 to 20)).repartition(2),
+      t, Seq("part"))
+    val (_, n) = SnapshotLog.deleteWhere(spark, t, $"id" <= 5)
+    assert(n == 5)
+    val latest = SnapshotLog.read(spark, t)
+    assert(latest.filter($"part" === "b").count() == 10,
+      "sibling partition must be untouched")
+    assert(latest.count() == 15)
+  }
+
+  test("a compaction racing a deleteWhere on the same files aborts one side") {
+    val t = freshTable()
+    (1 to 3).foreach(i => SnapshotLog.append(
+      rows("a", (i * 10) to (i * 10 + 2)), t, Seq("part")))
+    val base = SnapshotLog.snapshotAt(spark, t, 3)
+    // simulate the race: a compaction lands AFTER deleteWhere planned
+    // against v3 — the delete's DV would reference swapped-out files
+    SnapshotLog.compact(spark, t, maxFiles = 1)
+    intercept[java.util.ConcurrentModificationException] {
+      // drive the commit path directly with the stale base
+      SnapshotLog.commit(spark, t, "delete_mor", base.schema, base.partCols,
+        Some(base), base.files.toSet.contains,
+        dvAdds = Map(base.files.head -> Seq("_graft_dv/x.parquet")))(identity)
+    }
+  }
 }
