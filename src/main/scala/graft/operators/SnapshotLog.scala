@@ -62,15 +62,18 @@ object SnapshotLog {
     * idempotent — each commit stores the FULL map, like the full file
     * listing, so the check is one head read. `dvs` maps a data file to
     * the DELETION-VECTOR files (under `_graft_dv/`) whose
-    * (file_name, row_index) rows are subtracted from it at read time
+    * (file_path, row_index) rows are subtracted from it at read time
     * — Delta's merge-on-read DV shape, as a parquet relation instead
-    * of a roaring bitmap.
+    * of a roaring bitmap. `constraints` are named CHECK expressions
+    * (Delta's `ADD CONSTRAINT`) every incoming row must satisfy —
+    * stored cumulatively per commit like `txns`.
     */
   case class Snapshot(version: Long, op: String, files: Seq[String],
       schema: StructType, partCols: Seq[String],
       txns: Map[String, Long] = Map.empty,
       stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
-      dvs: Map[String, Seq[String]] = Map.empty)
+      dvs: Map[String, Seq[String]] = Map.empty,
+      constraints: Map[String, String] = Map.empty)
 
   private val mapper = new ObjectMapper()
 
@@ -236,9 +239,12 @@ object SnapshotLog {
     val txns = Option(n.get("txns")).map { tn =>
       tn.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
     }.getOrElse(Map.empty[String, Long])
+    val cons = Option(n.get("constraints")).map { cn =>
+      cn.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty[String, String])
     Snapshot(n.get("version").asLong(), n.get("op").asText(), files.sorted,
       DataType.fromJson(n.get("schema").asText()).asInstanceOf[StructType],
-      parts, txns, stats, dvs)
+      parts, txns, stats, dvs, cons)
   }
 
   /** The DV row relation: `(file_path, row_index)` pairs doomed by
@@ -436,7 +442,8 @@ object SnapshotLog {
       conflictsWith: String => Boolean = _ => false,
       txn: Option[(String, Long)] = None,
       dvAdds: Map[String, Seq[String]] = Map.empty,
-      dvFull: Option[Map[String, Seq[String]]] = None)(
+      dvFull: Option[Map[String, Seq[String]]] = None,
+      constraintsUpdate: Option[Map[String, String]] = None)(
       rebase: Seq[String] => Seq[String]): Long = {
     val f = fs(spark, tableDir)
     f.mkdirs(logDir(tableDir))
@@ -472,6 +479,13 @@ object SnapshotLog {
       partCols.foreach(pc.add)
       val tx = root.putObject("txns")
       (headTxns ++ txn).foreach { case (k, v) => tx.put(k, v) }
+      // constraints are cumulative per commit (full map, like txns)
+      val consOut = constraintsUpdate.getOrElse(
+        headSnap.map(_.constraints).getOrElse(Map.empty))
+      if (consOut.nonEmpty) {
+        val cn = root.putObject("constraints")
+        consOut.toSeq.sortBy(_._1).foreach { case (k, v) => cn.put(k, v) }
+      }
       val listing = rebase(headFiles).sorted
       // deltas always (O(changed files)); the full listing only on
       // checkpoint versions — between them snapshotAt replays forward
@@ -556,6 +570,7 @@ object SnapshotLog {
     */
   def overwrite(df: DataFrame, tableDir: String,
       partCols: Seq[String] = Nil): Long = {
+    enforceConstraints(headSnapshot(df.sparkSession, tableDir), df, "overwrite")
     val added = stage(df, tableDir, partCols)
     commit(df.sparkSession, tableDir, "overwrite", readSchema(df, partCols),
       partCols)(_ => added)
@@ -571,10 +586,71 @@ object SnapshotLog {
   def append(df: DataFrame, tableDir: String,
       partCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
-    val schema = evolvedSchema(headSnapshot(spark, tableDir), df, partCols)
+    val head = headSnapshot(spark, tableDir)
+    enforceConstraints(head, df, "append")
+    val schema = evolvedSchema(head, df, partCols)
     val added = stage(df, tableDir, partCols)
     commit(spark, tableDir, "append", schema,
       partCols)(headFiles => headFiles ++ added)
+  }
+
+  /** Reject `df` if any row violates a table CHECK constraint. Delta's
+    * NULL semantics: a constraint fails only when its expression is
+    * literally FALSE — NULL passes (use an explicit IS NOT NULL
+    * constraint to forbid nulls). One executor pass over the incoming
+    * frame, short-circuited by `limit(1)`; runs BEFORE staging, so a
+    * rejected write leaves no orphan files for vacuum to sweep.
+    */
+  private def enforceConstraints(head: Option[Snapshot], df: DataFrame,
+      op: String): Unit = {
+    val cons = head.map(_.constraints).getOrElse(Map.empty)
+    if (cons.isEmpty) return
+    val applicable = cons.filter { case (_, c) =>
+      // a constraint over columns the frame doesn't carry (schema
+      // evolution in flight) cannot be FALSE for these rows
+      try { df.select(expr(c)); true }
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    }
+    applicable.foreach { case (name, c) =>
+      val bad = df.filter(expr(c) <=> lit(false)).limit(1).count()
+      require(bad == 0L,
+        s"$op rejected: CHECK constraint '$name' ($c) is violated by " +
+        "at least one incoming row")
+    }
+  }
+
+  /** Register a named CHECK constraint (Delta's `ALTER TABLE ADD
+    * CONSTRAINT`): validates the EXISTING table first (one scan), then
+    * commits a metadata-only version carrying the constraint; every
+    * subsequent write enforces it on incoming rows before staging.
+    * Conflict domain is everything — a racing append could land rows
+    * the new constraint never saw.
+    */
+  def addConstraint(spark: SparkSession, tableDir: String,
+      name: String, checkExpr: String): Long = {
+    val snap = snapshotAt(spark, tableDir,
+      latestVersion(spark, tableDir).getOrElse(
+        sys.error(s"$tableDir has no committed snapshot")))
+    val bad = readAt(spark, tableDir, snap.version)
+      .filter(expr(checkExpr) <=> lit(false)).limit(1).count()
+    require(bad == 0L,
+      s"cannot add CHECK constraint '$name' ($checkExpr): existing rows violate it")
+    commit(spark, tableDir, "add_constraint", snap.schema, snap.partCols,
+      Some(snap), _ => true,
+      constraintsUpdate = Some(snap.constraints + (name -> checkExpr)))(identity)
+  }
+
+  /** Drop a named CHECK constraint — metadata-only commit. */
+  def dropConstraint(spark: SparkSession, tableDir: String,
+      name: String): Long = {
+    val snap = snapshotAt(spark, tableDir,
+      latestVersion(spark, tableDir).getOrElse(
+        sys.error(s"$tableDir has no committed snapshot")))
+    require(snap.constraints.contains(name),
+      s"no CHECK constraint named '$name' on $tableDir")
+    commit(spark, tableDir, "drop_constraint", snap.schema, snap.partCols,
+      Some(snap), _ => false,
+      constraintsUpdate = Some(snap.constraints - name))(identity)
   }
 
   /** By-name schema union against the current head (no head → the
@@ -624,10 +700,11 @@ object SnapshotLog {
   def appendTxn(df: DataFrame, tableDir: String, partCols: Seq[String],
       appId: String, version: Long): Long = {
     val spark = df.sparkSession
-    val replayed = headSnapshot(spark, tableDir)
-      .filter(_.txns.get(appId).exists(_ >= version))
+    val head = headSnapshot(spark, tableDir)
+    val replayed = head.filter(_.txns.get(appId).exists(_ >= version))
     if (replayed.isDefined) return replayed.get.version
-    val schema = evolvedSchema(headSnapshot(spark, tableDir), df, partCols)
+    enforceConstraints(head, df, "appendTxn")
+    val schema = evolvedSchema(head, df, partCols)
     val added = stage(df, tableDir, partCols)
     commit(spark, tableDir, "append", schema, partCols,
       txn = Some(appId -> version))(headFiles => headFiles ++ added)
@@ -656,6 +733,7 @@ object SnapshotLog {
     require(partCols.nonEmpty, "overwritePartitions needs partition columns")
     val spark = df.sparkSession
     val base = headSnapshot(spark, tableDir)
+    enforceConstraints(base, df, "overwritePartitions")
     val schema = evolvedSchema(base, df, partCols)
     val added = stage(df, tableDir, partCols)
     val touched = added.map(partPrefix).toSet
@@ -835,6 +913,7 @@ object SnapshotLog {
     require(table.columns.sorted.sameElements(updates.columns.sorted),
       s"merge schema mismatch: table has ${table.columns.sorted.mkString(",")}" +
       s" vs updates ${updates.columns.sorted.mkString(",")}")
+    enforceConstraints(Some(snap), updates, "merge")
     val updKeys = updates.select(col(keyCol))
     val affected = table.join(updKeys, Seq(keyCol), "left_semi")
       .select(col(partCol))
@@ -927,7 +1006,8 @@ object SnapshotLog {
     }
     commit(spark, tableDir, "restore", target.schema, target.partCols,
       Some(head), _ => true,
-      dvFull = Some(target.dvs))(_ => target.files)
+      dvFull = Some(target.dvs),
+      constraintsUpdate = Some(target.constraints))(_ => target.files)
   }
 
   /** The commit history, newest first: one row per retained log entry

@@ -468,6 +468,58 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(latest.count() == 15)
   }
 
+  test("CHECK constraints gate writers; null passes; drop lifts the gate") {
+    val t = freshTable()
+    SnapshotLog.overwrite(rows("a", 1 to 10), t, Seq("part"))
+    // existing data must satisfy a new constraint
+    intercept[IllegalArgumentException] {
+      SnapshotLog.addConstraint(spark, t, "small_ids", "id <= 5")
+    }
+    SnapshotLog.addConstraint(spark, t, "positive_ids", "id > 0")
+    // violating append rejected BEFORE staging: version unchanged
+    val before = SnapshotLog.latestVersion(spark, t).get
+    intercept[IllegalArgumentException] {
+      SnapshotLog.append(rows("a", Seq(-1)), t, Seq("part"))
+    }
+    assert(SnapshotLog.latestVersion(spark, t).contains(before))
+    // valid append passes and the constraint survives the new version
+    SnapshotLog.append(rows("b", 11 to 12), t, Seq("part"))
+    assert(SnapshotLog.snapshotAt(spark, t,
+      SnapshotLog.latestVersion(spark, t).get)
+      .constraints == Map("positive_ids" -> "id > 0"))
+    // NULL is not FALSE: a null id passes (Delta's CHECK semantics)
+    // (schema order: data cols first, partition col last)
+    val readSchema = SnapshotLog.read(spark, t).schema
+    val nullRow = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(
+        readSchema.fieldNames.map {
+          case "id" => null
+          case "part" => "a"
+          case _ => "vn"
+        }.toIndexedSeq: _*)),
+      readSchema)
+    SnapshotLog.append(nullRow, t, Seq("part"))
+    // merge enforces on the updates frame too
+    intercept[IllegalArgumentException] {
+      SnapshotLog.merge(spark, t, rows("a", Seq(-7)), "id", "part")
+    }
+    // drop lifts the gate
+    SnapshotLog.dropConstraint(spark, t, "positive_ids")
+    SnapshotLog.append(rows("a", Seq(-1)), t, Seq("part"))
+    assert(SnapshotLog.read(spark, t).filter($"id" < 0).count() == 1)
+  }
+
+  test("restore rewinds the constraint set with the data") {
+    val t = freshTable()
+    SnapshotLog.overwrite(rows("a", 1 to 5), t, Seq("part"))   // v1
+    SnapshotLog.addConstraint(spark, t, "positive_ids", "id > 0") // v2
+    val v3 = SnapshotLog.restore(spark, t, 1)
+    assert(SnapshotLog.snapshotAt(spark, t, v3).constraints.isEmpty,
+      "restore to the pre-constraint version drops it")
+    SnapshotLog.append(rows("a", Seq(-1)), t, Seq("part")) // now allowed
+    assert(SnapshotLog.read(spark, t).count() == 6)
+  }
+
   test("a compaction racing a deleteWhere on the same files aborts one side") {
     val t = freshTable()
     (1 to 3).foreach(i => SnapshotLog.append(
