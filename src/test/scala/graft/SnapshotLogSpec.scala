@@ -520,6 +520,40 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(SnapshotLog.read(spark, t).count() == 6)
   }
 
+  test("SnapshotFeed tails the log at-least-once with a durable cursor") {
+    import graft.streaming.SnapshotFeed
+    val t = freshTable()
+    SnapshotLog.overwrite(rows("a", 1 to 5), t, Seq("part"))  // v1
+    SnapshotLog.append(rows("b", 6 to 8), t, Seq("part"))     // v2
+    var fed = Seq.empty[Long]
+    val n1 = SnapshotFeed.process(spark, t, "job1") { batch =>
+      fed = batch.select($"id").as[Long].collect().toSeq.sorted
+    }
+    assert(n1 == 2 && fed == (1L to 8L), "first run feeds the full history")
+    // caught up: handler not invoked
+    assert(SnapshotFeed.process(spark, t, "job1")(_ => fail()) == 0L)
+    // only the new commit's rows arrive next
+    SnapshotLog.append(rows("a", 9 to 10), t, Seq("part"))    // v3
+    SnapshotFeed.process(spark, t, "job1") { batch =>
+      fed = batch.select($"id").as[Long].collect().toSeq.sorted
+      assert(batch.select($"_commit_version").distinct().as[Long]
+        .collect().toSeq == Seq(3L))
+    }
+    assert(fed == Seq(9L, 10L))
+    // a crashed handler leaves the cursor put → the batch replays
+    SnapshotLog.append(rows("b", 11 to 11), t, Seq("part"))   // v4
+    intercept[RuntimeException] {
+      SnapshotFeed.process(spark, t, "job1")(_ => throw new RuntimeException("boom"))
+    }
+    assert(SnapshotFeed.lastSeen(spark, t, "job1") == 3L)
+    SnapshotFeed.process(spark, t, "job1") { batch =>
+      fed = batch.select($"id").as[Long].collect().toSeq.sorted
+    }
+    assert(fed == Seq(11L))
+    // independent consumers keep independent cursors
+    assert(SnapshotFeed.lastSeen(spark, t, "job2") == 0L)
+  }
+
   test("a compaction racing a deleteWhere on the same files aborts one side") {
     val t = freshTable()
     (1 to 3).foreach(i => SnapshotLog.append(
