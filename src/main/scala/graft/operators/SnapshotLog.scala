@@ -331,11 +331,15 @@ object SnapshotLog {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
         .withColumn("_commit_version", lit(toVersion))
     }
+    // thread each iteration's file set into the next: v's snapshot IS
+    // v+1's predecessor, so resolving it twice would double the
+    // driver-side log replay on the feed hot path
+    var prev = if (fromVersion == 0) Set.empty[String]
+      else snapshotAt(spark, tableDir, fromVersion).files.toSet
     val frames = (fromVersion + 1 to toVersion).map { v =>
       val snap = snapshotAt(spark, tableDir, v)
-      val prev = if (v == 1) Set.empty[String]
-        else snapshotAt(spark, tableDir, v - 1).files.toSet
       val adds = snap.files.filterNot(prev.contains)
+      prev = snap.files.toSet
       // added files read through the adding version's own DVs (none at
       // their birth version unless the commit both added and deleted);
       // a delete_mor commit adds NO files, so its row removals don't
@@ -443,7 +447,9 @@ object SnapshotLog {
       txn: Option[(String, Long)] = None,
       dvAdds: Map[String, Seq[String]] = Map.empty,
       dvFull: Option[Map[String, Seq[String]]] = None,
-      constraintsUpdate: Option[Map[String, String]] = None)(
+      constraintsUpdate: Option[Map[String, String] => Map[String, String]] = None,
+      unionSchemaWithHead: Boolean = true,
+      expectedConstraints: Option[Map[String, String]] = None)(
       rebase: Seq[String] => Seq[String]): Long = {
     val f = fs(spark, tableDir)
     f.mkdirs(logDir(tableDir))
@@ -469,19 +475,46 @@ object SnapshotLog {
             s"its file domain (base v${b.version}, head v${head.getOrElse(0L)}); " +
             "retry the operation against the new head")
       }
+      // a row-adding writer validated CHECK constraints against a
+      // specific set; if a racing addConstraint/dropConstraint changed
+      // that set (a metadata-only winner has an EMPTY file clash, so
+      // the domain check above cannot catch it), the validation is
+      // stale — abort so the caller re-reads and re-validates
+      expectedConstraints.foreach { exp =>
+        val headCons = headSnap.map(_.constraints).getOrElse(Map.empty)
+        if (headCons != exp)
+          throw new java.util.ConcurrentModificationException(
+            s"$op@$tableDir lost the commit race to a constraint change " +
+            s"(validated against ${exp.keySet}, head now has ${headCons.keySet}); " +
+            "retry the operation against the new head")
+      }
+      // rebasing replays FILE deltas against the new head; the schema
+      // must rebase too, or a race winner's evolved column would be
+      // silently dropped from the head schema while its files stay
+      // listed (data present but invisible). Union by name, caller's
+      // types checked against the head's — overwrite/restore replace
+      // the schema wholesale and opt out.
+      val outSchema =
+        if (unionSchemaWithHead)
+          headSnap.map(h => unionSchemas(h.schema, schema, partCols))
+            .getOrElse(schema)
+        else schema
       val next = head.getOrElse(0L) + 1
       val root = mapper.createObjectNode()
       root.put("version", next)
       root.put("op", op)
       root.put("at_ms", System.currentTimeMillis())
-      root.put("schema", schema.json)
+      root.put("schema", outSchema.json)
       val pc = root.putArray("part_cols")
       partCols.foreach(pc.add)
       val tx = root.putObject("txns")
       (headTxns ++ txn).foreach { case (k, v) => tx.put(k, v) }
-      // constraints are cumulative per commit (full map, like txns)
-      val consOut = constraintsUpdate.getOrElse(
-        headSnap.map(_.constraints).getOrElse(Map.empty))
+      // constraints are cumulative per commit (full map, like txns);
+      // the update is a FUNCTION of the head's map, re-applied on every
+      // race retry — a full-map replacement computed from a stale
+      // snapshot would silently erase a racing constraint commit
+      val headCons = headSnap.map(_.constraints).getOrElse(Map.empty)
+      val consOut = constraintsUpdate.map(_(headCons)).getOrElse(headCons)
       if (consOut.nonEmpty) {
         val cn = root.putObject("constraints")
         consOut.toSeq.sortBy(_._1).foreach { case (k, v) => cn.put(k, v) }
@@ -570,10 +603,15 @@ object SnapshotLog {
     */
   def overwrite(df: DataFrame, tableDir: String,
       partCols: Seq[String] = Nil): Long = {
-    enforceConstraints(headSnapshot(df.sparkSession, tableDir), df, "overwrite")
+    val head = headSnapshot(df.sparkSession, tableDir)
+    // strict resolution: overwrite replaces the schema, so a constraint
+    // that stops resolving here would be dead forever
+    enforceConstraints(head, df, "overwrite", requireResolvable = true)
     val added = stage(df, tableDir, partCols)
     commit(df.sparkSession, tableDir, "overwrite", readSchema(df, partCols),
-      partCols)(_ => added)
+      partCols, unionSchemaWithHead = false,
+      expectedConstraints = Some(head.map(_.constraints).getOrElse(Map.empty)))(
+      _ => added)
   }
 
   /** Append `df`: new files join the head listing. Concurrent appends
@@ -590,8 +628,9 @@ object SnapshotLog {
     enforceConstraints(head, df, "append")
     val schema = evolvedSchema(head, df, partCols)
     val added = stage(df, tableDir, partCols)
-    commit(spark, tableDir, "append", schema,
-      partCols)(headFiles => headFiles ++ added)
+    commit(spark, tableDir, "append", schema, partCols,
+      expectedConstraints = Some(head.map(_.constraints).getOrElse(Map.empty)))(
+      headFiles => headFiles ++ added)
   }
 
   /** Reject `df` if any row violates a table CHECK constraint. Delta's
@@ -602,20 +641,38 @@ object SnapshotLog {
     * rejected write leaves no orphan files for vacuum to sweep.
     */
   private def enforceConstraints(head: Option[Snapshot], df: DataFrame,
-      op: String): Unit = {
+      op: String, requireResolvable: Boolean = false): Unit = {
     val cons = head.map(_.constraints).getOrElse(Map.empty)
     if (cons.isEmpty) return
-    val applicable = cons.filter { case (_, c) =>
-      // a constraint over columns the frame doesn't carry (schema
-      // evolution in flight) cannot be FALSE for these rows
-      try { df.select(expr(c)); true }
+    def resolves(frame: DataFrame, c: String): Boolean =
+      try { frame.select(expr(c)); true }
       catch { case _: org.apache.spark.sql.AnalysisException => false }
-    }
-    applicable.foreach { case (name, c) =>
-      val bad = df.filter(expr(c) <=> lit(false)).limit(1).count()
-      require(bad == 0L,
-        s"$op rejected: CHECK constraint '$name' ($c) is violated by " +
-        "at least one incoming row")
+    cons.foreach { case (name, c) =>
+      if (resolves(df, c)) {
+        val bad = df.filter(expr(c) <=> lit(false)).limit(1).count()
+        require(bad == 0L,
+          s"$op rejected: CHECK constraint '$name' ($c) is violated by " +
+          "at least one incoming row")
+      } else {
+        // an overwrite REPLACES the schema: a constraint that no longer
+        // resolves would never be enforceable again — fail fast instead
+        // of silently carrying a dead CHECK forward (Delta does the same)
+        require(!requireResolvable,
+          s"$op rejected: CHECK constraint '$name' ($c) does not resolve " +
+          "against the replacement schema — drop the constraint first")
+        // append path: the frame may legitimately omit a constrained
+        // column the TABLE carries (schema evolution in flight) — those
+        // rows read back as NULL there, and NULL passes CHECK (Delta's
+        // null semantics). Anything else is a broken constraint.
+        val spark = df.sparkSession
+        val tableResolves = head.exists { h =>
+          resolves(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], h.schema), c)
+        }
+        require(tableResolves,
+          s"$op rejected: CHECK constraint '$name' ($c) resolves against " +
+          "neither the incoming frame nor the table schema — drop it first")
+      }
     }
   }
 
@@ -635,9 +692,12 @@ object SnapshotLog {
       .filter(expr(checkExpr) <=> lit(false)).limit(1).count()
     require(bad == 0L,
       s"cannot add CHECK constraint '$name' ($checkExpr): existing rows violate it")
+    // the update is a delta FUNCTION of the head's map: losing a race
+    // to another metadata-only constraint commit (empty file clash, so
+    // no abort) must not erase the winner's constraint
     commit(spark, tableDir, "add_constraint", snap.schema, snap.partCols,
       Some(snap), _ => true,
-      constraintsUpdate = Some(snap.constraints + (name -> checkExpr)))(identity)
+      constraintsUpdate = Some(_ + (name -> checkExpr)))(identity)
   }
 
   /** Drop a named CHECK constraint — metadata-only commit. */
@@ -650,7 +710,7 @@ object SnapshotLog {
       s"no CHECK constraint named '$name' on $tableDir")
     commit(spark, tableDir, "drop_constraint", snap.schema, snap.partCols,
       Some(snap), _ => false,
-      constraintsUpdate = Some(snap.constraints - name))(identity)
+      constraintsUpdate = Some(_ - name))(identity)
   }
 
   /** By-name schema union against the current head (no head → the
@@ -666,24 +726,38 @@ object SnapshotLog {
       case Some(head) =>
         require(head.partCols == partCols,
           s"partition columns $partCols do not match the table's ${head.partCols}")
-        val existing = head.schema.fields.map(f => f.name -> f).toMap
-        incoming.fields.foreach { f =>
-          existing.get(f.name).foreach { ef =>
-            require(ef.dataType == f.dataType,
-              s"schema evolution type conflict on '${f.name}': table has " +
-              s"${ef.dataType.simpleString}, frame has ${f.dataType.simpleString}")
-          }
-        }
-        val newFields = incoming.fields
-          .filterNot(f => existing.contains(f.name))
-          .map(_.copy(nullable = true)) // absent from every older file
-        if (newFields.isEmpty) head.schema
-        else {
-          // keep partition columns last (Spark appends them on read)
-          val parts = head.schema.fields.filter(f => partCols.contains(f.name))
-          val data = head.schema.fields.filterNot(f => partCols.contains(f.name))
-          StructType(data ++ newFields ++ parts)
-        }
+        unionSchemas(head.schema, incoming, partCols)
+    }
+  }
+
+  /** By-name union of the table schema and an incoming one: new fields
+    * land nullable (absent from every older file), same-name fields
+    * must agree on type. Name matching is CASE-INSENSITIVE — Spark
+    * resolves columns case-insensitively by default, so a
+    * case-variant duplicate ('payload' + 'Payload') would commit a
+    * head schema every subsequent read throws on.
+    */
+  private def unionSchemas(table: StructType, incoming: StructType,
+      partCols: Seq[String]): StructType = {
+    val existing = table.fields
+      .map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap
+    incoming.fields.foreach { f =>
+      existing.get(f.name.toLowerCase(java.util.Locale.ROOT)).foreach { ef =>
+        require(ef.dataType == f.dataType,
+          s"schema evolution type conflict on '${f.name}': table has " +
+          s"${ef.dataType.simpleString}, frame has ${f.dataType.simpleString}")
+      }
+    }
+    val newFields = incoming.fields
+      .filterNot(f =>
+        existing.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
+      .map(_.copy(nullable = true)) // absent from every older file
+    if (newFields.isEmpty) table
+    else {
+      // keep partition columns last (Spark appends them on read)
+      val parts = table.fields.filter(f => partCols.contains(f.name))
+      val data = table.fields.filterNot(f => partCols.contains(f.name))
+      StructType(data ++ newFields ++ parts)
     }
   }
 
@@ -707,7 +781,9 @@ object SnapshotLog {
     val schema = evolvedSchema(head, df, partCols)
     val added = stage(df, tableDir, partCols)
     commit(spark, tableDir, "append", schema, partCols,
-      txn = Some(appId -> version))(headFiles => headFiles ++ added)
+      txn = Some(appId -> version),
+      expectedConstraints = Some(head.map(_.constraints).getOrElse(Map.empty)))(
+      headFiles => headFiles ++ added)
   }
 
   /** The schema a READER of this table sees: partition columns read
@@ -739,7 +815,9 @@ object SnapshotLog {
     val touched = added.map(partPrefix).toSet
     commit(spark, tableDir, "overwrite_partitions",
       schema, partCols, base,
-      fp => touched.contains(partPrefix(fp))) { headFiles =>
+      fp => touched.contains(partPrefix(fp)),
+      expectedConstraints = Some(base.map(_.constraints).getOrElse(Map.empty))) {
+      headFiles =>
       headFiles.filterNot(fp => touched.contains(partPrefix(fp))) ++ added
     }
   }
@@ -928,7 +1006,8 @@ object SnapshotLog {
     val added = stage(rewritten, tableDir, snap.partCols)
     val doomed = affected.map(v => partLeaf(partCol, v)).toSet
     val v = commit(spark, tableDir, "merge", snap.schema, snap.partCols,
-      Some(snap), fp => inPartitions(fp, doomed)) { headFiles =>
+      Some(snap), fp => inPartitions(fp, doomed),
+      expectedConstraints = Some(snap.constraints)) { headFiles =>
         headFiles.filterNot(fp => inPartitions(fp, doomed)) ++ added
     }
     (v, affected)
@@ -1004,10 +1083,15 @@ object SnapshotLog {
       require(f.exists(new Path(tableDir, rel)),
         s"cannot restore v$version: $rel was vacuumed")
     }
+    // expectedConstraints closes the metadata-only race the file-domain
+    // check can't see: a constraint commit racing this restore must
+    // abort it, not be silently replaced by the target's set
     commit(spark, tableDir, "restore", target.schema, target.partCols,
       Some(head), _ => true,
       dvFull = Some(target.dvs),
-      constraintsUpdate = Some(target.constraints))(_ => target.files)
+      constraintsUpdate = Some(_ => target.constraints),
+      unionSchemaWithHead = false,
+      expectedConstraints = Some(head.constraints))(_ => target.files)
   }
 
   /** The commit history, newest first: one row per retained log entry
@@ -1089,8 +1173,11 @@ object SnapshotLog {
     val f = fs(spark, tableDir)
     val all = versions(spark, tableDir)
     val retained = all.takeRight(math.max(retainLast, 1))
-    val keep = retained
-      .flatMap(v => snapshotAt(spark, tableDir, v).files).toSet
+    // one reconstruction per retained version serves both keep sets
+    // (data files and DVs) — this is the maintenance path's only
+    // driver-side log replay
+    val retainedSnaps = retained.map(v => snapshotAt(spark, tableDir, v))
+    val keep = retainedSnaps.flatMap(_.files).toSet
     val cutoffMs = System.currentTimeMillis() - math.max(staleGraceMs, 0L)
     val dropped = mutable.ArrayBuffer.empty[String]
     def walk(p: Path, rel: String): Unit =
@@ -1109,8 +1196,7 @@ object SnapshotLog {
     // walk skips: sweep them against the retained snapshots' DV
     // references, on the same grace clock (an unreferenced young DV
     // may belong to an in-flight delete_mor commit)
-    val keepDvs = retained
-      .flatMap(v => snapshotAt(spark, tableDir, v).dvs.values.flatten).toSet
+    val keepDvs = retainedSnaps.flatMap(_.dvs.values.flatten).toSet
     val dvd = dvDir(tableDir)
     if (f.exists(dvd)) f.listStatus(dvd).foreach { st =>
       val rel = s"_graft_dv/${st.getPath.getName}"
@@ -1129,7 +1215,7 @@ object SnapshotLog {
     if (expired.nonEmpty) retained.headOption.foreach { v =>
       val doc = readDoc(f, tableDir, v)
       if (!doc.has("files")) {
-        val snap = snapshotAt(spark, tableDir, v) // pre-deletion chain
+        val snap = retainedSnaps.head // reconstructed pre-deletion above
         val root = doc.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
         val arr = root.putArray("files")
         snap.files.foreach(arr.add)

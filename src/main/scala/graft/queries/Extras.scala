@@ -2021,7 +2021,11 @@ object Extras {
         coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
         coalesce($"sum_freq", lit(0L)).as("sum_freq"),
         ($"sum_freq".cast(DoubleType) / $"n_bigrams").as("avg_freq"),
-        when($"sum_freq" * $"t_n" > $"n_bigrams" * $"t_s", "familiar")
+        // the cross-multiplication squares already-quadratic totals:
+        // decimal(38,0) keeps the comparison exact where BIGINT×BIGINT
+        // overflows a few billion bigrams in (DuckDB twin: HUGEINT)
+        when($"sum_freq".cast(DecimalType(38, 0)) * $"t_n" >
+            $"n_bigrams".cast(DecimalType(38, 0)) * $"t_s", "familiar")
           .when($"n_bigrams" > 0L, "unfamiliar")
           .otherwise("empty").as("bucket"))
       .orderBy($"doc_id")

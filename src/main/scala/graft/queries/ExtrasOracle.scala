@@ -616,7 +616,8 @@ object ExtrasOracle {
         |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
         |  coalesce(sum_freq, 0) AS sum_freq,
         |  CAST(sum_freq AS DOUBLE) / n_bigrams AS avg_freq,
-        |  CASE WHEN sum_freq * t_n > n_bigrams * t_s THEN 'familiar'
+        |  CASE WHEN sum_freq::HUGEINT * t_n > n_bigrams::HUGEINT * t_s
+        |       THEN 'familiar'
         |       WHEN n_bigrams > 0 THEN 'unfamiliar'
         |       ELSE 'empty' END AS bucket
         |FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id, tot

@@ -33,9 +33,14 @@ import graft.operators.SnapshotLog
   */
 object SnapshotSink {
 
-  def start(events: DataFrame, tableDir: String,
-      partCols: Seq[String] = Nil, checkpoint: Option[String] = None,
-      appId: String = "snapshot-sink"): StreamingQuery =
+  /** `appId` is REQUIRED and must be unique per logical stream writing
+    * this table (and stable across that stream's restarts): two
+    * streams sharing one id would judge each other's batchIds as
+    * replays and silently drop data.
+    */
+  def start(events: DataFrame, tableDir: String, appId: String,
+      partCols: Seq[String] = Nil,
+      checkpoint: Option[String] = None): StreamingQuery =
     events.writeStream.outputMode("append")
       .option("checkpointLocation",
         checkpoint.getOrElse(s"$tableDir/_checkpoints/$appId"))

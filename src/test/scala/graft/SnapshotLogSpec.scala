@@ -569,4 +569,90 @@ class SnapshotLogSpec extends AnyFunSuite {
         dvAdds = Map(base.files.head -> Seq("_graft_dv/x.parquet")))(identity)
     }
   }
+
+  test("a rebasing loser keeps the race winner's evolved schema") {
+    val t = freshTable()
+    SnapshotLog.overwrite(rows("a", 1 to 2), t, Seq("part"))       // v1
+    val stale = SnapshotLog.snapshotAt(spark, t, 1)
+    // winner: evolves the schema with a new column AFTER the loser
+    // planned against v1
+    SnapshotLog.append(rows("b", 3 to 4).withColumn("extra", lit(7L)),
+      t, Seq("part"))                                              // v2
+    // loser: disjoint-domain commit carrying v1's schema — the rebase
+    // must union with the head's, not clobber 'extra' out of it
+    val v = SnapshotLog.commit(spark, t, "append", stale.schema,
+      stale.partCols, Some(stale), _ => false)(identity)           // v3
+    val head = SnapshotLog.snapshotAt(spark, t, v)
+    assert(head.schema.fieldNames.contains("extra"),
+      "winner's evolved column survived the loser's rebase")
+    assert(SnapshotLog.read(spark, t)
+      .filter($"extra" === 7L).count() == 2, "and its data is visible")
+  }
+
+  test("schema evolution matches column names case-insensitively") {
+    val t = freshTable()
+    SnapshotLog.overwrite(rows("a", 1 to 2), t, Seq("part"))
+    // same column, different case: NOT a new field (Spark resolves
+    // case-insensitively — a dup would make every later read throw)
+    SnapshotLog.append(
+      rows("a", 3 to 4).withColumnRenamed("payload", "Payload"),
+      t, Seq("part"))
+    val head = SnapshotLog.read(spark, t)
+    assert(head.schema.fieldNames.count(_.equalsIgnoreCase("payload")) == 1)
+    assert(head.count() == 4, "case-variant frame still readable")
+    // …while a case-variant TYPE conflict still fails fast
+    intercept[IllegalArgumentException] {
+      SnapshotLog.append(
+        Seq((5L, "a", 1L)).toDF("id", "part", "PAYLOAD"), t, Seq("part"))
+    }
+  }
+
+  test("racing metadata-only constraint commits both survive") {
+    val t = freshTable()
+    SnapshotLog.overwrite(rows("a", 1 to 3), t, Seq("part"))       // v1
+    val stale = SnapshotLog.snapshotAt(spark, t, 1)
+    SnapshotLog.addConstraint(spark, t, "c1", "id > 0")            // v2
+    // loser planned against v1 (empty file clash ⇒ no domain abort):
+    // its delta function must apply to the HEAD's map, keeping c1
+    val v = SnapshotLog.commit(spark, t, "add_constraint", stale.schema,
+      stale.partCols, Some(stale), _ => true,
+      constraintsUpdate = Some(_ + ("c2" -> "id < 100")))(identity) // v3
+    assert(SnapshotLog.snapshotAt(spark, t, v).constraints ==
+      Map("c1" -> "id > 0", "c2" -> "id < 100"))
+  }
+
+  test("a writer racing a constraint change aborts instead of bypassing it") {
+    val t = freshTable()
+    SnapshotLog.overwrite(rows("a", 1 to 3), t, Seq("part"))       // v1
+    val stale = SnapshotLog.snapshotAt(spark, t, 1)
+    SnapshotLog.addConstraint(spark, t, "positive_ids", "id > 0")  // v2
+    // writer validated against v1's EMPTY constraint set; the winner is
+    // metadata-only (empty file clash), so only the expected-constraints
+    // check can force the re-validation
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotLog.commit(spark, t, "append", stale.schema, stale.partCols,
+        expectedConstraints = Some(Map.empty))(identity)
+    }
+    // the high-level retry re-reads the head and enforces the new gate
+    intercept[IllegalArgumentException] {
+      SnapshotLog.append(rows("a", Seq(-1)), t, Seq("part"))
+    }
+  }
+
+  test("overwrite fails fast when a CHECK constraint stops resolving") {
+    val t = freshTable()
+    SnapshotLog.overwrite(rows("a", 1 to 3), t, Seq("part"))
+    SnapshotLog.addConstraint(spark, t, "positive_ids", "id > 0")
+    // replacement schema drops 'id': the constraint would be dead
+    // forever — reject, pointing at dropConstraint
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotLog.overwrite(
+        Seq(("a", "x")).toDF("part", "payload"), t, Seq("part"))
+    }
+    assert(ex.getMessage.contains("drop the constraint"))
+    // an APPEND omitting the column is fine: rows read back as NULL
+    // there, and NULL passes CHECK (Delta semantics)
+    SnapshotLog.append(Seq(("a", "y")).toDF("part", "payload"), t, Seq("part"))
+    assert(SnapshotLog.read(spark, t).filter($"id".isNull).count() == 1)
+  }
 }

@@ -263,7 +263,7 @@ class StreamingSpec extends AnyFunSuite {
     def ev(id: Long, day: Int) = Events.Event(
       id, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"),
       1L, "view", 1.0, "{}")
-    val q = graft.streaming.SnapshotSink.start(input.toDS().toDF(), tbl)
+    val q = graft.streaming.SnapshotSink.start(input.toDS().toDF(), tbl, appId = "events-sink")
     try {
       input.addData(ev(1, 1), ev(2, 1))
       q.processAllAvailable()
@@ -276,7 +276,7 @@ class StreamingSpec extends AnyFunSuite {
     // even with different data attached (the checkpoint contract says
     // same id ⇒ same batch, so the txn map may discard it)
     val replay = Seq(ev(9, 3)).toDF()
-    assert(SnapshotLog.appendTxn(replay, tbl, Nil, "snapshot-sink", 0L) == head)
+    assert(SnapshotLog.appendTxn(replay, tbl, Nil, "events-sink", 0L) == head)
     assert(SnapshotLog.read(spark, tbl).count() == 3)
     // the next batch id commits one new version
     assert(SnapshotLog.appendTxn(replay, tbl, Nil, "snapshot-sink", 2L) == head + 1)
