@@ -263,6 +263,14 @@ object PlanAudit {
       "corpus totals broadcast back (1-row frame)" ->
         (_.contains("BroadcastExchange")),
       "no window anywhere" -> (p => !p.contains("WindowExec")))
+    audit("x59_incremental_mv")(
+      "MV digest is a plain scan of the tiny MV table (no join back " +
+        "to the base)" ->
+        (p => !p.contains("Join") && !p.contains("CartesianProduct")))
+    audit("x60_bpe_train")(
+      "per-round outputs are a local table (all heavy work done in " +
+        "the loop's own aggregates)" ->
+        (p => p.contains("LocalTableScan") || p.contains("Scan ExistingRDD")))
 
     println(s"\nPlan audit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()

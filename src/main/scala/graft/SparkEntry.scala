@@ -115,7 +115,9 @@ object SparkEntry {
     "x55_change_feed" -> (X.x55ChangeFeed _),
     "x56_segment_dedup" -> (X.x56SegmentDedup _),
     "x57_lm_quality" -> (X.x57LmQuality _),
-    "x58_deletion_vectors" -> (X.x58DeletionVectors _)
+    "x58_deletion_vectors" -> (X.x58DeletionVectors _),
+    "x59_incremental_mv" -> (X.x59IncrementalMv _),
+    "x60_bpe_train" -> (X.x60BpeTrain _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

@@ -2183,6 +2183,125 @@ object Extras {
     }.reduce(_ unionAll _).orderBy($"version")
   }
 
+  /** x59 — incremental materialized-view maintenance off the change
+    * feed: a per-status digest MV over an append-only snapshot table,
+    * refreshed by a [[graft.streaming.SnapshotFeed]] consumer that
+    * reads ONLY the files added since its durable cursor — the base
+    * table is never re-scanned after its first refresh. The MV stores
+    * EXACT partials (BIGINT counts, DECIMAL(28,10) price sums), so
+    * combining a delta with the standing MV is associative and the
+    * final digest hash-matches a from-scratch recompute — which is
+    * exactly what the oracle does, so a feed that drops a commit,
+    * double-feeds one, or a combine that loses precision all
+    * hash-mismatch. Contract: the MV pattern covers append-only
+    * feeds ([[graft.operators.SnapshotLog.changesBetween]] surfaces
+    * added files only); rewrite commits need a from-snapshot rebuild.
+    *
+    * Scale shape: each refresh aggregates only the NEW rows (one
+    * map-side-combined hash aggregate), unions with the KB-scale MV,
+    * and re-aggregates; the MV write is a KB-scale snapshot commit.
+    * At 100 TB the per-refresh cost is bounded by the delta size, not
+    * the table size — the whole point of maintaining the view off the
+    * log instead of re-scanning.
+    */
+  def x59IncrementalMv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.SnapshotLog
+    import graft.streaming.SnapshotFeed
+    val tbl = scratchDir(s, "x59", dir)
+    val mv = scratchDir(s, "x59mv", dir) // wiped on entry, like tbl
+    val dec = DecimalType(28, 10)
+    val orders = t(s, dir, "orders")
+    val parts = Seq("o_orderstatus")
+    def refresh(): Unit = SnapshotFeed.process(s, tbl, "mv_orders") { batch =>
+      val delta = batch.groupBy($"o_orderstatus").agg(
+        cnt.as("n_rows"),
+        sum($"o_totalprice".cast(dec)).cast(dec).as("price_dec"),
+        min($"o_orderkey").as("min_key"),
+        max($"o_orderkey").as("max_key"))
+      val next = (if (SnapshotLog.latestVersion(s, mv).isDefined)
+          SnapshotLog.read(s, mv).unionByName(delta)
+        else delta)
+        .groupBy($"o_orderstatus").agg(
+          sum($"n_rows").as("n_rows"),
+          sum($"price_dec").cast(dec).as("price_dec"),
+          min($"min_key").as("min_key"),
+          max($"max_key").as("max_key"))
+      SnapshotLog.overwrite(next, mv)
+    }
+    SnapshotLog.overwrite(orders.filter($"o_orderkey" % 3 === 0), tbl, parts)
+    refresh() // consumes v1
+    SnapshotLog.append(orders.filter($"o_orderkey" % 3 === 1), tbl, parts)
+    SnapshotLog.append(orders.filter($"o_orderkey" % 3 === 2), tbl, parts)
+    refresh() // consumes v2 + v3 in one poll
+    SnapshotLog.read(s, mv)
+      .select($"o_orderstatus", $"n_rows",
+        $"price_dec".cast(DoubleType).as("total_price"),
+        $"min_key", $"max_key")
+      .orderBy($"o_orderstatus")
+  }
+
+  /** x60 — BPE merge-training loop (the iterative half of the
+    * tokenizer-training shape whose statistics x23 mines): three
+    * rounds of (corpus-wide adjacent-pair count → argmax pair →
+    * merge applied everywhere), the Sennrich/GPT-2 training recipe
+    * at word granularity. Reports, per round, the merged pair, its
+    * count, and the corpus token total after the merge.
+    *
+    * Merge application is pure string algebra so the DuckDB twin is
+    * exact: the corpus is re-spaced with DOUBLE separators
+    * (`a␣␣b␣␣c`, single-space padded ends), giving every adjacent
+    * pair its own boundary spaces, so one left-to-right literal
+    * `replace(" a  b ", " a_b ")` merges exactly the occurrences a
+    * greedy left-to-right BPE pass would (identical semantics in
+    * Spark and DuckDB, including the `a a a` → `[a_a, a]` overlap
+    * case), then separators re-normalize.
+    *
+    * Scale shape: pair counting is the x23/x18 row-local
+    * index-transform (no positional self-join) into one
+    * map-side-combined aggregate; the argmax is ONE collected row per
+    * round (scheduler-sized, like an AQE stats read); the merge is a
+    * row-local map over the corpus. Driver work per round is O(1) —
+    * the loop is the driver-side iterative-algorithm pattern (Lloyd's
+    * k-means, PageRank) with broadcast state of one pair. The per-
+    * round corpus re-derivation is row-local lineage; a production
+    * run at 100 TB would checkpoint the corpus every few rounds.
+    */
+  def x60BpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    var cur = t(s, dir, "documents").select($"doc_id", $"text")
+    val picks = Seq.newBuilder[(Long, String, Long, Long)]
+    (1L to 3L).foreach { round =>
+      val top = cur
+        .select(TextFns.tokenize($"text").as("toks"))
+        .filter(size($"toks") >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(toks) - 1)," +
+            " i -> concat_ws(' ', toks[i-1], toks[i]))")).as("pair"))
+        .groupBy($"pair").agg(cnt.as("n"))
+        .orderBy($"n".desc, $"pair".asc)
+        .limit(1).collect()(0) // the argmax: ONE row, scheduler-sized
+      val pair = top.getString(0)
+      val n = top.getLong(1)
+      // documents are single-space tokenized by construction, so the
+      // pair is exactly two space-free symbols
+      val Array(a, b) = pair.split(' ')
+      cur = cur.withColumn("text",
+        trim(replace(
+          replace(
+            concat(lit(" "),
+              expr("array_join(split(text, ' '), '  ')"), lit(" ")),
+            lit(s" $a  $b "), lit(s" ${a}_$b ")),
+          lit("  "), lit(" "))))
+      val tokensAfter = cur
+        .select(sum(size(TextFns.tokenize($"text"))).cast(LongType))
+        .as[Long].head()
+      picks += ((round, pair, n, tokensAfter))
+    }
+    picks.result().toDF("round", "pair", "n", "corpus_tokens_after")
+      .orderBy($"round")
+  }
+
   /** q26 Aggregator twin — typed [[VectorFns.CentroidAgg]] centroid
     * (float-sum order differs by design → rows-only check; the
     * decimal-exact Q26 is the hash-checked form).

@@ -149,6 +149,51 @@ object ExtrasOracle {
          |FROM dig ORDER BY version""".stripMargin
     },
 
+    // x59: the incrementally-maintained MV must equal a from-scratch
+    // recompute over the whole table — the feed dropping or
+    // double-feeding a commit, or a lossy partial combine, all
+    // hash-mismatch here.
+    "x59_incremental_mv" -> {
+      val dig = "CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(28,10)))" +
+        " AS VARCHAR) AS DOUBLE) AS total_price, " +
+        "MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key"
+      s"""SELECT o_orderstatus, $dig
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    },
+
+    // x60: three unrolled BPE training rounds — pair counts, argmax
+    // (ties broken lexicographically), double-space merge application
+    // (identical left-to-right replace semantics in both engines).
+    "x60_bpe_train" -> {
+      def cnts(i: Int, src: String) =
+        s"c$i AS (SELECT concat_ws(' ', toks[j], toks[j+1]) AS pair, " +
+        "CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS j " +
+        s"FROM (SELECT string_split(text, ' ') AS toks FROM $src) " +
+        "WHERE len(toks) >= 2) GROUP BY 1)"
+      def pick(i: Int) =
+        s"p$i AS (SELECT pair, n FROM c$i ORDER BY n DESC, pair LIMIT 1)"
+      def merge(i: Int, src: String) =
+        s"d$i AS (SELECT doc_id, trim(replace(replace(" +
+        "' ' || array_to_string(string_split(text, ' '), '  ') || ' ', " +
+        s"' ' || split_part((SELECT pair FROM p$i), ' ', 1) || '  ' || " +
+        s"split_part((SELECT pair FROM p$i), ' ', 2) || ' ', " +
+        s"' ' || split_part((SELECT pair FROM p$i), ' ', 1) || '_' || " +
+        s"split_part((SELECT pair FROM p$i), ' ', 2) || ' '), " +
+        s"'  ', ' ')) AS text FROM $src)"
+      def toksAfter(i: Int) =
+        s"t$i AS (SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT)" +
+        s" AS nt FROM d$i)"
+      def row(i: Int) =
+        s"SELECT CAST($i AS BIGINT) AS round, (SELECT pair FROM p$i) AS pair," +
+        s" (SELECT n FROM p$i) AS n, (SELECT nt FROM t$i) AS corpus_tokens_after"
+      "WITH d0 AS (SELECT doc_id, text FROM documents), " +
+        (1 to 3).map(i => Seq(cnts(i, s"d${i - 1}"), pick(i),
+          merge(i, s"d${i - 1}"), toksAfter(i)).mkString(", ")).mkString(", ") +
+        " " + (1 to 3).map(row).mkString(" UNION ALL ") + " ORDER BY round"
+    },
+
     "x31_seq_pack" -> {
       val b = Extras.SeqPackBudget
       s"""WITH d AS (SELECT doc_id,

@@ -493,6 +493,66 @@ class QueriesSpec extends AnyFunSuite {
     assert(hi > 0 && lo > 0, "corpus-mean split must discriminate")
   }
 
+  test("x59 MV is maintained incrementally: 2 refreshes, cursor at head") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SnapshotLog
+    import graft.streaming.SnapshotFeed
+    val out = Extras.x59IncrementalMv(spark, sf).collect()
+    // semantic equality with a direct recompute (the oracle's check,
+    // repeated here so `sbt test` alone catches a combine regression)
+    val direct = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("mn"),
+        max(col("o_orderkey")).as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(out.map(_.getString(0)).toSet == direct.keySet)
+    out.foreach { r =>
+      val (n, mn, mx) = direct(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(3) == mn && r.getLong(4) == mx)
+    }
+    // incrementality: the scratch dirs are deterministic per input dir
+    def scratch(name: String) = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_${name}_" + graft.Hashing.md5hex(sf).take(6)).getAbsolutePath
+    // two refreshes ⇒ exactly two MV overwrite commits (the second one
+    // folded BOTH base commits v2+v3 into one poll)...
+    assert(SnapshotLog.versions(spark, scratch("x59mv")) == Seq(1L, 2L))
+    // ...and the durable cursor sits at the base table's head
+    assert(SnapshotFeed.lastSeen(spark, scratch("x59"), "mv_orders") == 3L)
+  }
+
+  test("x60 equals a naive greedy left-to-right BPE trainer") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    var corpus = docs.map(_.split(" ").toVector)
+    val expect = (1 to 3).map { round =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      corpus.foreach { toks =>
+        if (toks.size >= 2) toks.sliding(2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + 1
+        }
+      }
+      val ((a, b), n) = counts.toSeq
+        .minBy { case ((x, y), c) => (-c, s"$x $y") }
+      corpus = corpus.map { toks =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < toks.size) {
+          if (i + 1 < toks.size && toks(i) == a && toks(i + 1) == b) {
+            out += s"${a}_$b"; i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        out.result()
+      }
+      (round.toLong, s"$a $b", n, corpus.map(_.size.toLong).sum)
+    }
+    val got = Extras.x60BpeTrain(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expect)
+  }
+
   test("entry() returns non-empty flagship result") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
