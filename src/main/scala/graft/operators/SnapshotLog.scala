@@ -1109,6 +1109,54 @@ object SnapshotLog {
     }.toDF("version", "op", "at_ms", "n_added", "n_removed", "is_checkpoint")
   }
 
+  /** Partition prefixes that received new files in `(sinceVersion,
+    * head]` — pure LOG metadata (each commit's `adds` delta; no
+    * snapshot reconstruction, no listing), KB-scale however big the
+    * table. This is the planning half of incremental maintenance:
+    * `optimizeZOrder(..., onlyPartitions = partitionsChangedSince(...))`
+    * re-clusters exactly where new data landed.
+    */
+  def partitionsChangedSince(spark: SparkSession, tableDir: String,
+      sinceVersion: Long): Set[String] = {
+    val f = fs(spark, tableDir)
+    versions(spark, tableDir).filter(_ > sinceVersion).flatMap { v =>
+      strArr(readDoc(f, tableDir, v), "adds").map(partPrefix)
+    }.toSet
+  }
+
+  /** One-row table summary (DESCRIBE DETAIL): head version and op,
+    * file/byte/partition counts, DV and constraint counts, retained
+    * log span. Driver-side metadata only — one log read plus one
+    * `listStatus` per partition directory (the compaction planner's
+    * cost class), no data scanned.
+    */
+  def detail(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    val head = latestVersion(spark, tableDir).getOrElse(
+      sys.error(s"$tableDir has no committed snapshot"))
+    val snap = snapshotAt(spark, tableDir, head)
+    val f = fs(spark, tableDir)
+    val byPart = snap.files.groupBy(partPrefix)
+    val bytes = byPart.iterator.map { case (part, files) =>
+      val dirPath = if (part.isEmpty) new Path(tableDir)
+        else new Path(tableDir, part)
+      val lens = f.listStatus(dirPath).iterator
+        .map(st => st.getPath.getName -> st.getLen).toMap
+      files.map { rel =>
+        val name = rel.substring(rel.lastIndexOf('/') + 1)
+        lens.getOrElse(name, f.getFileStatus(new Path(tableDir, rel)).getLen)
+      }.sum
+    }.sum
+    val vs = versions(spark, tableDir)
+    Seq((head, snap.op, snap.files.size.toLong, bytes,
+      byPart.size.toLong, snap.partCols.mkString(","),
+      snap.dvs.values.flatten.toSeq.distinct.size.toLong,
+      snap.constraints.size.toLong, vs.head, vs.size.toLong))
+      .toDF("version", "op", "num_files", "size_bytes", "num_partitions",
+        "part_cols", "num_dv_files", "num_constraints",
+        "oldest_retained_version", "num_retained_versions")
+  }
+
   /** Z-order OPTIMIZE routed through the log: rewrite every partition
     * of the head along the Morton curve of `cols`
     * ([[ZOrder.layout]]) into `ceil(bytes/targetFileBytes)` files and
@@ -1119,17 +1167,27 @@ object SnapshotLog {
     * resurrect purged rows. The stats pass behind the Morton key runs
     * per partition, keeping each partition's curve tight over its own
     * value ranges. Returns (newVersion, rewrittenPartitions).
+    *
+    * `onlyPartitions` scopes the rewrite to the partition prefixes it
+    * accepts — the INCREMENTAL OPTIMIZE shape: at 100 TB nobody
+    * re-clusters the whole table nightly; pair with
+    * [[partitionsChangedSince]] to rewrite exactly the partitions new
+    * data landed in since the last optimize. Unselected partitions
+    * keep their files (and are outside the conflict domain, so
+    * concurrent writers there commute).
     */
   def optimizeZOrder(spark: SparkSession, tableDir: String,
-      cols: Seq[String], targetFileBytes: Long = 128L << 20): (Long, Seq[String]) = {
+      cols: Seq[String], targetFileBytes: Long = 128L << 20,
+      onlyPartitions: String => Boolean = _ => true): (Long, Seq[String]) = {
     val head = latestVersion(spark, tableDir).getOrElse(
       sys.error(s"$tableDir has no committed snapshot"))
     val snap = snapshotAt(spark, tableDir, head)
     require(cols.forall(c => !snap.partCols.contains(c)),
       s"z-order columns $cols must not overlap partition columns ${snap.partCols}")
     val f = fs(spark, tableDir)
-    val plans = snap.files.groupBy(partPrefix).toSeq.sortBy(_._1).map {
-      case (part, files) =>
+    val plans = snap.files.groupBy(partPrefix).toSeq.sortBy(_._1)
+      .filter { case (part, _) => onlyPartitions(part) }
+      .map { case (part, files) =>
         val dirPath = if (part.isEmpty) new Path(tableDir)
           else new Path(tableDir, part)
         val lens = f.listStatus(dirPath).iterator
@@ -1141,7 +1199,8 @@ object SnapshotLog {
         (part, files, math.max(1L,
           (bytes + targetFileBytes - 1) / targetFileBytes).toInt)
     }
-    val replaced = snap.files.toSet
+    if (plans.isEmpty) return (head, Nil)
+    val replaced = plans.flatMap(_._2).toSet
     val added = plans.flatMap { case (_, files, nOut) =>
       // DV-aware read: the clustered rewrite physically purges
       // merge-on-read deletes along the way

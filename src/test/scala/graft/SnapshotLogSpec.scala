@@ -570,6 +570,51 @@ class SnapshotLogSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental OPTIMIZE rewrites only partitions changed since a version") {
+    val t = freshTable()
+    def xy(part: String, ids: Seq[Int]) =
+      ids.map(i => (i.toLong, (i * 37 % 100).toLong, part)).toDF("x", "y", "part")
+    SnapshotLog.overwrite(
+      xy("a", 1 to 40) union xy("b", 100 to 140), t, Seq("part"))      // v1
+    SnapshotLog.optimizeZOrder(spark, t, Seq("x", "y"))                // v2
+    val optimized = SnapshotLog.latestVersion(spark, t).get
+    SnapshotLog.append(xy("b", 200 to 220), t, Seq("part"))            // v3
+    // planning is pure log metadata: only part=b saw adds since v2
+    val changed = SnapshotLog.partitionsChangedSince(spark, t, optimized)
+    assert(changed == Set("part=b"))
+    val before = SnapshotLog.snapshotAt(spark, t,
+      SnapshotLog.latestVersion(spark, t).get)
+    val aFiles = before.files.filter(_.startsWith("part=a/"))
+    val (_, rewritten) = SnapshotLog.optimizeZOrder(spark, t, Seq("x", "y"),
+      onlyPartitions = changed.contains)                               // v4
+    assert(rewritten == Seq("part=b"))
+    val after = SnapshotLog.snapshotAt(spark, t,
+      SnapshotLog.latestVersion(spark, t).get)
+    assert(after.files.filter(_.startsWith("part=a/")) == aFiles,
+      "untouched partition keeps its exact files")
+    assert(SnapshotLog.read(spark, t).count() == 40 + 41 + 21,
+      "data identical after the scoped rewrite")
+    // a filter selecting nothing is a no-op, not an empty commit
+    val head = SnapshotLog.latestVersion(spark, t).get
+    assert(SnapshotLog.optimizeZOrder(spark, t, Seq("x", "y"),
+      onlyPartitions = _ => false) == ((head, Nil)))
+  }
+
+  test("detail() summarizes the head from metadata alone") {
+    val t = freshTable()
+    SnapshotLog.overwrite(
+      rows("a", 1 to 5) union rows("b", 10 to 12), t, Seq("part"))
+    SnapshotLog.addConstraint(spark, t, "positive_ids", "id > 0")
+    val d = SnapshotLog.detail(spark, t).collect()(0)
+    val snap = SnapshotLog.snapshotAt(spark, t, 2)
+    assert(d.getLong(0) == 2L && d.getString(1) == "add_constraint")
+    assert(d.getLong(2) == snap.files.size.toLong)
+    assert(d.getLong(3) > 0L, "byte size from per-partition listings")
+    assert(d.getLong(4) == 2L && d.getString(5) == "part")
+    assert(d.getLong(6) == 0L && d.getLong(7) == 1L)
+    assert(d.getLong(8) == 1L && d.getLong(9) == 2L)
+  }
+
   test("a rebasing loser keeps the race winner's evolved schema") {
     val t = freshTable()
     SnapshotLog.overwrite(rows("a", 1 to 2), t, Seq("part"))       // v1
