@@ -267,6 +267,17 @@ object PlanAudit {
       "MV digest is a plain scan of the tiny MV table (no join back " +
         "to the base)" ->
         (p => !p.contains("Join") && !p.contains("CartesianProduct")))
+    audit("x61_kmeans_embed")(
+      "no cartesian product (centroids broadcast)" ->
+        (p => !p.contains("CartesianProduct") &&
+          p.contains("BroadcastExchange")),
+      "assignment is a max_by aggregate, not a window" ->
+        (p => !p.contains("WindowExec")))
+    audit("x62_semantic_dedup")(
+      "pair stage is a cell equi-join, never a cartesian" ->
+        (p => !p.contains("CartesianProduct")),
+      "keep verdict via join, not a window" ->
+        (p => !p.contains("WindowExec")))
     audit("x60_bpe_train")(
       "per-round outputs are a local table (all heavy work done in " +
         "the loop's own aggregates)" ->

@@ -117,7 +117,9 @@ object SparkEntry {
     "x57_lm_quality" -> (X.x57LmQuality _),
     "x58_deletion_vectors" -> (X.x58DeletionVectors _),
     "x59_incremental_mv" -> (X.x59IncrementalMv _),
-    "x60_bpe_train" -> (X.x60BpeTrain _)
+    "x60_bpe_train" -> (X.x60BpeTrain _),
+    "x61_kmeans_embed" -> (X.x61KmeansEmbed _),
+    "x62_semantic_dedup" -> (X.x62SemanticDedup _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

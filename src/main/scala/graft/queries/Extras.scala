@@ -37,6 +37,7 @@ object Extras {
   val MinhashJaccardThreshold = 0.7
   val NgramJaccardThreshold = 0.5
   val EmbedCosThreshold = 0.3
+  val SemanticDupCosThreshold = 0.3
 
   private val P = TextFns.HashMod
 
@@ -2300,6 +2301,91 @@ object Extras {
     }
     picks.result().toDF("round", "pair", "n", "corpus_tokens_after")
       .orderBy($"round")
+  }
+
+  /** Shared 2-iteration Lloyd k-means assignment behind x61/x62:
+    * seeds are vectors 1..8 (deterministic, oracle-shared — production
+    * would k-means++ offline like the IVF coarse quantizer x13), one
+    * assign → centroid-update → reassign sweep. Two scale choices:
+    *  - assignment is the broadcast-scored `max_by` hash aggregate
+    *    (x13/x27 idiom) — K tiny centroid rows against ONE corpus
+    *    scan, never a window;
+    *  - the updated centroid is the per-dimension EXACT DECIMAL SUM
+    *    vector, never divided by the member count: cosine is
+    *    scale-invariant, so the sum vector ranks identically to the
+    *    mean while staying order-independent (bit-identical across
+    *    engines) and skipping the one operation (decimal division)
+    *    whose rounding rules differ by engine.
+    * Returns (vec_id, cell, cos) — cos is the cosine to the final
+    * (sum-vector) centroid.
+    */
+  private def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).withColumn("n1", VectorFns.dotDec("v", "v"))
+    val seeds = e.filter($"vec_id".between(1, 8))
+      .select($"vec_id".as("cid"), $"v".as("c"), $"n1".as("cn"))
+    // zero-norm vectors pin below the cosine range (x13 policy)
+    val a1 = e.crossJoin(broadcast(seeds))
+      .withColumn("cos", VectorFns.dotDec("v", "c") / (sqrt($"n1") * sqrt($"cn")))
+      .groupBy($"vec_id")
+      .agg(max_by($"cid", struct(coalesce($"cos", lit(-2.0)), -$"cid")).as("cell"))
+    val cents = t(s, dir, "embeddings")
+      .select($"vec_id", posexplode($"embedding").as(Seq("pos", "x")))
+      .join(a1, Seq("vec_id"))
+      .groupBy($"cell", $"pos")
+      .agg(sum($"x".cast(DoubleType).cast(DecimalType(30, 12)))
+        .cast(DoubleType).as("cc"))
+      .groupBy($"cell")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"cc"))),
+        p => p.getField("cc")).as("cv"))
+      .withColumn("cn", VectorFns.dotDec("cv", "cv"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("cos", VectorFns.dotDec("v", "cv") / (sqrt($"n1") * sqrt($"cn")))
+      .groupBy($"vec_id")
+      .agg(max(struct(coalesce($"cos", lit(-2.0)).as("k"), (-$"cell").as("nk"),
+        $"cell".as("cell"), $"cos".as("cos"))).as("w"))
+      .select($"vec_id", $"w.cell".as("cell"), $"w.cos".as("cos"))
+  }
+
+  /** x61 — k-means clustering of the embedding corpus (the partition
+    * step of SemDeDup-style semantic dedup, and the trainer for the
+    * IVF coarse quantizer x13 hard-codes): every vector labeled with
+    * its cluster and its cosine to the final centroid. At 100 TB the
+    * cluster count scales with the corpus so per-cluster populations
+    * stay bounded — each Lloyd sweep stays one broadcast + two hash
+    * aggregates per iteration regardless of corpus size.
+    */
+  def x61KmeansEmbed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    kmeansAssign(s, dir).orderBy($"vec_id")
+  }
+
+  /** x62 — semantic near-dedup (SemDeDup shape): all-pairs cosine ONLY
+    * within a k-means cluster (x61's partition bounds the quadratic
+    * stage — the published algorithm's scale story: grow K with the
+    * corpus and the per-cluster candidate set stays constant), drop
+    * every vector with an earlier (smaller vec_id) same-cluster
+    * neighbour at cosine ≥ [[SemanticDupCosThreshold]]. Output is the
+    * full corpus with its keep/drop verdict, the frame a curation
+    * pipeline filters to `keep = 1`.
+    */
+  def x62SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = kmeansAssign(s, dir)
+    val e = emb(s, dir).withColumn("n1", VectorFns.dotDec("v", "v"))
+    val m = a.select($"vec_id", $"cell").join(e, Seq("vec_id"))
+    val dropped = m.as("x").join(m.as("y"),
+        $"x.cell" === $"y.cell" && $"x.vec_id" < $"y.vec_id")
+      .withColumn("cp",
+        VectorFns.dotDec("x.v", "y.v") / (sqrt($"x.n1") * sqrt($"y.n1")))
+      .filter($"cp" >= SemanticDupCosThreshold)
+      .select($"y.vec_id".as("vec_id")).distinct()
+      .withColumn("is_dropped", lit(1L))
+    a.select($"vec_id", $"cell")
+      .join(dropped, Seq("vec_id"), "left")
+      .select($"vec_id", $"cell",
+        when($"is_dropped".isNull, 1L).otherwise(0L).as("keep"))
+      .orderBy($"vec_id")
   }
 
   /** q26 Aggregator twin — typed [[VectorFns.CentroidAgg]] centroid

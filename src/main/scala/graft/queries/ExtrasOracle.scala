@@ -30,6 +30,52 @@ object ExtrasOracle {
     * leading-8-token-fingerprint identity edges, min-label connected
     * components, ending at `lab(doc_id, cluster_id)`.
     */
+  /** Shared 2-iteration Lloyd k-means prefix (x61 / x62): seeds are
+    * vectors 1..8, assignment by exact-decimal cosine with a
+    * smallest-cid tie-break, centroid update as the UNDIVIDED
+    * per-dimension decimal-sum vector (cosine is scale-invariant, so
+    * the sum ranks identically to the mean and sidesteps decimal
+    * division's engine-specific rounding). Ends at
+    * `a2(vec_id, cell, cos)`; also leaves `n1(vec_id, n1)` in scope.
+    */
+  private lazy val KmeansA2: String =
+    s"""WITH n1 AS (SELECT vec_id, ${dot("embedding", "embedding")} AS n1
+       |  FROM embeddings, generate_series(1, 64) t(i) GROUP BY vec_id),
+       |seeds AS (SELECT vec_id AS cid, embedding AS c FROM embeddings
+       |  WHERE vec_id BETWEEN 1 AND 8),
+       |cn1 AS (SELECT cid, ${dot("s.c", "s.c")} AS cn FROM seeds s,
+       |  generate_series(1, 64) t(i) GROUP BY cid),
+       |sc1 AS (SELECT e.vec_id, s.cid, ${dot("e.embedding", "s.c")} AS dot
+       |  FROM embeddings e, seeds s, generate_series(1, 64) t(i)
+       |  GROUP BY e.vec_id, s.cid),
+       |a1 AS (SELECT vec_id, cid AS cell FROM (
+       |    SELECT s.vec_id, s.cid, row_number() OVER (PARTITION BY s.vec_id
+       |      ORDER BY COALESCE(s.dot/(sqrt(n1.n1)*sqrt(cn1.cn)), -2.0) DESC,
+       |        s.cid) AS rn
+       |    FROM sc1 s JOIN n1 ON n1.vec_id = s.vec_id
+       |               JOIN cn1 ON cn1.cid = s.cid) WHERE rn = 1),
+       |cent AS (SELECT a1.cell, i,
+       |    CAST(CAST(SUM(CAST(CAST(CAST(e.embedding[i] AS DOUBLE) AS VARCHAR)
+       |      AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE) AS cc
+       |  FROM embeddings e JOIN a1 ON a1.vec_id = e.vec_id,
+       |    generate_series(1, 64) t(i)
+       |  GROUP BY a1.cell, i),
+       |cn2 AS (SELECT cell,
+       |    CAST(CAST(SUM(CAST(CAST(cc*cc AS VARCHAR) AS DECIMAL(30,20)))
+       |      AS VARCHAR) AS DOUBLE) AS cn
+       |  FROM cent GROUP BY cell),
+       |dots2 AS (SELECT e.vec_id, c.cell,
+       |    CAST(CAST(SUM(CAST(CAST(CAST(e.embedding[c.i] AS DOUBLE)*c.cc
+       |      AS VARCHAR) AS DECIMAL(30,20))) AS VARCHAR) AS DOUBLE) AS dot
+       |  FROM embeddings e, cent c GROUP BY e.vec_id, c.cell),
+       |a2 AS (SELECT vec_id, cell, cos FROM (
+       |    SELECT d.vec_id, d.cell, d.dot/(sqrt(n1.n1)*sqrt(cn2.cn)) AS cos,
+       |      row_number() OVER (PARTITION BY d.vec_id
+       |        ORDER BY COALESCE(d.dot/(sqrt(n1.n1)*sqrt(cn2.cn)), -2.0) DESC,
+       |          d.cell) AS rn
+       |    FROM dots2 d JOIN n1 ON n1.vec_id = d.vec_id
+       |                 JOIN cn2 ON cn2.cell = d.cell) WHERE rn = 1)""".stripMargin
+
   private val CcLab: String =
     s"""WITH RECURSIVE
        |toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -1286,6 +1332,29 @@ object ExtrasOracle {
          |  GROUP BY d1, d2)
          |SELECT d1, d2, dot/(sqrt(n1)*sqrt(n2)) AS cosine FROM cos
          |WHERE dot/(sqrt(n1)*sqrt(n2)) >= ${Extras.EmbedCosThreshold}
-         |ORDER BY d1, d2""".stripMargin
+         |ORDER BY d1, d2""".stripMargin,
+
+    "x61_kmeans_embed" ->
+      s"""$KmeansA2
+         |SELECT vec_id, cell, cos FROM a2 ORDER BY vec_id""".stripMargin,
+
+    "x62_semantic_dedup" ->
+      s"""$KmeansA2,
+         |pd AS (SELECT x.vec_id AS v1, y.vec_id AS v2, x.cell,
+         |    ${dot("ex.embedding", "ey.embedding")} AS dot
+         |  FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |    JOIN embeddings ex ON ex.vec_id = x.vec_id
+         |    JOIN embeddings ey ON ey.vec_id = y.vec_id,
+         |    generate_series(1, 64) t(i)
+         |  GROUP BY x.vec_id, y.vec_id, x.cell),
+         |dropped AS (SELECT DISTINCT pd.v2 AS vec_id FROM pd
+         |  JOIN n1 nx ON nx.vec_id = pd.v1
+         |  JOIN n1 ny ON ny.vec_id = pd.v2
+         |  WHERE pd.dot/(sqrt(nx.n1)*sqrt(ny.n1))
+         |    >= ${Extras.SemanticDupCosThreshold})
+         |SELECT a2.vec_id, a2.cell,
+         |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM a2 LEFT JOIN dropped d ON d.vec_id = a2.vec_id
+         |ORDER BY a2.vec_id""".stripMargin
   )
 }

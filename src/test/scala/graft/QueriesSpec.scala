@@ -553,6 +553,72 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  // Exact replicas of the engine decimal arithmetic (CAST goes through
+  // the double's shortest string; decimal sums are order-free):
+  private def dec(x: Double, scale: Int): BigDecimal =
+    BigDecimal(java.lang.Double.toString(x))
+      .setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+  private def decDot(a: Array[Double], b: Array[Double]): Double =
+    a.indices.map(i => dec(a(i) * b(i), 20)).sum.toDouble
+
+  test("x61 assignment is the true argmax over exact sum-vector centroids") {
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) v")
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Double](1).toArray).sortBy(_._1)
+    val n1 = embs.map { case (id, v) => id -> decDot(v, v) }.toMap
+    def argmax(cents: Seq[(Long, Array[Double], Double)]) =
+      embs.map { case (id, v) =>
+        id -> cents.map { case (cid, c, cn) =>
+          val cos = decDot(v, c) / (math.sqrt(n1(id)) * math.sqrt(cn))
+          (if (cos.isNaN) -2.0 else cos, -cid, cid)
+        }.max._3
+      }.toMap
+    val seeds = embs.filter(e => e._1 >= 1 && e._1 <= 8)
+      .map { case (id, v) => (id, v, n1(id)) }.toSeq
+    val a1 = argmax(seeds)
+    val cents = embs.groupBy(e => a1(e._1)).map { case (cell, vs) =>
+      val cv = Array.tabulate(64)(i =>
+        vs.map(e => dec(e._2(i), 12)).sum.toDouble)
+      (cell, cv, decDot(cv, cv))
+    }.toSeq
+    val expect = argmax(cents)
+    val got = Extras.x61KmeansEmbed(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    assert(got.values.toSet == (1L to 8L).toSet, "all 8 clusters populated")
+  }
+
+  test("x62 drops exactly the later member of each within-cluster near-pair") {
+    val cells = Extras.x61KmeansEmbed(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) v")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val n1 = embs.map { case (id, v) => id -> decDot(v, v) }.toMap
+    val byCell = embs.groupBy(e => cells(e._1))
+    val expectDrop = byCell.values.flatMap { vs =>
+      val sorted = vs.sortBy(_._1)
+      for {
+        j <- sorted.indices
+        i <- 0 until j
+        cos = decDot(sorted(i)._2, sorted(j)._2) /
+          (math.sqrt(n1(sorted(i)._1)) * math.sqrt(n1(sorted(j)._1)))
+        if cos >= Extras.SemanticDupCosThreshold
+      } yield sorted(j)._1
+    }.toSet
+    val got = Extras.x62SemanticDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == got.map(_._1).toSeq.sorted, "ordered output")
+    got.foreach { case (id, cell, keep) =>
+      assert(cell == cells(id))
+      assert(keep == (if (expectDrop(id)) 0L else 1L), s"vec $id keep flag")
+    }
+    assert(got.count(_._3 == 0L) > 0, "threshold actually drops someone")
+  }
+
   test("entry() returns non-empty flagship result") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
