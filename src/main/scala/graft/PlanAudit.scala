@@ -278,6 +278,10 @@ object PlanAudit {
         (p => !p.contains("CartesianProduct")),
       "keep verdict via join, not a window" ->
         (p => !p.contains("WindowExec")))
+    audit("x63_shallow_clone")(
+      "fork digests are plain aggregates over snapshot scans" ->
+        (p => p.contains("HashAggregate") && !p.contains("CartesianProduct")),
+      "no window anywhere" -> (p => !p.contains("WindowExec")))
     audit("x60_bpe_train")(
       "per-round outputs are a local table (all heavy work done in " +
         "the loop's own aggregates)" ->

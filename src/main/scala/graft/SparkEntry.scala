@@ -119,7 +119,8 @@ object SparkEntry {
     "x59_incremental_mv" -> (X.x59IncrementalMv _),
     "x60_bpe_train" -> (X.x60BpeTrain _),
     "x61_kmeans_embed" -> (X.x61KmeansEmbed _),
-    "x62_semantic_dedup" -> (X.x62SemanticDedup _)
+    "x62_semantic_dedup" -> (X.x62SemanticDedup _),
+    "x63_shallow_clone" -> (X.x63ShallowClone _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

@@ -87,6 +87,25 @@ object SnapshotLog {
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** A [[cloneShallow]] file entry is `<sourceRoot>::<relPath>` — the
+    * clone's log references the SOURCE table's physical file without
+    * copying it. Plain entries are relative to this table's own root.
+    */
+  private def entrySplit(entry: String): (Option[String], String) = {
+    val i = entry.indexOf("::")
+    if (i < 0) (None, entry)
+    else (Some(entry.substring(0, i)), entry.substring(i + 2))
+  }
+
+  /** Physical location of a listed file — the clone base's tree for
+    * foreign entries, this table's tree otherwise.
+    */
+  private def dataPath(tableDir: String, entry: String): Path =
+    entrySplit(entry) match {
+      case (Some(base), rel) => new Path(base, rel)
+      case (None, rel) => new Path(tableDir, rel)
+    }
+
   private def logDir(tableDir: String) = new Path(tableDir, "_graft_log")
 
   private def versionPath(tableDir: String, v: Long) =
@@ -169,7 +188,7 @@ object SnapshotLog {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     rels.map { rel =>
-      val in = HadoopInputFile.fromPath(new Path(tableDir, rel), f.getConf)
+      val in = HadoopInputFile.fromPath(dataPath(tableDir, rel), f.getConf)
       val r = ParquetFileReader.open(in)
       val cols = try {
         r.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala)
@@ -279,24 +298,32 @@ object SnapshotLog {
     if (rels.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-    // basePath keeps the hive partition columns of explicit file reads
-    def scan(fs: Seq[String]) = spark.read.option("basePath", tableDir)
-      .schema(snap.schema)
-      .parquet(fs.map(rel => new Path(tableDir, rel).toString): _*)
+    // basePath keeps the hive partition columns of explicit file reads;
+    // it must be an ancestor of every file in one scan, and a shallow
+    // clone's listing mixes its own tree with its source's — so group
+    // by physical root, one scan per root, unioned. `perScan` runs
+    // inside each scan because `_metadata` columns only resolve there.
+    def scanGrouped(es: Seq[String],
+        perScan: DataFrame => DataFrame = identity) =
+      es.groupBy(e => entrySplit(e)._1.getOrElse(tableDir)).toSeq.sortBy(_._1)
+        .map { case (base, g) =>
+          perScan(spark.read.option("basePath", base).schema(snap.schema)
+            .parquet(g.map(e => dataPath(tableDir, e).toString): _*))
+        }.reduce(_ unionByName _)
     val (dirty, clean) = rels.partition(snap.dvs.contains)
-    if (dirty.isEmpty) return scan(rels)
+    if (dirty.isEmpty) return scanGrouped(rels)
     val dvRels = dirty.flatMap(snap.dvs(_)).distinct
     val dv = spark.read.schema(DvSchema)
-      .parquet(dvRels.map(rel => new Path(tableDir, rel).toString): _*)
+      .parquet(dvRels.map(rel => dataPath(tableDir, rel).toString): _*)
     val outCols = snap.schema.fields.map(f => col(f.name)).toIndexedSeq
-    val sub = scan(dirty)
-      .withColumn("_dv_path", col("_metadata.file_path"))
-      .withColumn("_dv_row", col("_metadata.row_index"))
+    val sub = scanGrouped(dirty, _
+        .withColumn("_dv_path", col("_metadata.file_path"))
+        .withColumn("_dv_row", col("_metadata.row_index")))
       .join(broadcast(dv),
         col("_dv_path") === dv("file_path") && col("_dv_row") === dv("row_index"),
         "left_anti")
       .select(outCols: _*)
-    if (clean.isEmpty) sub else scan(clean).unionByName(sub)
+    if (clean.isEmpty) sub else scanGrouped(clean).unionByName(sub)
   }
 
   /** Scan exactly one committed version — time travel. Old versions
@@ -449,7 +476,8 @@ object SnapshotLog {
       dvFull: Option[Map[String, Seq[String]]] = None,
       constraintsUpdate: Option[Map[String, String] => Map[String, String]] = None,
       unionSchemaWithHead: Boolean = true,
-      expectedConstraints: Option[Map[String, String]] = None)(
+      expectedConstraints: Option[Map[String, String]] = None,
+      precomputedStats: Map[String, Map[String, (Double, Double)]] = Map.empty)(
       rebase: Seq[String] => Seq[String]): Long = {
     val f = fs(spark, tableDir)
     f.mkdirs(logDir(tableDir))
@@ -531,8 +559,11 @@ object SnapshotLog {
       val removes = root.putArray("removes")
       removed.foreach(removes.add)
       // per-add footer stats (data skipping); checkpoints carry the
-      // full map so reconstruction never reopens a footer
-      val addedStats = collectStats(f, tableDir, added)
+      // full map so reconstruction never reopens a footer. Entries the
+      // caller already has stats for (a clone carrying its source's)
+      // skip the footer open — that keeps cloneShallow O(log metadata).
+      val addedStats = precomputedStats.view.filterKeys(added.contains).toMap ++
+        collectStats(f, tableDir, added.filterNot(precomputedStats.contains))
       val checkpoint = next == 1L || next % CheckpointInterval == 0L
       val fullStats =
         if (checkpoint)
@@ -826,8 +857,38 @@ object SnapshotLog {
       tableDir: String): Option[Snapshot] =
     latestVersion(spark, tableDir).map(snapshotAt(spark, tableDir, _))
 
-  /** `part=a/part2=b/file.parquet` → `part=a/part2=b`. */
-  private def partPrefix(rel: String): String = {
+  /** Total size of one partition's listed files with ONE `listStatus`
+    * per LOCAL partition directory (the compaction planner's cost
+    * class — O(partitions) metadata calls, not O(files)); foreign
+    * (clone-referenced) files fall back to a per-file `getFileStatus`
+    * against their own root, and a partition whose files are ALL
+    * foreign has no local directory to list at all.
+    */
+  private def partitionBytes(f: FileSystem, tableDir: String,
+      part: String, files: Seq[String]): Long = {
+    val dirPath = if (part.isEmpty) new Path(tableDir)
+      else new Path(tableDir, part)
+    lazy val lens =
+      if (f.exists(dirPath))
+        f.listStatus(dirPath).iterator
+          .map(st => st.getPath.getName -> st.getLen).toMap
+      else Map.empty[String, Long]
+    files.map { e =>
+      val (base, rel) = entrySplit(e)
+      val name = rel.substring(rel.lastIndexOf('/') + 1)
+      if (base.isDefined) f.getFileStatus(dataPath(tableDir, e)).getLen
+      else lens.getOrElse(name,
+        f.getFileStatus(new Path(tableDir, rel)).getLen)
+    }.sum
+  }
+
+  /** `part=a/part2=b/file.parquet` → `part=a/part2=b`. A foreign
+    * (clone-referenced) entry groups by the partition subpath within
+    * ITS OWN root, so local and foreign files of one logical partition
+    * plan together.
+    */
+  private def partPrefix(entry: String): String = {
+    val rel = entrySplit(entry)._2
     val i = rel.lastIndexOf('/')
     if (i < 0) "" else rel.substring(0, i)
   }
@@ -915,16 +976,22 @@ object SnapshotLog {
     val snap = snapshotAt(spark, tableDir, head)
     if (snap.files.isEmpty) return (head, 0L)
     val f = fs(spark, tableDir)
-    val scan = spark.read.option("basePath", tableDir).schema(snap.schema)
-      .parquet(snap.files.map(rel => new Path(tableDir, rel).toString): _*)
-      .withColumn("_dv_path", col("_metadata.file_path"))
-      .withColumn("_dv_row", col("_metadata.row_index"))
+    // per-root scans (clone listings mix roots); _metadata resolves
+    // only inside each scan, so stamp the DV key columns per group
+    val scan = snap.files
+      .groupBy(e => entrySplit(e)._1.getOrElse(tableDir)).toSeq.sortBy(_._1)
+      .map { case (base, g) =>
+        spark.read.option("basePath", base).schema(snap.schema)
+          .parquet(g.map(e => dataPath(tableDir, e).toString): _*)
+          .withColumn("_dv_path", col("_metadata.file_path"))
+          .withColumn("_dv_row", col("_metadata.row_index"))
+      }.reduce(_ unionByName _)
     val live =
       if (snap.dvs.isEmpty) scan
       else {
         val dvRels = snap.dvs.values.flatten.toSeq.distinct
         val dv = spark.read.schema(DvSchema)
-          .parquet(dvRels.map(rel => new Path(tableDir, rel).toString): _*)
+          .parquet(dvRels.map(rel => dataPath(tableDir, rel).toString): _*)
         scan.join(broadcast(dv),
           col("_dv_path") === dv("file_path") &&
             col("_dv_row") === dv("row_index"), "left_anti")
@@ -951,10 +1018,11 @@ object SnapshotLog {
       require(f.rename(new Path(stagingDv, dvName), new Path(tableDir, dvRel)),
         s"DV rename failed: $dvRel")
       f.delete(stagingDv, true)
-      // map qualified URIs back to table-relative paths (suffix match
-      // — each URI ends in exactly one of the listing's rel paths)
+      // map qualified URIs back to listing entries (suffix match on
+      // the entry's OWN-root-relative path — each URI ends in exactly
+      // one of them; the size require below catches any ambiguity)
       val affectedRels = snap.files
-        .filter(rel => affectedPaths.exists(_.endsWith("/" + rel)))
+        .filter(e => affectedPaths.exists(_.endsWith("/" + entrySplit(e)._2)))
       require(affectedRels.size == affectedPaths.size,
         s"DV path mapping mismatch: ${affectedPaths.size} affected files " +
         s"resolved to ${affectedRels.size} listing entries")
@@ -1030,16 +1098,7 @@ object SnapshotLog {
     val f = fs(spark, tableDir)
     val byPart = snap.files.groupBy(partPrefix)
     val flagged = byPart.toSeq.sortBy(_._1).flatMap { case (part, files) =>
-      // one listStatus per partition DIRECTORY, not one getFileStatus
-      // RPC per file — O(partitions) driver metadata calls at scale
-      val dirPath = if (part.isEmpty) new Path(tableDir)
-        else new Path(tableDir, part)
-      val lens = f.listStatus(dirPath).iterator
-        .map(st => st.getPath.getName -> st.getLen).toMap
-      val bytes = files.map { rel =>
-        val name = rel.substring(rel.lastIndexOf('/') + 1)
-        lens.getOrElse(name, f.getFileStatus(new Path(tableDir, rel)).getLen)
-      }.sum
+      val bytes = partitionBytes(f, tableDir, part, files)
       if (files.length > maxFiles &&
           bytes / math.max(files.length, 1) < targetFileBytes)
         Some((part, files, math.max(1L,
@@ -1080,7 +1139,7 @@ object SnapshotLog {
       latestVersion(spark, tableDir).get)
     val f = fs(spark, tableDir)
     (target.files ++ target.dvs.values.flatten).foreach { rel =>
-      require(f.exists(new Path(tableDir, rel)),
+      require(f.exists(dataPath(tableDir, rel)),
         s"cannot restore v$version: $rel was vacuumed")
     }
     // expectedConstraints closes the metadata-only race the file-domain
@@ -1092,6 +1151,51 @@ object SnapshotLog {
       constraintsUpdate = Some(_ => target.constraints),
       unionSchemaWithHead = false,
       expectedConstraints = Some(head.constraints))(_ => target.files)
+  }
+
+  /** SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE`): commit
+    * a new table at `dstDir` whose v1 listing REFERENCES `srcDir`'s
+    * files at `version` (default: head) without copying a byte — a
+    * zero-copy dev/test/experiment fork of a 100 TB table in O(log)
+    * metadata (per-file stats carry over, so not even a footer is
+    * reopened). The clone then evolves independently:
+    *  - its own appends/merges land in its own tree;
+    *  - [[compact]] / [[optimizeZOrder]] / [[deleteByKeys]] rewrite
+    *    foreign references into LOCAL files, un-sharing exactly the
+    *    touched partitions;
+    *  - [[vacuum]] only ever deletes files under its own root.
+    * Deletion vectors and CHECK constraints carry over; txn
+    * idempotence slots do NOT (the clone is a new table identity, as
+    * in Delta). A clone of a clone keeps pointing at the ORIGINAL
+    * physical files.
+    *
+    * Caveat (Delta's too): a source-side rewrite (delete/compact) only
+    * unlinks files from the SOURCE listing — harmless here — but
+    * source [[vacuum]] physically deletes them and breaks clones still
+    * referencing them. Fork tables you vacuum aggressively with a deep
+    * copy instead: `overwrite(readAt(spark, src, v), dst, partCols)`.
+    */
+  def cloneShallow(spark: SparkSession, srcDir: String, dstDir: String,
+      version: Option[Long] = None): Long = {
+    require(latestVersion(spark, dstDir).isEmpty,
+      s"clone target $dstDir already has a committed snapshot")
+    val v = version.getOrElse(latestVersion(spark, srcDir).getOrElse(
+      sys.error(s"$srcDir has no committed snapshot")))
+    val snap = snapshotAt(spark, srcDir, v)
+    val srcRoot = fs(spark, srcDir).makeQualified(new Path(srcDir)).toString
+    require(!srcRoot.contains("::"), s"source root $srcRoot contains '::'")
+    def retag(e: String): String = entrySplit(e) match {
+      case (Some(_), _) => e // already foreign: keep the ORIGINAL root
+      case (None, rel) => s"$srcRoot::$rel"
+    }
+    commit(spark, dstDir, "clone", snap.schema, snap.partCols,
+      dvFull = Some(
+        snap.dvs.map { case (k, dvFiles) => retag(k) -> dvFiles.map(retag) }),
+      constraintsUpdate = Some(_ => snap.constraints),
+      unionSchemaWithHead = false,
+      precomputedStats =
+        snap.stats.map { case (k, cols) => retag(k) -> cols })(
+      _ => snap.files.map(retag))
   }
 
   /** The commit history, newest first: one row per retained log entry
@@ -1138,14 +1242,7 @@ object SnapshotLog {
     val f = fs(spark, tableDir)
     val byPart = snap.files.groupBy(partPrefix)
     val bytes = byPart.iterator.map { case (part, files) =>
-      val dirPath = if (part.isEmpty) new Path(tableDir)
-        else new Path(tableDir, part)
-      val lens = f.listStatus(dirPath).iterator
-        .map(st => st.getPath.getName -> st.getLen).toMap
-      files.map { rel =>
-        val name = rel.substring(rel.lastIndexOf('/') + 1)
-        lens.getOrElse(name, f.getFileStatus(new Path(tableDir, rel)).getLen)
-      }.sum
+      partitionBytes(f, tableDir, part, files)
     }.sum
     val vs = versions(spark, tableDir)
     Seq((head, snap.op, snap.files.size.toLong, bytes,
@@ -1188,14 +1285,7 @@ object SnapshotLog {
     val plans = snap.files.groupBy(partPrefix).toSeq.sortBy(_._1)
       .filter { case (part, _) => onlyPartitions(part) }
       .map { case (part, files) =>
-        val dirPath = if (part.isEmpty) new Path(tableDir)
-          else new Path(tableDir, part)
-        val lens = f.listStatus(dirPath).iterator
-          .map(st => st.getPath.getName -> st.getLen).toMap
-        val bytes = files.map { rel =>
-          val name = rel.substring(rel.lastIndexOf('/') + 1)
-          lens.getOrElse(name, f.getFileStatus(new Path(tableDir, rel)).getLen)
-        }.sum
+        val bytes = partitionBytes(f, tableDir, part, files)
         (part, files, math.max(1L,
           (bytes + targetFileBytes - 1) / targetFileBytes).toInt)
     }

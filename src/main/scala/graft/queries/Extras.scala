@@ -2388,6 +2388,41 @@ object Extras {
       .orderBy($"vec_id")
   }
 
+  /** x63 — shallow-clone fork-and-diverge (Delta `SHALLOW CLONE`):
+    * build the orders snapshot table, fork it ZERO-COPY via
+    * [[graft.operators.SnapshotLog.cloneShallow]], then evolve only
+    * the fork — delete a key slice (rewriting the touched partitions
+    * into the clone's OWN tree) and compact (un-sharing the rest).
+    * The digest output proves the two contracts the operator sells at
+    * 100 TB: the fork sees the source's data without copying a byte
+    * (clone v1 ≡ source head), and divergence is isolated in both
+    * directions (source head unchanged after the clone's delete).
+    */
+  def x63ShallowClone(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.SnapshotLog
+    val src = scratchDir(s, "x63s", dir)
+    val dst = scratchDir(s, "x63c", dir)
+    val orders = t(s, dir, "orders")
+    val parts = Seq("o_orderstatus")
+    SnapshotLog.overwrite(orders.filter($"o_orderstatus" === "F"), src, parts)
+    SnapshotLog.append(orders.filter($"o_orderstatus" === "O"), src, parts)
+    SnapshotLog.cloneShallow(s, src, dst)
+    SnapshotLog.deleteByKeys(s, dst, "o_orderkey",
+      orders.filter($"o_orderkey" % 5 === 0).select($"o_orderkey"),
+      "o_orderstatus")
+    SnapshotLog.compact(s, dst, targetFileBytes = 1L << 30, maxFiles = 0)
+    def dig(df: DataFrame, side: String, v: Long) =
+      df.agg(cnt.as("n_rows"), dsum($"o_totalprice").as("total_price"),
+        min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"))
+        .select(lit(side).as("side"), lit(v).as("version"), $"n_rows",
+          $"total_price", $"min_key", $"max_key")
+    (dig(SnapshotLog.read(s, src), "source", 2L) +:
+      SnapshotLog.versions(s, dst).map(v =>
+        dig(SnapshotLog.readAt(s, dst, v), "clone", v)))
+      .reduce(_ unionAll _).orderBy($"side", $"version")
+  }
+
   /** q26 Aggregator twin — typed [[VectorFns.CentroidAgg]] centroid
     * (float-sum order differs by design → rows-only check; the
     * decimal-exact Q26 is the hash-checked form).

@@ -1334,6 +1334,26 @@ object ExtrasOracle {
          |WHERE dot/(sqrt(n1)*sqrt(n2)) >= ${Extras.EmbedCosThreshold}
          |ORDER BY d1, d2""".stripMargin,
 
+    // The clone starts as the source head (F∪O), its delete drops the
+    // %5 keys, its compact is content-neutral; the source head is the
+    // untouched F∪O. Decimal sum routes through VARCHAR (float parity
+    // with Spark's double→decimal cast).
+    "x63_shallow_clone" -> {
+      val dig = "CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(28,10)))" +
+        " AS VARCHAR) AS DOUBLE) AS total_price, " +
+        "MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key"
+      s"""WITH d2 AS (SELECT * FROM orders WHERE o_orderstatus IN ('F','O')),
+         |d3 AS (SELECT * FROM d2 WHERE o_orderkey % 5 <> 0),
+         |dig AS (
+         |  SELECT 'clone' AS side, CAST(1 AS BIGINT) AS version, $dig FROM d2
+         |  UNION ALL SELECT 'clone', CAST(2 AS BIGINT), $dig FROM d3
+         |  UNION ALL SELECT 'clone', CAST(3 AS BIGINT), $dig FROM d3
+         |  UNION ALL SELECT 'source', CAST(2 AS BIGINT), $dig FROM d2)
+         |SELECT side, version, n_rows, total_price, min_key, max_key
+         |FROM dig ORDER BY side, version""".stripMargin
+    },
+
     "x61_kmeans_embed" ->
       s"""$KmeansA2
          |SELECT vec_id, cell, cos FROM a2 ORDER BY vec_id""".stripMargin,

@@ -600,6 +600,96 @@ class SnapshotLogSpec extends AnyFunSuite {
       onlyPartitions = _ => false) == ((head, Nil)))
   }
 
+  test("shallow clone is zero-copy and pins the source version") {
+    val src = freshTable()
+    SnapshotLog.overwrite(
+      rows("a", 1 to 10) union rows("b", 20 to 25), src, Seq("part")) // v1
+    SnapshotLog.append(rows("b", 30 to 32), src, Seq("part"))         // v2
+    val dst = freshTable()
+    assert(SnapshotLog.cloneShallow(spark, src, dst) == 1L)
+    // zero-copy: the clone dir holds only its own log, no data files
+    val copied = new java.io.File(dst).listFiles
+    assert(copied.forall(_.getName.startsWith("_")),
+      s"clone copied data: ${copied.map(_.getName).mkString(",")}")
+    assert(SnapshotLog.read(spark, dst).count() == 19)
+    assert(SnapshotLog.read(spark, dst)
+      .filter($"part" === "b").count() == 9, "partition cols survive")
+    // version-pinned clone
+    val dst1 = freshTable()
+    SnapshotLog.cloneShallow(spark, src, dst1, Some(1L))
+    assert(SnapshotLog.read(spark, dst1).count() == 16)
+    // stats carried: data skipping works on the clone without footers
+    assert(SnapshotLog.readWhere(spark, dst, "id", 30.0, 99.0).count() == 3)
+    // a clone of a clone still points at the ORIGINAL files
+    val dst2 = freshTable()
+    SnapshotLog.cloneShallow(spark, dst, dst2)
+    assert(new java.io.File(dst2).listFiles.forall(_.getName.startsWith("_")))
+    assert(SnapshotLog.read(spark, dst2).count() == 19)
+  }
+
+  test("a clone diverges from its source in both directions") {
+    val src = freshTable()
+    SnapshotLog.overwrite(rows("a", 1 to 10), src, Seq("part"))       // v1
+    val dst = freshTable()
+    SnapshotLog.cloneShallow(spark, src, dst)
+    SnapshotLog.append(rows("a", 11 to 13), dst, Seq("part"))
+    SnapshotLog.append(rows("a", 90 to 99), src, Seq("part"))
+    assert(SnapshotLog.read(spark, dst).count() == 13)
+    assert(SnapshotLog.read(spark, src).count() == 20)
+    // a clone-side delete rewrites the partition LOCALLY: the source
+    // keeps its files and its rows
+    import spark.implicits._
+    SnapshotLog.deleteByKeys(spark, dst, "id",
+      Seq(1L, 2L).toDF("id"), "part")
+    assert(SnapshotLog.read(spark, dst).count() == 11)
+    assert(SnapshotLog.read(spark, src).count() == 20,
+      "source untouched by clone delete")
+    val head = SnapshotLog.snapshotAt(spark, dst,
+      SnapshotLog.latestVersion(spark, dst).get)
+    assert(head.files.forall(!_.contains("::")),
+      "rewritten partition fully un-shared")
+  }
+
+  test("compacting a clone un-shares only the touched partitions") {
+    val src = freshTable()
+    SnapshotLog.overwrite(rows("a", 1 to 2), src, Seq("part"))        // v1
+    // part=b lands as ONE file so only part=a trips the small-file flag
+    SnapshotLog.append(rows("b", 50 to 60).coalesce(1), src, Seq("part"))
+    (1 to 5).foreach(k =>
+      SnapshotLog.append(rows("a", (10 * k) to (10 * k + 2)), src, Seq("part")))
+    val dst = freshTable()
+    SnapshotLog.cloneShallow(spark, src, dst)
+    val before = SnapshotLog.read(spark, dst).collect().toSet
+    val (_, parts) = SnapshotLog.compact(spark, dst, maxFiles = 3)
+    assert(parts == Seq("part=a"))
+    assert(SnapshotLog.read(spark, dst).collect().toSet == before,
+      "data identical after clone-side compaction")
+    val head = SnapshotLog.snapshotAt(spark, dst,
+      SnapshotLog.latestVersion(spark, dst).get)
+    val (aFiles, bFiles) = head.files.partition(_.contains("part=a"))
+    assert(aFiles.nonEmpty && aFiles.forall(!_.contains("::")),
+      "compacted partition is local now")
+    assert(bFiles.nonEmpty && bFiles.forall(_.contains("::")),
+      "untouched partition still shared")
+    assert(SnapshotLog.read(spark, src).count() == 17 + 11,
+      "source files all intact")
+  }
+
+  test("deletion vectors carry into a clone; both sides stay correct") {
+    val src = freshTable()
+    SnapshotLog.overwrite(rows("a", 1 to 10), src, Seq("part"))       // v1
+    import org.apache.spark.sql.functions.col
+    SnapshotLog.deleteWhere(spark, src, col("id") === 3L)             // v2 MoR
+    val dst = freshTable()
+    SnapshotLog.cloneShallow(spark, src, dst)
+    assert(SnapshotLog.read(spark, dst).count() == 9, "source DV applies")
+    // a clone-side MoR delete doesn't touch the source
+    SnapshotLog.deleteWhere(spark, dst, col("id") === 5L)
+    assert(SnapshotLog.read(spark, dst).count() == 8)
+    assert(SnapshotLog.read(spark, src).count() == 9,
+      "clone DV invisible to source")
+  }
+
   test("detail() summarizes the head from metadata alone") {
     val t = freshTable()
     SnapshotLog.overwrite(
