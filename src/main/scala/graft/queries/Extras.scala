@@ -2304,9 +2304,10 @@ object Extras {
   }
 
   /** Shared 2-iteration Lloyd k-means assignment behind x61/x62:
-    * seeds are vectors 1..8 (deterministic, oracle-shared — production
-    * would k-means++ offline like the IVF coarse quantizer x13), one
-    * assign → centroid-update → reassign sweep. Two scale choices:
+    * seeds are vectors 1..K, K = clamp(√n, 8, 1024) (deterministic,
+    * oracle-shared — production would k-means++ offline like the IVF
+    * coarse quantizer x13), one assign → centroid-update → reassign
+    * sweep. Two scale choices:
     *  - assignment is the broadcast-scored `max_by` hash aggregate
     *    (x13/x27 idiom) — K tiny centroid rows against ONE corpus
     *    scan, never a window;
@@ -2322,13 +2323,57 @@ object Extras {
   private def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = emb(s, dir).withColumn("n1", VectorFns.dotDec("v", "v"))
-    val seeds = e.filter($"vec_id".between(1, 8))
-      .select($"vec_id".as("cid"), $"v".as("c"), $"n1".as("cn"))
-    // zero-norm vectors pin below the cosine range (x13 policy)
-    val a1 = e.crossJoin(broadcast(seeds))
-      .withColumn("cos", VectorFns.dotDec("v", "c") / (sqrt($"n1") * sqrt($"cn")))
-      .groupBy($"vec_id")
-      .agg(max_by($"cid", struct(coalesce($"cos", lit(-2.0)), -$"cid")).as("cell"))
+    // K = clamp(floor(sqrt(n)), 8, 1024): per-cluster population ~sqrt(n),
+    // so x62's within-cluster pair volume is ~n^1.5/2 rather than n²/K —
+    // the SemDeDup dial (cluster count grows with the corpus). The count
+    // is one driver-side scalar (scheduler-sized), shared with the oracle
+    // via the same FLOOR(SQRT(COUNT(*))) rule.
+    val k = math.max(8L, math.min(1024L,
+      math.sqrt(e.count().toDouble).toLong))
+    // Assignment is two-stage so the exact-decimal kernel runs n times,
+    // not n×K: (1) ALL-DOUBLE cosines pre-select each vector's argmax
+    // candidate set — everything within 1e-9 of its double max, ~1
+    // centroid since the double/decimal gap is ~64·ε ≈ 1e-13; (2) the
+    // exact decimal cosine ranks ONLY those candidates, so the
+    // oracle-exact arithmetic still DECIDES (the bloom-route shape:
+    // cheap filter, exact verify). Two recompute traps shape the code:
+    // the K-row centroid frame is MATERIALIZED (localCheckpoint) so its
+    // norm is computed K times, not project-collapsed into the n×K join
+    // output; and candidate selection is ONE aggregate (max + the
+    // scored list filtered against it), so the n×K scored frame is
+    // evaluated once, not once per consumer. Non-finite double scores
+    // (zero norms) pin to -2 so the vector keeps x13's assign-anyway
+    // semantics through the decimal stage's coalesce.
+    // the vector frame is materialized once (2-sweep + verify reuse,
+    // and the per-vector double norm would otherwise project-collapse
+    // into the n×K join and be re-folded per (vector, centroid) row)
+    val ef = e.select($"vec_id", $"v", VectorFns.dotFast("v", "v").as("dn"))
+      .localCheckpoint()
+    val seeds = ef.filter($"vec_id".between(1, k))
+      .select($"vec_id".as("cid"), $"v".as("c"), $"dn".as("cnd"))
+    def assign(cents: DataFrame): DataFrame = {
+      val scored = ef.crossJoin(broadcast(cents))
+        .select($"vec_id", $"cid", {
+          val d = VectorFns.dotFast("v", "c") / (sqrt($"dn") * sqrt($"cnd"))
+          when(abs(nanvl(d, lit(-2.0))) <= 1.5, nanvl(d, lit(-2.0)))
+            .otherwise(-2.0).as("dcos")
+        })
+      val cand = scored.groupBy($"vec_id")
+        .agg(max($"dcos").as("mx"),
+          collect_list(struct($"dcos", $"cid")).as("cs"))
+        .select($"vec_id",
+          explode(expr("filter(cs, x -> x.dcos >= mx - 1e-9)")).as("w"))
+        .select($"vec_id", $"w.cid".as("cid"))
+      cand.join(ef.select($"vec_id", $"v"), Seq("vec_id"))
+        .join(broadcast(cents.select($"cid", $"c")), Seq("cid"))
+        .withColumn("cos", VectorFns.dotDec("v", "c") /
+          (sqrt(VectorFns.dotDec("v", "v")) * sqrt(VectorFns.dotDec("c", "c"))))
+        .groupBy($"vec_id")
+        .agg(max(struct(coalesce($"cos", lit(-2.0)).as("k"), (-$"cid").as("nk"),
+          $"cid".as("cid"), $"cos".as("cos"))).as("w"))
+        .select($"vec_id", $"w.cid".as("cell"), $"w.cos".as("cos"))
+    }
+    val a1 = assign(seeds).select($"vec_id", $"cell")
     val cents = t(s, dir, "embeddings")
       .select($"vec_id", posexplode($"embedding").as(Seq("pos", "x")))
       .join(a1, Seq("vec_id"))
@@ -2337,14 +2382,11 @@ object Extras {
         .cast(DoubleType).as("cc"))
       .groupBy($"cell")
       .agg(transform(array_sort(collect_list(struct($"pos", $"cc"))),
-        p => p.getField("cc")).as("cv"))
-      .withColumn("cn", VectorFns.dotDec("cv", "cv"))
-    e.crossJoin(broadcast(cents))
-      .withColumn("cos", VectorFns.dotDec("v", "cv") / (sqrt($"n1") * sqrt($"cn")))
-      .groupBy($"vec_id")
-      .agg(max(struct(coalesce($"cos", lit(-2.0)).as("k"), (-$"cell").as("nk"),
-        $"cell".as("cell"), $"cos".as("cos"))).as("w"))
-      .select($"vec_id", $"w.cell".as("cell"), $"w.cos".as("cos"))
+        p => p.getField("cc")).as("c"))
+      .select($"cell".as("cid"), $"c",
+        VectorFns.dotFast("c", "c").as("cnd"))
+      .localCheckpoint()
+    assign(cents)
   }
 
   /** x61 — k-means clustering of the embedding corpus (the partition
@@ -2371,21 +2413,33 @@ object Extras {
     */
   def x62SemanticDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val a = kmeansAssign(s, dir)
     val e = emb(s, dir).withColumn("n1", VectorFns.dotDec("v", "v"))
-    val m = a.select($"vec_id", $"cell").join(e, Seq("vec_id"))
-    val dropped = m.as("x").join(m.as("y"),
-        $"x.cell" === $"y.cell" && $"x.vec_id" < $"y.vec_id")
-      .withColumn("cp",
-        VectorFns.dotDec("x.v", "y.v") / (sqrt($"x.n1") * sqrt($"y.n1")))
-      .filter($"cp" >= SemanticDupCosThreshold)
-      .select($"y.vec_id".as("vec_id")).distinct()
-      .withColumn("is_dropped", lit(1L))
-    a.select($"vec_id", $"cell")
-      .join(dropped, Seq("vec_id"), "left")
-      .select($"vec_id", $"cell",
-        when($"is_dropped".isNull, 1L).otherwise(0L).as("keep"))
-      .orderBy($"vec_id")
+    // the two-sweep Lloyd lineage feeds BOTH sides of the pair join and
+    // the final verdict join — persist it for the one action (the r6
+    // x49 lesson: three consumers re-ran the expensive sub-frame)
+    val m0 = kmeansAssign(s, dir).select($"vec_id", $"cell")
+      .join(e, Seq("vec_id"))
+    graft.Caching.withPersisted(m0) { m =>
+      // bloom-route pattern for the exact arithmetic: the cheap DOUBLE
+      // dot pre-filters candidates (error ~64·ε « the 1e-9 margin), the
+      // exact-decimal cosine alone DECIDES — results stay bit-identical
+      // to the oracle while the costly decimal kernel runs only on
+      // pairs already at the threshold.
+      val dropped = m.as("x").join(m.as("y"),
+          $"x.cell" === $"y.cell" && $"x.vec_id" < $"y.vec_id")
+        .filter(VectorFns.dotFast("x.v", "y.v") / (sqrt($"x.n1") * sqrt($"y.n1"))
+          >= SemanticDupCosThreshold - 1e-9)
+        .withColumn("cp",
+          VectorFns.dotDec("x.v", "y.v") / (sqrt($"x.n1") * sqrt($"y.n1")))
+        .filter($"cp" >= SemanticDupCosThreshold)
+        .select($"y.vec_id".as("vec_id")).distinct()
+        .withColumn("is_dropped", lit(1L))
+      m.select($"vec_id", $"cell")
+        .join(dropped, Seq("vec_id"), "left")
+        .select($"vec_id", $"cell",
+          when($"is_dropped".isNull, 1L).otherwise(0L).as("keep"))
+        .orderBy($"vec_id")
+    }
   }
 
   /** x63 — shallow-clone fork-and-diverge (Delta `SHALLOW CLONE`):

@@ -42,7 +42,8 @@ object ExtrasOracle {
     s"""WITH n1 AS (SELECT vec_id, ${dot("embedding", "embedding")} AS n1
        |  FROM embeddings, generate_series(1, 64) t(i) GROUP BY vec_id),
        |seeds AS (SELECT vec_id AS cid, embedding AS c FROM embeddings
-       |  WHERE vec_id BETWEEN 1 AND 8),
+       |  WHERE vec_id BETWEEN 1 AND (SELECT GREATEST(8, LEAST(1024,
+       |    CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))) FROM embeddings)),
        |cn1 AS (SELECT cid, ${dot("s.c", "s.c")} AS cn FROM seeds s,
        |  generate_series(1, 64) t(i) GROUP BY cid),
        |sc1 AS (SELECT e.vec_id, s.cid, ${dot("e.embedding", "s.c")} AS dot

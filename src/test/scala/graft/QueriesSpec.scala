@@ -575,7 +575,8 @@ class QueriesSpec extends AnyFunSuite {
           (if (cos.isNaN) -2.0 else cos, -cid, cid)
         }.max._3
       }.toMap
-    val seeds = embs.filter(e => e._1 >= 1 && e._1 <= 8)
+    val k = math.max(8L, math.min(1024L, math.sqrt(embs.length.toDouble).toLong))
+    val seeds = embs.filter(e => e._1 >= 1 && e._1 <= k)
       .map { case (id, v) => (id, v, n1(id)) }.toSeq
     val a1 = argmax(seeds)
     val cents = embs.groupBy(e => a1(e._1)).map { case (cell, vs) =>
@@ -587,7 +588,7 @@ class QueriesSpec extends AnyFunSuite {
     val got = Extras.x61KmeansEmbed(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expect)
-    assert(got.values.toSet == (1L to 8L).toSet, "all 8 clusters populated")
+    assert(got.values.toSet.size >= 8, "clustering is non-trivial")
   }
 
   test("x62 drops exactly the later member of each within-cluster near-pair") {
