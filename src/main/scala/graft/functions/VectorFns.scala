@@ -47,11 +47,18 @@ object VectorFns {
   def asDoubleArray(c: String): Column =
     expr(s"transform($c, x -> CAST(x AS DOUBLE))")
 
-  /** Fast (non-oracle) double dot product — plain fold, for production
-    * paths where bit-reproducibility vs an external engine is not
-    * required.
+  /** Fast (non-oracle) double dot product — served by the codegen
+    * kernel [[graft.expressions.DoubleDot]] (the interpreted
+    * higher-order-function fold it replaces is the reference
+    * semantics, kept as [[dotFastHof]] for the parity spec). Requires
+    * `DoubleDot.register`, which [[graft.queries.Extras]] does at
+    * every embedding read.
     */
   def dotFast(a: String, b: String): Column =
+    graft.expressions.DoubleDot.doubleDot(col(a), col(b))
+
+  /** Declarative reference form of [[dotFast]]. */
+  def dotFastHof(a: String, b: String): Column =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> x*y), CAST(0 AS DOUBLE), (acc, x) -> acc+x)")
 
   /** Element-wise mean of float vectors — typed `Aggregator` (the I-

@@ -71,6 +71,7 @@ object Extras {
   private def emb(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.expressions.DecimalDot.register(s)
+    graft.expressions.DoubleDot.register(s)
     t(s, dir, "embeddings")
       .select($"vec_id", VectorFns.asDoubleArray("embedding").as("v"))
   }

@@ -160,4 +160,36 @@ class ExpressionParitySpec extends AnyFunSuite {
       .select(graft.expressions.IntDot.intDot(col("a"), col("b")).as("d")).head()
     assert(r2.isNullAt(0))
   }
+
+  test("double_dot == aggregate(zip_with) double fold on random vectors") {
+    graft.expressions.DoubleDot.register(spark)
+    val rnd = new scala.util.Random(17)
+    val rows = Seq.fill(300) {
+      val n = 1 + rnd.nextInt(64)
+      def vec() = Seq.fill(n)(rnd.nextDouble() * 2 - 1)
+      (vec(), vec())
+    } ++ Seq(
+      (Seq.empty[Double], Seq.empty[Double]),
+      (Seq(Double.NaN, 1.0), Seq(1.0, 1.0)),
+      (Seq(Double.MaxValue, Double.MaxValue), Seq(Double.MaxValue, 1.0)))
+    val bad = rows.toDF("a", "b")
+      .select(
+        graft.expressions.DoubleDot.doubleDot(col("a"), col("b")).as("fast"),
+        VectorFns.dotFastHof("a", "b").as("ref"))
+      .filter(not(col("fast") <=> col("ref")))
+      .collect()
+    assert(bad.isEmpty, bad.take(3).mkString("; "))
+  }
+
+  test("double_dot nulls on length mismatch and null elements") {
+    graft.expressions.DoubleDot.register(spark)
+    val r = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
+      .select(graft.expressions.DoubleDot.doubleDot(col("a"), col("b")).as("d"))
+      .head()
+    assert(r.isNullAt(0))
+    val r2 = Seq((Seq(Some(1.0), None), Seq(Some(1.0), Some(2.0)))).toDF("a", "b")
+      .select(graft.expressions.DoubleDot.doubleDot(col("a"), col("b")).as("d"))
+      .head()
+    assert(r2.isNullAt(0))
+  }
 }

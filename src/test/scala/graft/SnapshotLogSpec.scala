@@ -690,6 +690,21 @@ class SnapshotLogSpec extends AnyFunSuite {
       "clone DV invisible to source")
   }
 
+  test("vacuum on a clone never reaches outside its own root") {
+    val src = freshTable()
+    SnapshotLog.overwrite(rows("a", 1 to 10), src, Seq("part"))
+    val dst = freshTable()
+    SnapshotLog.cloneShallow(spark, src, dst)
+    // un-share: after this rewrite the clone head references NO source
+    // file, so a vacuum with retainLast=1 sees them all unreferenced
+    import spark.implicits._
+    SnapshotLog.deleteByKeys(spark, dst, "id", Seq(1L).toDF("id"), "part")
+    SnapshotLog.vacuum(spark, dst, retainLast = 1, staleGraceMs = 0L)
+    assert(SnapshotLog.read(spark, src).count() == 10,
+      "source files survive a clone-side vacuum")
+    assert(SnapshotLog.read(spark, dst).count() == 9)
+  }
+
   test("detail() summarizes the head from metadata alone") {
     val t = freshTable()
     SnapshotLog.overwrite(
