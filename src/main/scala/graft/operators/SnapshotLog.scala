@@ -66,14 +66,19 @@ object SnapshotLog {
     * — Delta's merge-on-read DV shape, as a parquet relation instead
     * of a roaring bitmap. `constraints` are named CHECK expressions
     * (Delta's `ADD CONSTRAINT`) every incoming row must satisfy —
-    * stored cumulatively per commit like `txns`.
+    * stored cumulatively per commit like `txns`. `pendingTxn` is the
+    * decision-file path of an UNDECIDED multi-table transaction whose
+    * prepare wrote this version's own doc — its adds are already
+    * EXCLUDED from `files`; the field exists so writers refuse to
+    * stack commits on an in-flight transaction ([[commitAll]]).
     */
   case class Snapshot(version: Long, op: String, files: Seq[String],
       schema: StructType, partCols: Seq[String],
       txns: Map[String, Long] = Map.empty,
       stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
       dvs: Map[String, Seq[String]] = Map.empty,
-      constraints: Map[String, String] = Map.empty)
+      constraints: Map[String, String] = Map.empty,
+      pendingTxn: Option[String] = None)
 
   private val mapper = new ObjectMapper()
 
@@ -237,21 +242,44 @@ object SnapshotLog {
         "is missing (removed by vacuum without a retained checkpoint?)")
       docs = readDoc(f, tableDir, v) :: docs
     }
+    // multi-table-txn visibility: a doc carrying `txn_decision` is a
+    // PREPARE — its adds count only once the decision file says
+    // committed (absent = in flight, aborted = never). One decision
+    // read per distinct txn, cached across the replay.
+    val decisions = mutable.Map.empty[String, Option[String]]
+    def txnCommitted(d: com.fasterxml.jackson.databind.JsonNode): Boolean =
+      Option(d.get("txn_decision")).map(_.asText()) match {
+        case None => true
+        case Some(p) =>
+          decisions.getOrElseUpdate(p, txnStatusAt(f, p)).contains("committed")
+      }
     var files: Seq[String] = strArr(docs.head, "files")
     var stats = statsOf(docs.head) // full map on checkpoints
     var dvs = dvsOf(docs.head)     // full map on checkpoints
+    if (!txnCommitted(docs.head)) {
+      // a prepare can land on a checkpoint slot: its full listing
+      // (and stats/DV map) includes its own adds — back them out
+      val own = strArr(docs.head, "adds").toSet
+      files = files.filterNot(own.contains)
+      stats = stats -- own
+      dvs = dvs -- own
+    }
     docs.tail.foreach { d =>
+      val visible = txnCommitted(d)
       val rm = strArr(d, "removes").toSet
-      files = files.filterNot(rm.contains) ++ strArr(d, "adds")
-      stats = (stats -- rm) ++ statsOf(d) // adds-only on delta docs
+      files = files.filterNot(rm.contains) ++
+        (if (visible) strArr(d, "adds") else Seq.empty)
+      stats = (stats -- rm) ++ // adds-only on delta docs
+        (if (visible) statsOf(d) else Map.empty)
       // a removed data file sheds its DVs; a dvs_full doc (restore)
       // REPLACES the map, a delta doc's dvs ACCUMULATE per file
       // (a second MoR delete on a file unions with the first)
       dvs =
         if (d.has("dvs_full")) dvsOf(d)
-        else dvsOf(d).foldLeft(dvs -- rm) { case (m, (k, v)) =>
-          m.updated(k, (m.getOrElse(k, Seq.empty) ++ v).distinct)
-        }
+        else (if (visible) dvsOf(d) else Map.empty[String, Seq[String]])
+          .foldLeft(dvs -- rm) { case (m, (k, v)) =>
+            m.updated(k, (m.getOrElse(k, Seq.empty) ++ v).distinct)
+          }
     }
     val n = docs.last // the requested version's own doc: op/schema/txns
     val parts = strArr(n, "part_cols")
@@ -261,9 +289,11 @@ object SnapshotLog {
     val cons = Option(n.get("constraints")).map { cn =>
       cn.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     }.getOrElse(Map.empty[String, String])
+    val pending = Option(n.get("txn_decision")).map(_.asText())
+      .filter(p => decisions.getOrElseUpdate(p, txnStatusAt(f, p)).isEmpty)
     Snapshot(n.get("version").asLong(), n.get("op").asText(), files.sorted,
       DataType.fromJson(n.get("schema").asText()).asInstanceOf[StructType],
-      parts, txns, stats, dvs, cons)
+      parts, txns, stats, dvs, cons, pending)
   }
 
   /** The DV row relation: `(file_path, row_index)` pairs doomed by
@@ -477,7 +507,8 @@ object SnapshotLog {
       constraintsUpdate: Option[Map[String, String] => Map[String, String]] = None,
       unionSchemaWithHead: Boolean = true,
       expectedConstraints: Option[Map[String, String]] = None,
-      precomputedStats: Map[String, Map[String, (Double, Double)]] = Map.empty)(
+      precomputedStats: Map[String, Map[String, (Double, Double)]] = Map.empty,
+      txnDecision: Option[String] = None)(
       rebase: Seq[String] => Seq[String]): Long = {
     val f = fs(spark, tableDir)
     f.mkdirs(logDir(tableDir))
@@ -485,6 +516,19 @@ object SnapshotLog {
     while (true) {
       val head = latestVersion(spark, tableDir)
       val headSnap = head.map(snapshotAt(spark, tableDir, _))
+      // an UNDECIDED multi-table prepare at the head blocks every
+      // other writer: a commit stacked on it (above all a checkpoint's
+      // full listing, which would freeze the exclusion) could lose the
+      // txn's adds if the decision lands later. The in-flight window
+      // is the coordinator's prepare→decide gap — milliseconds — and a
+      // crashed coordinator is cleared by [[rollbackTxn]]. The txn's
+      // OWN later prepares (same decision path) may stack.
+      headSnap.flatMap(_.pendingTxn).filterNot(txnDecision.contains)
+        .foreach { p =>
+          throw new java.util.ConcurrentModificationException(
+            s"$op@$tableDir: head v${head.getOrElse(0L)} is an undecided " +
+            s"multi-table transaction ($p); decide or roll it back first")
+        }
       val headFiles = headSnap.map(_.files).getOrElse(Nil)
       val headTxns = headSnap.map(_.txns).getOrElse(Map.empty[String, Long])
       // idempotence slot: a replayed (appId, version) — rechecked on
@@ -532,6 +576,7 @@ object SnapshotLog {
       root.put("version", next)
       root.put("op", op)
       root.put("at_ms", System.currentTimeMillis())
+      txnDecision.foreach(root.put("txn_decision", _))
       root.put("schema", outSchema.json)
       val pc = root.putArray("part_cols")
       partCols.foreach(pc.add)
