@@ -862,6 +862,134 @@ object SnapshotLog {
       headFiles => headFiles ++ added)
   }
 
+  // ---------------------------------------- multi-table transaction (2PC)
+
+  /** Status of a multi-table transaction: `None` while the coordinator
+    * is in flight (decision file absent), else `Some("committed")` /
+    * `Some("aborted")`. One KB-scale metadata read; [[snapshotAt]]
+    * caches it per replay, so a million-file reconstruction reads each
+    * distinct decision exactly once.
+    */
+  private[graft] def txnStatusAt(f: FileSystem,
+      decisionPath: String): Option[String] = {
+    val p = new Path(decisionPath)
+    if (!f.exists(p)) None
+    else {
+      val st = f.getFileStatus(p)
+      val in = f.open(p)
+      val doc = try {
+        val buf = new Array[Byte](st.getLen.toInt)
+        in.readFully(buf)
+        new String(buf, "UTF-8")
+      } finally in.close()
+      Some(mapper.readTree(doc).get("status").asText())
+    }
+  }
+
+  /** Publish a decision exactly once: full doc to a hidden tmp, atomic
+    * rename onto the decision slot — the same crash-safe primitive as
+    * the commit slot. First writer wins; a later decide (a rollback
+    * racing the coordinator's commit, or vice versa) returns the
+    * EXISTING status unchanged — a decision can never flip, which is
+    * what makes the prepare-visibility check in [[snapshotAt]] stable
+    * across reads.
+    */
+  private def decide(f: FileSystem, decisionPath: String,
+      status: String): String = commitLock.synchronized {
+    txnStatusAt(f, decisionPath) match {
+      case Some(existing) => existing
+      case None =>
+        val p = new Path(decisionPath)
+        f.mkdirs(p.getParent)
+        val root = mapper.createObjectNode()
+        root.put("status", status)
+        root.put("at_ms", System.currentTimeMillis())
+        val tmp = new Path(p.getParent,
+          s".tmp-${java.util.UUID.randomUUID()}.json")
+        val out = f.create(tmp, true)
+        try out.write(mapper.writeValueAsString(root).getBytes("UTF-8"))
+        finally out.close()
+        if (f.rename(tmp, p)) status
+        else { // lost a cross-process race: the winner's status stands
+          f.delete(tmp, false)
+          txnStatusAt(f, decisionPath).getOrElse(
+            sys.error(s"decision rename failed with no status at $decisionPath"))
+        }
+    }
+  }
+
+  /** Atomic MULTI-TABLE transaction — append each `(df, tableDir,
+    * partCols)` so that ALL tables' new rows become visible together
+    * or none do (the cross-table atomicity Delta itself lacks;
+    * decision-file two-phase commit, the coordinator half of the
+    * read-side protocol in [[snapshotAt]]/[[commit]]).
+    *
+    * Phase 1 (prepare): each table gets a normal staged commit whose
+    * log doc carries the SHARED `txn_decision` path. While that file
+    * is absent, every reader excludes the prepare's adds and every
+    * other writer refuses to stack on the undecided head — the
+    * in-flight window is the prepare→decide gap, milliseconds.
+    * Phase 2 (decide): ONE atomic rename publishes "committed"; all
+    * prepares flip visible in the same instant. Any prepare failure
+    * (constraint violation, conflict abort) publishes "aborted" before
+    * rethrowing, voiding the prepares that already landed — their
+    * staged files are never listed and age out via [[vacuum]]'s grace
+    * clock. A coordinator that CRASHES between phases leaves the
+    * decision absent: readers keep excluding, writers stay blocked,
+    * until [[rollbackTxn]] publishes the abort.
+    *
+    * Scale shape: pure log/decision metadata on top of the normal
+    * staged writes — no extra data movement, no cross-table lock; the
+    * per-table commit race/rebase rules apply to each prepare
+    * unchanged. The decision file must outlive every retained log
+    * entry referencing it (KB-scale; keep `decisionDir` outside any
+    * vacuumed tree). Returns (decisionPath, tableDir → prepare
+    * version).
+    */
+  def commitAll(spark: SparkSession,
+      writes: Seq[(DataFrame, String, Seq[String])],
+      decisionDir: String): (String, Map[String, Long]) = {
+    require(writes.nonEmpty, "commitAll needs at least one write")
+    require(writes.map(_._2).distinct.size == writes.size,
+      "one prepare per table: duplicate tableDir in commitAll")
+    val f = fs(spark, decisionDir)
+    val decisionPath = f.makeQualified(new Path(decisionDir,
+      s"txn-${java.util.UUID.randomUUID()}.json")).toString
+    val prepared = mutable.Map.empty[String, Long]
+    try {
+      writes.foreach { case (df, tableDir, partCols) =>
+        val head = headSnapshot(spark, tableDir)
+        enforceConstraints(head, df, "commitAll")
+        val schema = evolvedSchema(head, df, partCols)
+        val added = stage(df, tableDir, partCols)
+        prepared(tableDir) = commit(spark, tableDir, "txn_append", schema,
+          partCols, txnDecision = Some(decisionPath),
+          expectedConstraints =
+            Some(head.map(_.constraints).getOrElse(Map.empty)))(
+          headFiles => headFiles ++ added)
+      }
+    } catch {
+      case e: Throwable =>
+        decide(f, decisionPath, "aborted")
+        throw e
+    }
+    val outcome = decide(f, decisionPath, "committed")
+    require(outcome == "committed",
+      s"transaction $decisionPath was decided '$outcome' out from under " +
+      "its coordinator (concurrent rollbackTxn?)")
+    (decisionPath, prepared.toMap)
+  }
+
+  /** Resolve a stuck multi-table transaction (crashed coordinator):
+    * publish "aborted" unless a decision already exists, and return
+    * the final status. Safe on a decided txn — the existing decision
+    * stands. Unblocks writers on every table whose head is the txn's
+    * prepare; the aborted prepares' staged files age out via
+    * [[vacuum]].
+    */
+  def rollbackTxn(spark: SparkSession, decisionPath: String): String =
+    decide(fs(spark, decisionPath), decisionPath, "aborted")
+
   /** The schema a READER of this table sees: partition columns read
     * back from directory names lose nullability-irrelevant writer
     * details, so derive it from an actual staged read once written —

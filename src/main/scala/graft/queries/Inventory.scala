@@ -31,15 +31,25 @@ object Inventory {
   private[queries] def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's reader rejects by default. Read it as raw nanos
-    * (legacy.parquet.nanosAsLong) and rebuild a proper timestamp at
-    * microsecond precision (same truncation DuckDB applies).
+  /** `events.parquet` has stored `ts` as parquet TIMESTAMP(NANOS) in
+    * some data generations — which Spark's reader rejects by default,
+    * so it is read as raw nanos via `legacy.parquet.nanosAsLong` — and
+    * as TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ) in others. Normalize
+    * either shape to a plain micros TimestampType: nanos truncate the
+    * way DuckDB does, and the NTZ cast is epoch-identical because every
+    * session here runs with session.timeZone=UTC.
     */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => // raw nanos (legacy flag)
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
+
   private[queries] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    normalizeTs(t(s, dir, "events"))
   }
 
   /** Exact decimal sum rendered as double — order-independent, so it
@@ -587,12 +597,11 @@ object Inventory {
   def q28(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = t(s, dir, "events").schema // ts read as raw nanos (long)
+    val rawSchema = t(s, dir, "events").schema // ts as raw nanos or NTZ micros
     val name = "q28_sink_" + System.nanoTime()
-    val stream = s.readStream.schema(rawSchema)
+    val stream = normalizeTs(s.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet") // file source wants a dir
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .parquet(dir))
     val agg = stream
       .withWatermark("ts", "1 day")
       .groupBy(window($"ts", "1 day").as("w"), $"event_type")

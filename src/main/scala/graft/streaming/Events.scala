@@ -26,26 +26,27 @@ object Events {
 
   case class LatestState(event_id: Long, ts: java.sql.Timestamp, value: Double)
 
-  /** File-source stream of the events table (nanos-safe read). */
+  /** File-source stream of the events table (ts-shape-safe read:
+    * [[graft.queries.Inventory.normalizeTs]] handles both the raw-nanos
+    * and the micros-NTZ generations of the table).
+    */
   def stream(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(rawSchema)
+    graft.queries.Inventory.normalizeTs(spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .parquet(dir))
   }
 
-  /** Batch read of the same table with the identical nanos-safe ts
-    * rebuild — the one place the conversion lives for batch twins of
-    * the streaming jobs.
+  /** Batch read of the same table with the identical ts normalization —
+    * the batch twins of the streaming jobs share one conversion.
     */
   def batch(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    graft.queries.Inventory.normalizeTs(
+      spark.read.parquet(s"$dir/events.parquet"))
   }
 
   /** H2: tumbling-day aggregation with a 1-day watermark (Q20 shape). */

@@ -805,4 +805,102 @@ class SnapshotLogSpec extends AnyFunSuite {
     SnapshotLog.append(Seq(("a", "y")).toDF("part", "payload"), t, Seq("part"))
     assert(SnapshotLog.read(spark, t).filter($"id".isNull).count() == 1)
   }
+
+  // ------------------------------------------ multi-table transaction (2PC)
+
+  private def freshDecisionDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-txn").toString
+
+  test("commitAll lands appends on every table atomically") {
+    val t1 = freshTable(); val t2 = freshTable()
+    SnapshotLog.overwrite(rows("a", 1 to 3), t1, Seq("part"))
+    SnapshotLog.overwrite(rows("a", 1 to 5), t2, Seq("part"))
+    val (decision, versions) = SnapshotLog.commitAll(spark, Seq(
+      (rows("b", 10 to 12), t1, Seq("part")),
+      (rows("b", 10 to 11), t2, Seq("part"))), freshDecisionDir())
+    assert(versions == Map(t1 -> 2L, t2 -> 2L))
+    assert(SnapshotLog.read(spark, t1).count() == 6)
+    assert(SnapshotLog.read(spark, t2).count() == 7)
+    // the decided head is not pending: new writers stack freely
+    SnapshotLog.append(rows("c", 20 to 20), t1, Seq("part"))
+    assert(SnapshotLog.read(spark, t1).count() == 7)
+    // a second decide can never flip the outcome
+    assert(SnapshotLog.rollbackTxn(spark, decision) == "committed")
+  }
+
+  test("an undecided prepare is invisible to readers and blocks writers") {
+    val t1 = freshTable(); val t2 = freshTable()
+    SnapshotLog.overwrite(rows("a", 1 to 3), t1, Seq("part"))
+    SnapshotLog.overwrite(rows("a", 1 to 5), t2, Seq("part"))
+    // hand-drive phase 1 only — the coordinator "crashes" before deciding
+    val decision = freshDecisionDir() + "/txn-crashed.json"
+    val snap1 = SnapshotLog.snapshotAt(spark, t1, 1)
+    SnapshotLog.commit(spark, t1, "txn_append", snap1.schema, snap1.partCols,
+      txnDecision = Some(decision))(
+      headFiles => headFiles) // metadata-only prepare: adds not needed here
+    // readers: the prepare's version exists but contributes nothing yet
+    assert(SnapshotLog.read(spark, t1).count() == 3)
+    assert(SnapshotLog.snapshotAt(spark, t1, 2).pendingTxn.contains(decision))
+    // writers refuse to stack on the undecided head
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotLog.append(rows("c", 30 to 30), t1, Seq("part"))
+    }
+    // rollbackTxn publishes the abort: writers unblock, adds stay void
+    assert(SnapshotLog.rollbackTxn(spark, decision) == "aborted")
+    assert(SnapshotLog.snapshotAt(spark, t1, 2).pendingTxn.isEmpty)
+    SnapshotLog.append(rows("c", 30 to 30), t1, Seq("part"))
+    assert(SnapshotLog.read(spark, t1).count() == 4)
+    // the untouched second table never saw any of it
+    assert(SnapshotLog.read(spark, t2).count() == 5)
+  }
+
+  test("a failed prepare aborts the whole transaction on every table") {
+    val t1 = freshTable(); val t2 = freshTable()
+    SnapshotLog.overwrite(rows("a", 1 to 3), t1, Seq("part"))
+    SnapshotLog.overwrite(rows("a", 1 to 5), t2, Seq("part"))
+    SnapshotLog.addConstraint(spark, t2, "positive_ids", "id > 0")
+    // t1's prepare lands first, then t2's constraint rejects its rows —
+    // the coordinator must void t1's already-landed prepare
+    intercept[IllegalArgumentException] {
+      SnapshotLog.commitAll(spark, Seq(
+        (rows("b", 10 to 12), t1, Seq("part")),
+        (rows("b", Seq(-1)), t2, Seq("part"))), freshDecisionDir())
+    }
+    assert(SnapshotLog.read(spark, t1).count() == 3, "t1's prepare voided")
+    assert(SnapshotLog.read(spark, t2).count() == 5)
+    // t1 is decided-aborted, not stuck: writers proceed, and the
+    // aborted prepare's staged files are vacuum-sweepable orphans
+    SnapshotLog.append(rows("c", 30 to 30), t1, Seq("part"))
+    assert(SnapshotLog.read(spark, t1).count() == 4)
+    val dropped = SnapshotLog.vacuum(spark, t1, retainLast = 10, staleGraceMs = 0L)
+    assert(dropped.nonEmpty, "aborted prepare's staged files swept")
+    assert(SnapshotLog.read(spark, t1).count() == 4, "live data untouched")
+  }
+
+  test("a prepare on a checkpoint slot backs its adds out until decided") {
+    val t = freshTable()
+    // v1..v9 committed; the next commit (v10) is a checkpoint whose full
+    // listing includes its own adds — exactly the back-out path
+    (1 to 9).foreach { i =>
+      if (i == 1) SnapshotLog.overwrite(rows("a", Seq(i)), t, Seq("part"))
+      else SnapshotLog.append(rows("a", Seq(i)), t, Seq("part"))
+    }
+    val (decision, versions) = SnapshotLog.commitAll(spark,
+      Seq((rows("b", 100 to 102), t, Seq("part"))), freshDecisionDir())
+    assert(versions == Map(t -> 10L), "prepare landed on the checkpoint slot")
+    assert(SnapshotLog.read(spark, t).count() == 12)
+    // hide the decision: the checkpoint's own adds must back out, and
+    // later deltas must still replay cleanly from the masked checkpoint
+    val f = new org.apache.hadoop.fs.Path(decision)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hidden = new org.apache.hadoop.fs.Path(decision + ".hidden")
+    assert(f.rename(new org.apache.hadoop.fs.Path(decision), hidden))
+    assert(SnapshotLog.read(spark, t).count() == 9,
+      "undecided checkpoint prepare serves the pre-txn rows only")
+    assert(f.rename(hidden, new org.apache.hadoop.fs.Path(decision)))
+    assert(SnapshotLog.read(spark, t).count() == 12)
+    // reconstruction THROUGH the decided checkpoint stays exact
+    SnapshotLog.append(rows("c", 200 to 200), t, Seq("part"))
+    assert(SnapshotLog.readAt(spark, t, 11).count() == 13)
+  }
 }
