@@ -287,6 +287,36 @@ object PlanAudit {
         "the loop's own aggregates)" ->
         (p => p.contains("LocalTableScan") || p.contains("Scan ExistingRDD")))
 
+    // Direct snapshot-log checks — the scale properties a plan string
+    // can't show: file pruning happens driver-side BEFORE the plan is
+    // built, and the DV fast path is a plan SHAPE (which files join).
+    def check(desc: String)(cond: => Boolean): Unit = {
+      val ok = try cond catch { case e: Throwable => println(s"  $e"); false }
+      if (!ok) failures += 1
+      println(s"  [${if (ok) "PASS" else "FAIL"}] $desc")
+    }
+    println("\n========== snapshot log direct checks ==========")
+    locally {
+      import graft.operators.SnapshotLog
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      val t = java.nio.file.Files.createTempDirectory("graft-audit")
+        .toString + "/t"
+      def batch(lo: Int, hi: Int) =
+        (lo to hi).map(_.toLong).toDF("id").repartition(1)
+      SnapshotLog.overwrite(batch(1, 100), t)
+      (1 to 3).foreach(b => SnapshotLog.append(batch(b * 100 + 1, b * 100 + 100), t))
+      val snap = SnapshotLog.snapshotAt(spark, t, 4)
+      check("x54: readWhere keeps 1 of 4 files from log stats alone")(
+        SnapshotLog.statsPrunedFiles(snap, "id", 150, 160).size == 1)
+      SnapshotLog.deleteWhere(spark, t, col("id") === 150)
+      val dvPlan = SnapshotLog.read(spark, t)
+        .queryExecution.executedPlan.toString
+      check("x58: only the DV'd file pays the anti-join; clean files " +
+          "union past it")(
+        "LeftAnti".r.findAllIn(dvPlan).size == 1 && dvPlan.contains("Union"))
+    }
+
     println(s"\nPlan audit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()
     if (failures > 0) sys.exit(1)

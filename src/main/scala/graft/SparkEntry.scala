@@ -120,7 +120,8 @@ object SparkEntry {
     "x60_bpe_train" -> (X.x60BpeTrain _),
     "x61_kmeans_embed" -> (X.x61KmeansEmbed _),
     "x62_semantic_dedup" -> (X.x62SemanticDedup _),
-    "x63_shallow_clone" -> (X.x63ShallowClone _)
+    "x63_shallow_clone" -> (X.x63ShallowClone _),
+    "x64_multi_txn" -> (X.x64MultiTxn _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

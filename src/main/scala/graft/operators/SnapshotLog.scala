@@ -141,8 +141,16 @@ object SnapshotLog {
     */
   private[graft] val CheckpointInterval = 10L
 
+  /** Log-doc read counter (test instrumentation only): the stress spec
+    * pins [[snapshotAt]]'s replay cost to O(CheckpointInterval) docs,
+    * not O(history) — the property that keeps a million-commit table's
+    * planning cost flat.
+    */
+  private[graft] val docReads = new java.util.concurrent.atomic.AtomicLong
+
   private def readDoc(f: FileSystem, tableDir: String,
       v: Long): com.fasterxml.jackson.databind.JsonNode = {
+    docReads.incrementAndGet()
     val p = versionPath(tableDir, v)
     val st = f.getFileStatus(p)
     val in = f.open(p)
@@ -430,14 +438,24 @@ object SnapshotLog {
       case None => (lit(lo), lit(hi))
     }
     val pred = col(colName) >= lLo && col(colName) <= lHi
-    val keep = snap.files.filter { rel =>
+    readFiles(spark, tableDir, snap, statsPrunedFiles(snap, colName, lo, hi))
+      .filter(pred)
+  }
+
+  /** The file subset [[readWhere]] actually scans: every listed file
+    * whose logged [min, max] on `colName` can overlap `[lo, hi]`, plus
+    * any file with no stats on the column (never prune on ignorance).
+    * Exposed `private[graft]` so the spec can pin the pruning COUNT —
+    * the metadata-only planning guarantee — not just result values.
+    */
+  private[graft] def statsPrunedFiles(snap: Snapshot, colName: String,
+      lo: Double, hi: Double): Seq[String] =
+    snap.files.filter { rel =>
       snap.stats.get(rel).flatMap(_.get(colName)) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
         case None => true
       }
     }
-    readFiles(spark, tableDir, snap, keep).filter(pred)
-  }
 
   /** Scan the latest committed version. */
   def read(spark: SparkSession, tableDir: String): DataFrame = {

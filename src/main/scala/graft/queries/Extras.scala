@@ -2478,6 +2478,61 @@ object Extras {
       .reduce(_ unionAll _).orderBy($"side", $"version")
   }
 
+  /** x64 — multi-table ACID transaction under the hash gate
+    * ([[graft.operators.SnapshotLog.commitAll]], decision-file 2PC):
+    * the cross-table atomicity a feature-store or training-manifest
+    * pipeline needs when a fact table and its dimension must advance
+    * together. Seeds two snapshot tables with half of orders/customer,
+    * lands the other halves in ONE transaction (both visible
+    * atomically), then drives a second transaction that MUST abort —
+    * its first prepare (orders rows key-shifted +20M) lands before the
+    * second table's CHECK constraint rejects its rows, so the
+    * coordinator's abort has to void an already-landed prepare.
+    * Digesting every version of both tables pins the whole contract:
+    * the committed txn's rows are all present, the aborted txn
+    * contributes NOTHING at any version (a leaked prepare would also
+    * surface in max_key via the +20M shift), and the abort leaves both
+    * tables writable. The oracle recomputes each version relationally
+    * from the raw tables.
+    */
+  def x64MultiTxn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.SnapshotLog
+    val t1 = scratchDir(s, "x64a", dir)
+    val t2 = scratchDir(s, "x64b", dir)
+    val dec = scratchDir(s, "x64d", dir)
+    val orders = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+    SnapshotLog.overwrite(orders.filter($"o_orderkey" % 2 === 0), t1,
+      Seq("o_orderstatus"))
+    SnapshotLog.overwrite(cust.filter($"c_custkey" % 2 === 0), t2)
+    SnapshotLog.commitAll(s, Seq(
+      (orders.filter($"o_orderkey" % 2 === 1), t1, Seq("o_orderstatus")),
+      (cust.filter($"c_custkey" % 2 === 1), t2, Nil)), dec)
+    SnapshotLog.addConstraint(s, t2, "nonnegative_keys", "c_custkey >= 0")
+    try {
+      SnapshotLog.commitAll(s, Seq(
+        (orders.filter($"o_orderkey" % 97 === 0)
+          .withColumn("o_orderkey", $"o_orderkey" + 20000000L), t1,
+          Seq("o_orderstatus")),
+        (cust.filter($"c_custkey" <= 10)
+          .withColumn("c_custkey", -$"c_custkey" - 1L), t2, Nil)), dec)
+      sys.error("x64: the constrained transaction must abort")
+    } catch { case _: IllegalArgumentException => () }
+    // post-abort both tables stay writable (decided head, not stuck)
+    SnapshotLog.append(cust.filter($"c_custkey" === 1), t2)
+    def dig(df: DataFrame, tbl: String, v: Long, amt: Column, key: Column) =
+      df.agg(cnt.as("n_rows"), dsum(amt).as("total_amt"),
+        min(key).as("min_key"), max(key).as("max_key"))
+        .select(lit(tbl).as("tbl"), lit(v).as("version"), $"n_rows",
+          $"total_amt", $"min_key", $"max_key")
+    (SnapshotLog.versions(s, t1).map(v => dig(SnapshotLog.readAt(s, t1, v),
+        "orders", v, col("o_totalprice"), col("o_orderkey"))) ++
+      SnapshotLog.versions(s, t2).map(v => dig(SnapshotLog.readAt(s, t2, v),
+        "customer", v, col("c_acctbal"), col("c_custkey"))))
+      .reduce(_ unionAll _).orderBy($"tbl", $"version")
+  }
+
   /** q26 Aggregator twin — typed [[VectorFns.CentroidAgg]] centroid
     * (float-sum order differs by design → rows-only check; the
     * decimal-exact Q26 is the hash-checked form).

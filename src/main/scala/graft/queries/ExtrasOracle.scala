@@ -1376,6 +1376,35 @@ object ExtrasOracle {
          |SELECT a2.vec_id, a2.cell,
          |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM a2 LEFT JOIN dropped d ON d.vec_id = a2.vec_id
-         |ORDER BY a2.vec_id""".stripMargin
+         |ORDER BY a2.vec_id""".stripMargin,
+
+    // Recomputes x64's two tables relationally per version: the
+    // committed multi-table txn completes both (v2 = full table), the
+    // aborted txn contributes nothing anywhere (orders v3 ≡ v2; the
+    // customer side never even prepares), customer's v3 is the
+    // metadata-only constraint commit and v4 the post-abort append of
+    // custkey 1. Decimal sums route through VARCHAR (float parity).
+    "x64_multi_txn" -> {
+      def dig(amt: String, key: String) = "CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        s"CAST(CAST(SUM(CAST(CAST($amt AS VARCHAR) AS DECIMAL(28,10)))" +
+        " AS VARCHAR) AS DOUBLE) AS total_amt, " +
+        s"MIN($key) AS min_key, MAX($key) AS max_key"
+      val od = dig("o_totalprice", "o_orderkey")
+      val cd = dig("c_acctbal", "c_custkey")
+      s"""WITH c4 AS (SELECT * FROM customer
+         |    UNION ALL SELECT * FROM customer WHERE c_custkey = 1),
+         |dig AS (
+         |  SELECT 'orders' AS tbl, CAST(1 AS BIGINT) AS version, $od
+         |    FROM orders WHERE o_orderkey % 2 = 0
+         |  UNION ALL SELECT 'orders', CAST(2 AS BIGINT), $od FROM orders
+         |  UNION ALL SELECT 'orders', CAST(3 AS BIGINT), $od FROM orders
+         |  UNION ALL SELECT 'customer', CAST(1 AS BIGINT), $cd
+         |    FROM customer WHERE c_custkey % 2 = 0
+         |  UNION ALL SELECT 'customer', CAST(2 AS BIGINT), $cd FROM customer
+         |  UNION ALL SELECT 'customer', CAST(3 AS BIGINT), $cd FROM customer
+         |  UNION ALL SELECT 'customer', CAST(4 AS BIGINT), $cd FROM c4)
+         |SELECT tbl, version, n_rows, total_amt, min_key, max_key
+         |FROM dig ORDER BY tbl, version""".stripMargin
+    }
   )
 }

@@ -903,4 +903,85 @@ class SnapshotLogSpec extends AnyFunSuite {
     SnapshotLog.append(rows("c", 200 to 200), t, Seq("part"))
     assert(SnapshotLog.readAt(spark, t, 11).count() == 13)
   }
+
+  // --------------------------------------------------- scale properties
+
+  test("1,000-commit log: replay is O(checkpoint cadence), vacuum bounds the directory") {
+    val t = freshTable()
+    SnapshotLog.overwrite(rows("a", 1 to 10), t, Seq("part"))
+    val snap1 = SnapshotLog.snapshotAt(spark, t, 1)
+    // metadata-only commits (file listing unchanged) — the cheapest way
+    // to grow a four-digit history without minutes of parquet staging
+    (2 to 1000).foreach { _ =>
+      SnapshotLog.commit(spark, t, "noop", snap1.schema, snap1.partCols)(
+        headFiles => headFiles)
+    }
+    assert(SnapshotLog.latestVersion(spark, t).contains(1000L))
+    // head resolution walks back to the nearest checkpoint — never the
+    // whole history
+    SnapshotLog.docReads.set(0L)
+    assert(SnapshotLog.snapshotAt(spark, t, 1000).files.nonEmpty)
+    assert(SnapshotLog.docReads.get <= SnapshotLog.CheckpointInterval,
+      s"head replay read ${SnapshotLog.docReads.get} docs — must be " +
+      "O(cadence), not O(history)")
+    // a deep mid-cadence version costs the same class (time travel does
+    // not degrade with table age)
+    SnapshotLog.docReads.set(0L)
+    SnapshotLog.snapshotAt(spark, t, 555)
+    assert(SnapshotLog.docReads.get <= SnapshotLog.CheckpointInterval)
+    // vacuum expires the history, promotes the oldest survivor to a
+    // checkpoint, and leaves a bounded log directory
+    SnapshotLog.vacuum(spark, t, retainLast = 5, staleGraceMs = 0L)
+    assert(SnapshotLog.versions(spark, t) == (996L to 1000L))
+    val f = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDocs = f.listStatus(new org.apache.hadoop.fs.Path(t, "_graft_log"))
+      .count(_.getPath.getName.endsWith(".json"))
+    assert(logDocs == 5, s"log directory holds $logDocs docs after vacuum")
+    // the promoted checkpoint serves reads with its delta chain gone
+    SnapshotLog.docReads.set(0L)
+    assert(SnapshotLog.readAt(spark, t, 996).count() == 10)
+    assert(SnapshotLog.docReads.get <= SnapshotLog.CheckpointInterval)
+  }
+
+  test("readWhere prunes the file list from log stats alone") {
+    val t = freshTable()
+    // four single-file commits with disjoint id ranges → four files
+    // with non-overlapping logged [min, max]
+    SnapshotLog.overwrite(rows("a", 1 to 100).repartition(1), t)
+    (1 to 3).foreach { b =>
+      SnapshotLog.append(rows("a", b * 100 + 1 to b * 100 + 100).repartition(1), t)
+    }
+    val snap = SnapshotLog.snapshotAt(spark, t, 4)
+    assert(snap.files.size == 4)
+    assert(snap.files.forall(snap.stats.get(_).exists(_.contains("id"))),
+      "every data file logged id stats at commit time")
+    val kept = SnapshotLog.statsPrunedFiles(snap, "id", 150, 160)
+    assert(kept.size == 1,
+      s"range [150,160] must prune 3 of 4 files from metadata alone, kept $kept")
+    assert(SnapshotLog.readWhere(spark, t, "id", 150, 160).count() == 11)
+    // an unknown column prunes nothing (never prune on ignorance)
+    assert(SnapshotLog.statsPrunedFiles(snap, "nope", 0, 1).size == 4)
+  }
+
+  test("deletion vectors: DV-free files scan on the no-join fast path") {
+    val t = freshTable()
+    SnapshotLog.overwrite(rows("a", 1 to 50).repartition(1), t)
+    SnapshotLog.append(rows("a", 51 to 100).repartition(1), t)
+    val clean = SnapshotLog.read(spark, t)
+      .queryExecution.executedPlan.toString
+    assert(!clean.contains("LeftAnti"), "a DV-free table never joins")
+    // MoR-delete rows that live only in the second file
+    SnapshotLog.deleteWhere(spark, t, $"id" >= 60 && $"id" <= 70)
+    val snap = SnapshotLog.snapshotAt(spark, t,
+      SnapshotLog.latestVersion(spark, t).get)
+    assert(snap.dvs.size == 1, "only the file holding doomed rows gets a DV")
+    val df = SnapshotLog.read(spark, t)
+    assert(df.count() == 89)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("LeftAnti".r.findAllIn(plan).size == 1,
+      "exactly the dirty file's branch pays the DV anti-join")
+    assert(plan.contains("Union"),
+      "the clean file unions in through its own scan, outside the join")
+  }
 }
