@@ -255,11 +255,12 @@ object SnapshotLog {
     // committed (absent = in flight, aborted = never). One decision
     // read per distinct txn, cached across the replay.
     val decisions = mutable.Map.empty[String, Option[String]]
+    val hconf = spark.sparkContext.hadoopConfiguration
     def txnCommitted(d: com.fasterxml.jackson.databind.JsonNode): Boolean =
       Option(d.get("txn_decision")).map(_.asText()) match {
         case None => true
         case Some(p) =>
-          decisions.getOrElseUpdate(p, txnStatusAt(f, p)).contains("committed")
+          decisions.getOrElseUpdate(p, txnStatusAt(hconf, p)).contains("committed")
       }
     var files: Seq[String] = strArr(docs.head, "files")
     var stats = statsOf(docs.head) // full map on checkpoints
@@ -298,7 +299,7 @@ object SnapshotLog {
       cn.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     }.getOrElse(Map.empty[String, String])
     val pending = Option(n.get("txn_decision")).map(_.asText())
-      .filter(p => decisions.getOrElseUpdate(p, txnStatusAt(f, p)).isEmpty)
+      .filter(p => decisions.getOrElseUpdate(p, txnStatusAt(hconf, p)).isEmpty)
     Snapshot(n.get("version").asLong(), n.get("op").asText(), files.sorted,
       DataType.fromJson(n.get("schema").asText()).asInstanceOf[StructType],
       parts, txns, stats, dvs, cons, pending)
@@ -883,55 +884,97 @@ object SnapshotLog {
   // ---------------------------------------- multi-table transaction (2PC)
 
   /** Status of a multi-table transaction: `None` while the coordinator
-    * is in flight (decision file absent), else `Some("committed")` /
-    * `Some("aborted")`. One KB-scale metadata read; [[snapshotAt]]
-    * caches it per replay, so a million-file reconstruction reads each
-    * distinct decision exactly once.
+    * is in flight (decision file absent — or created-but-unwritten,
+    * the microsecond claim window of [[decide]]'s create-if-absent
+    * publish, which reads the same as in-flight and converges once the
+    * content lands), else `Some("committed")` / `Some("aborted")`. One
+    * KB-scale metadata read; [[snapshotAt]] caches it per replay, so a
+    * million-file reconstruction reads each distinct decision exactly
+    * once. The FileSystem is derived from the decision path itself —
+    * `decisionDir` may live on a different scheme/authority than the
+    * participating tables without making them unreadable.
     */
-  private[graft] def txnStatusAt(f: FileSystem,
+  private[graft] def txnStatusAt(conf: org.apache.hadoop.conf.Configuration,
       decisionPath: String): Option[String] = {
     val p = new Path(decisionPath)
+    val f = p.getFileSystem(conf)
     if (!f.exists(p)) None
     else {
       val st = f.getFileStatus(p)
-      val in = f.open(p)
-      val doc = try {
-        val buf = new Array[Byte](st.getLen.toInt)
-        in.readFully(buf)
-        new String(buf, "UTF-8")
-      } finally in.close()
-      Some(mapper.readTree(doc).get("status").asText())
+      if (st.getLen == 0) None // claimed, content not yet flushed
+      else {
+        val in = f.open(p)
+        val doc = try {
+          val buf = new Array[Byte](st.getLen.toInt)
+          in.readFully(buf)
+          new String(buf, "UTF-8")
+        } finally in.close()
+        try Some(mapper.readTree(doc).get("status").asText())
+        catch { case _: Exception => None } // partial write in flight
+      }
     }
   }
 
-  /** Publish a decision exactly once: full doc to a hidden tmp, atomic
-    * rename onto the decision slot — the same crash-safe primitive as
-    * the commit slot. First writer wins; a later decide (a rollback
-    * racing the coordinator's commit, or vice versa) returns the
-    * EXISTING status unchanged — a decision can never flip, which is
-    * what makes the prepare-visibility check in [[snapshotAt]] stable
-    * across reads.
+  /** Publish a decision exactly once via CREATE-IF-ABSENT
+    * (`create(p, overwrite = false)`): the slot claim is atomic on
+    * HDFS-like stores and serialized by `commitLock` in-process.
+    * Rename is deliberately NOT the publish primitive — POSIX /
+    * RawLocalFileSystem rename overwrites its destination, which would
+    * let a [[rollbackTxn]] in another process silently clobber a
+    * published "committed" after the coordinator returned success.
+    * First writer wins; a later decide (a rollback racing the
+    * coordinator's commit, or vice versa) returns the EXISTING status
+    * unchanged — a decision can never flip, which is what makes the
+    * prepare-visibility check in [[snapshotAt]] stable across reads.
+    * A loser retry-reads briefly (the winner's create→write gap is
+    * microseconds); a zero-length slot older than `stalenessMs` is a
+    * writer that crashed mid-create — reclaimed, which is safe because
+    * that writer never returned an outcome to anyone (presumed abort).
     */
-  private def decide(f: FileSystem, decisionPath: String,
-      status: String): String = commitLock.synchronized {
-    txnStatusAt(f, decisionPath) match {
+  private def decide(conf: org.apache.hadoop.conf.Configuration,
+      decisionPath: String, status: String,
+      stalenessMs: Long = 60 * 1000L): String = commitLock.synchronized {
+    val p = new Path(decisionPath)
+    val f = p.getFileSystem(conf)
+    txnStatusAt(conf, decisionPath) match {
       case Some(existing) => existing
       case None =>
-        val p = new Path(decisionPath)
-        f.mkdirs(p.getParent)
-        val root = mapper.createObjectNode()
-        root.put("status", status)
-        root.put("at_ms", System.currentTimeMillis())
-        val tmp = new Path(p.getParent,
-          s".tmp-${java.util.UUID.randomUUID()}.json")
-        val out = f.create(tmp, true)
-        try out.write(mapper.writeValueAsString(root).getBytes("UTF-8"))
-        finally out.close()
-        if (f.rename(tmp, p)) status
-        else { // lost a cross-process race: the winner's status stands
-          f.delete(tmp, false)
-          txnStatusAt(f, decisionPath).getOrElse(
-            sys.error(s"decision rename failed with no status at $decisionPath"))
+        if (f.exists(p) &&
+            f.getFileStatus(p).getModificationTime >
+              System.currentTimeMillis() - stalenessMs) {
+          // a LIVE racing writer holds the claim: its status stands,
+          // wait for the content to land
+          var s: Option[String] = None
+          var i = 0
+          while (s.isEmpty && i < 100) {
+            Thread.sleep(10); s = txnStatusAt(conf, decisionPath); i += 1
+          }
+          s.getOrElse(sys.error(
+            s"decision slot $decisionPath is claimed but unwritten; " +
+            "retry once the writer finishes or its claim goes stale"))
+        } else {
+          if (f.exists(p)) f.delete(p, false) // stale crashed claim
+          f.mkdirs(p.getParent)
+          val root = mapper.createObjectNode()
+          root.put("status", status)
+          root.put("at_ms", System.currentTimeMillis())
+          try {
+            val out = f.create(p, false)
+            try out.write(mapper.writeValueAsString(root).getBytes("UTF-8"))
+            finally out.close()
+            status
+          } catch {
+            case _: java.io.IOException =>
+              // lost the cross-process claim race: the winner's status
+              // stands — wait out its create→write gap
+              var s: Option[String] = None
+              var i = 0
+              while (s.isEmpty && i < 100) {
+                Thread.sleep(10); s = txnStatusAt(conf, decisionPath); i += 1
+              }
+              s.getOrElse(sys.error(
+                s"decision claim lost at $decisionPath but no status landed"))
+          }
         }
     }
   }
@@ -970,6 +1013,7 @@ object SnapshotLog {
     require(writes.nonEmpty, "commitAll needs at least one write")
     require(writes.map(_._2).distinct.size == writes.size,
       "one prepare per table: duplicate tableDir in commitAll")
+    val hconf = spark.sparkContext.hadoopConfiguration
     val f = fs(spark, decisionDir)
     val decisionPath = f.makeQualified(new Path(decisionDir,
       s"txn-${java.util.UUID.randomUUID()}.json")).toString
@@ -988,10 +1032,10 @@ object SnapshotLog {
       }
     } catch {
       case e: Throwable =>
-        decide(f, decisionPath, "aborted")
+        decide(hconf, decisionPath, "aborted")
         throw e
     }
-    val outcome = decide(f, decisionPath, "committed")
+    val outcome = decide(hconf, decisionPath, "committed")
     require(outcome == "committed",
       s"transaction $decisionPath was decided '$outcome' out from under " +
       "its coordinator (concurrent rollbackTxn?)")
@@ -1006,7 +1050,7 @@ object SnapshotLog {
     * [[vacuum]].
     */
   def rollbackTxn(spark: SparkSession, decisionPath: String): String =
-    decide(fs(spark, decisionPath), decisionPath, "aborted")
+    decide(spark.sparkContext.hadoopConfiguration, decisionPath, "aborted")
 
   /** The schema a READER of this table sees: partition columns read
     * back from directory names lose nullability-irrelevant writer
@@ -1517,7 +1561,20 @@ object SnapshotLog {
     // (data files and DVs) — this is the maintenance path's only
     // driver-side log replay
     val retainedSnaps = retained.map(v => snapshotAt(spark, tableDir, v))
-    val keep = retainedSnaps.flatMap(_.files).toSet
+    // an UNDECIDED multi-table prepare's staged adds are excluded from
+    // snapshot files but must survive the sweep: if the coordinator
+    // later decides "committed" those files become live retroactively.
+    // (A crashed coordinator can leave the prepare undecided well past
+    // the grace window — unlike plain staged-not-yet-committed writes,
+    // age proves nothing here.)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val undecidedDocs = retained.map(v => v -> readDoc(f, tableDir, v))
+      .filter { case (_, d) =>
+        Option(d.get("txn_decision")).map(_.asText())
+          .exists(p => txnStatusAt(hconf, p).isEmpty)
+      }
+    val pendingAdds = undecidedDocs.flatMap { case (_, d) => strArr(d, "adds") }
+    val keep = (retainedSnaps.flatMap(_.files) ++ pendingAdds).toSet
     val cutoffMs = System.currentTimeMillis() - math.max(staleGraceMs, 0L)
     val dropped = mutable.ArrayBuffer.empty[String]
     def walk(p: Path, rel: String): Unit =
@@ -1547,6 +1604,15 @@ object SnapshotLog {
       }
     }
     val expired = all.dropRight(math.max(retainLast, 1))
+    // An UNDECIDED prepare anywhere in the retained range freezes log
+    // truncation: promoting it (or a successor) to a checkpoint would
+    // bake the current "excluded" reading of its adds into the full
+    // listing permanently — snapshotAt's checkpoint path only ever
+    // backs adds OUT, so when the coordinator later decides
+    // "committed" the rows would vanish from that version forward.
+    // Data/DV sweeps above already ran (pendingAdds kept); only the
+    // log-entry work is deferred until the txn is decided.
+    if (undecidedDocs.nonEmpty) return dropped.toSeq.sorted
     // promote the oldest retained version to a checkpoint if it is
     // delta-encoded: its reconstruction chain is about to be deleted.
     // The rewrite is semantically the same doc plus the full listing;
@@ -1557,6 +1623,13 @@ object SnapshotLog {
       if (!doc.has("files")) {
         val snap = retainedSnaps.head // reconstructed pre-deletion above
         val root = doc.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+        // a DECIDED txn_decision is baked in: snap.files already
+        // reflects the outcome (committed → adds listed, aborted →
+        // excluded), so the promoted checkpoint drops the reference —
+        // making it self-contained and the decision file GC-able
+        // ([[vacuumDecisions]]). Undecided never reaches here (guard
+        // above).
+        root.remove("txn_decision")
         val arr = root.putArray("files")
         snap.files.foreach(arr.add)
         root.remove("stats") // promote to the FULL stats map too
@@ -1602,5 +1675,49 @@ object SnapshotLog {
         f.delete(st.getPath, false)
     }
     dropped.toSeq.sorted
+  }
+
+  /** GC multi-table-transaction decision files: a DECIDED decision that
+    * no surviving log entry of any participating table references is
+    * dead metadata — [[vacuum]]'s log truncation (which bakes decided
+    * outcomes into promoted checkpoints) is what unreferences them, and
+    * without this sweep a long-lived lake accumulates one KB-file per
+    * transaction forever. Kept: decisions referenced by ANY remaining
+    * log doc of `tableDirs` (the caller lists every table that ever
+    * participated — same contract as choosing `decisionDir`),
+    * zero-length claims (an in-flight [[decide]], arbitrated there,
+    * never here), and anything younger than `staleGraceMs` (covers the
+    * reference-scan-vs-new-txn race: a new txn's prepares land BEFORE
+    * its decision file exists, so an unreferenced-but-young decision
+    * may belong to a txn whose prepares this scan just missed).
+    * Returns the deleted paths.
+    */
+  def vacuumDecisions(spark: SparkSession, decisionDir: String,
+      tableDirs: Seq[String],
+      staleGraceMs: Long = 20 * 60 * 1000L): Seq[String] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dd = new Path(decisionDir)
+    val df = dd.getFileSystem(hconf)
+    if (!df.exists(dd)) return Seq.empty
+    val referenced = tableDirs.flatMap { t =>
+      val tf = fs(spark, t)
+      versions(spark, t).flatMap { v =>
+        Option(readDoc(tf, t, v).get("txn_decision")).map(_.asText())
+      }
+    }.toSet
+    val cutoffMs = System.currentTimeMillis() - math.max(staleGraceMs, 0L)
+    df.listStatus(dd).toSeq
+      .filter { st =>
+        !st.isDirectory &&
+        st.getPath.getName.startsWith("txn-") &&
+        st.getPath.getName.endsWith(".json") &&
+        st.getLen > 0 &&
+        st.getModificationTime < cutoffMs &&
+        !referenced.contains(df.makeQualified(st.getPath).toString)
+      }
+      .map { st =>
+        df.delete(st.getPath, false)
+        df.makeQualified(st.getPath).toString
+      }.sorted
   }
 }

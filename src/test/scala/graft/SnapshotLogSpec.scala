@@ -904,6 +904,146 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(SnapshotLog.readAt(spark, t, 11).count() == 13)
   }
 
+  test("vacuum never truncates past an undecided prepare; its adds survive the sweep") {
+    val t = freshTable()
+    SnapshotLog.overwrite(rows("a", 1 to 3), t, Seq("part"))
+    SnapshotLog.append(rows("a", 4 to 4), t, Seq("part"))
+    val (decision, _) = SnapshotLog.commitAll(spark,
+      Seq((rows("b", 10 to 12), t, Seq("part"))), freshDecisionDir())
+    // simulate a coordinator crash AFTER the prepare landed: hide the
+    // decision so the txn reads as undecided
+    val f = new org.apache.hadoop.fs.Path(decision)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hidden = new org.apache.hadoop.fs.Path(decision + ".hidden")
+    assert(f.rename(new org.apache.hadoop.fs.Path(decision), hidden))
+    assert(SnapshotLog.read(spark, t).count() == 4, "prepare invisible")
+    // vacuum with zero grace: the log must NOT truncate (promotion
+    // would bake the exclusion in) and the prepare's staged data files
+    // must NOT be swept (age proves nothing for an undecided txn)
+    SnapshotLog.vacuum(spark, t, retainLast = 1, staleGraceMs = 0L)
+    assert(SnapshotLog.versions(spark, t) == Seq(1L, 2L, 3L),
+      "log truncation deferred while the head txn is undecided")
+    // the decision lands as committed: every prepared row is intact
+    assert(f.rename(hidden, new org.apache.hadoop.fs.Path(decision)))
+    assert(SnapshotLog.read(spark, t).count() == 7,
+      "committed prepare's rows survive a vacuum run while undecided")
+    // decided: vacuum truncates, promotes, and BAKES the decision into
+    // the checkpoint — the decision file is no longer load-bearing
+    SnapshotLog.vacuum(spark, t, retainLast = 1, staleGraceMs = 0L)
+    assert(SnapshotLog.versions(spark, t) == Seq(3L))
+    f.delete(new org.apache.hadoop.fs.Path(decision), false)
+    assert(SnapshotLog.read(spark, t).count() == 7,
+      "promoted checkpoint is self-contained (no decision reference)")
+  }
+
+  test("vacuumDecisions sweeps dead decisions, keeps referenced and young ones") {
+    val t1 = freshTable(); val t2 = freshTable()
+    val dDir = freshDecisionDir()
+    SnapshotLog.overwrite(rows("a", 1 to 3), t1, Seq("part"))
+    SnapshotLog.overwrite(rows("a", 1 to 3), t2, Seq("part"))
+    val (d1, _) = SnapshotLog.commitAll(spark,
+      Seq((rows("b", 10 to 10), t1, Seq("part"))), dDir)
+    val (d2, _) = SnapshotLog.commitAll(spark, Seq(
+      (rows("c", 20 to 20), t1, Seq("part")),
+      (rows("c", 20 to 20), t2, Seq("part"))), dDir)
+    val f = new org.apache.hadoop.fs.Path(dDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // both referenced by live log docs → kept even past the grace clock
+    assert(SnapshotLog.vacuumDecisions(spark, dDir, Seq(t1, t2), 0L).isEmpty)
+    // t1's vacuum truncates past both prepares (the promoted checkpoint
+    // bakes d2's outcome); d2 stays referenced by t2's untruncated log
+    SnapshotLog.vacuum(spark, t1, retainLast = 1, staleGraceMs = 0L)
+    assert(SnapshotLog.vacuumDecisions(spark, dDir, Seq(t1, t2), 0L) == Seq(d1))
+    assert(f.exists(new org.apache.hadoop.fs.Path(d2)), "d2 still referenced")
+    SnapshotLog.vacuum(spark, t2, retainLast = 1, staleGraceMs = 0L)
+    assert(SnapshotLog.vacuumDecisions(spark, dDir, Seq(t1, t2), 0L) == Seq(d2))
+    // a young decision survives the default grace window even when the
+    // reference scan misses it (prepare-before-decision race cover)
+    val (d3, _) = SnapshotLog.commitAll(spark,
+      Seq((rows("d", 30 to 30), t1, Seq("part"))), dDir)
+    assert(SnapshotLog.vacuumDecisions(spark, dDir, Seq.empty).isEmpty,
+      "young decision kept by the grace clock alone")
+    assert(f.exists(new org.apache.hadoop.fs.Path(d3)))
+    // an empty CLAIM file is decide's to arbitrate, never GC'd here
+    val claim = new org.apache.hadoop.fs.Path(dDir, "txn-claim.json")
+    f.create(claim, false).close()
+    f.setTimes(claim, System.currentTimeMillis() - 60 * 60 * 1000L, -1)
+    assert(!SnapshotLog.vacuumDecisions(spark, dDir, Seq(t1, t2), 0L)
+      .exists(_.endsWith("txn-claim.json")))
+    assert(f.exists(claim))
+  }
+
+  test("a stale empty decision claim is reclaimed; a published decision never flips") {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dDir = freshDecisionDir()
+    val p = new org.apache.hadoop.fs.Path(dDir, "txn-stale.json")
+    val f = p.getFileSystem(hconf)
+    // a writer that crashed between create and write leaves a claimed,
+    // zero-length slot: readers treat it as in-flight...
+    f.create(p, false).close()
+    f.setTimes(p, System.currentTimeMillis() - 10 * 60 * 1000L, -1)
+    assert(SnapshotLog.txnStatusAt(hconf, p.toString).isEmpty)
+    // ...and a rollback reclaims it once the claim has gone stale
+    // (the crashed writer never returned an outcome — presumed abort)
+    assert(SnapshotLog.rollbackTxn(spark, p.toString) == "aborted")
+    assert(SnapshotLog.txnStatusAt(hconf, p.toString).contains("aborted"))
+    // published decisions are create-if-absent claims: a second decide
+    // of either flavor returns the standing status, never flips it
+    assert(SnapshotLog.rollbackTxn(spark, p.toString) == "aborted")
+  }
+
+  test("racing commitAlls and a plain append serialize with no stuck heads") {
+    val t1 = freshTable(); val t2 = freshTable()
+    SnapshotLog.overwrite(rows("a", 1 to 2), t1, Seq("part"))
+    SnapshotLog.overwrite(rows("a", 1 to 2), t2, Seq("part"))
+    val dDir = freshDecisionDir()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    def txn(part: String, ids: Seq[Int]) =
+      pool.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean =
+          try {
+            SnapshotLog.commitAll(spark, Seq(
+              (rows(part, ids), t1, Seq("part")),
+              (rows(part, ids), t2, Seq("part"))), dDir)
+            true
+          } catch { // lost to a racing txn's undecided prepare: clean abort
+            case _: java.util.ConcurrentModificationException => false
+          }
+      })
+    val fa = txn("b", 10 to 11)
+    val fb = txn("c", 20 to 21)
+    val fApp = pool.submit(new java.util.concurrent.Callable[Boolean] {
+      def call(): Boolean = {
+        var done = false; var tries = 0
+        while (!done && tries < 100) {
+          try { SnapshotLog.append(rows("d", 30 to 30), t1, Seq("part")); done = true }
+          catch { case _: java.util.ConcurrentModificationException =>
+            tries += 1; Thread.sleep(20) }
+        }
+        done
+      }
+    })
+    val (okA, okB, okApp) = (fa.get(), fb.get(), fApp.get())
+    pool.shutdown()
+    assert(okApp, "the plain append retries through txn windows and lands")
+    // atomicity: each txn's rows are on BOTH tables or NEITHER
+    for ((part, ok) <- Seq("b" -> okA, "c" -> okB)) {
+      val n1 = SnapshotLog.read(spark, t1).filter($"part" === part).count()
+      val n2 = SnapshotLog.read(spark, t2).filter($"part" === part).count()
+      assert(n1 == n2, s"txn $part split-brained: t1=$n1 t2=$n2")
+      assert((n1 == 2) == ok, s"txn $part outcome ${ok} but rows $n1")
+    }
+    val okTxns = Seq(okA, okB).count(identity)
+    assert(SnapshotLog.read(spark, t1).count() == 2 + 2 * okTxns + 1)
+    assert(SnapshotLog.read(spark, t2).count() == 2 + 2 * okTxns)
+    // no stuck heads: every surviving head is decided
+    Seq(t1, t2).foreach { t =>
+      val head = SnapshotLog.snapshotAt(spark, t,
+        SnapshotLog.latestVersion(spark, t).get)
+      assert(head.pendingTxn.isEmpty, s"$t head stuck on an undecided txn")
+    }
+  }
+
   // --------------------------------------------------- scale properties
 
   test("1,000-commit log: replay is O(checkpoint cadence), vacuum bounds the directory") {
