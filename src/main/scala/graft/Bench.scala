@@ -42,6 +42,19 @@ import org.apache.spark.sql.SparkSession
   * /proc/loadavg, which on a quiet 32-cpu box stays near the bench's
   * own parallelism). A median >> min spread plus an elevated loadavg
   * reads as "machine was busy", not "plan got slower".
+  *
+  * Variance bounds (VERDICT r08 #2 — r8's 19% "regression" was
+  * indistinguishable from host noise): each query now runs one
+  * UNTIMED warm-up rep before its timed runs (absorbing the per-plan
+  * codegen compile + page-cache fill that r8 charged to whichever rep
+  * came first), the artifact carries `queries_spread` (per-query
+  * mean/min over the timed runs), `queries_load` (1-min loadavg
+  * sampled at each query's start), `max_spread`, and `noisy_queries`
+  * (spread > 1.5 — the threshold above which a number should not be
+  * trusted as a plan cost). A noisy query warns on stderr; set
+  * `SPARK_GRAFT_BENCH_STRICT=1` to turn that into a nonzero exit
+  * (not the default: the per-round artifact must still land when the
+  * shared host is busy — the spread fields mark it untrustworthy).
   */
 object Bench {
   /** Median of a non-empty sample; even sizes average the middle two. */
@@ -79,7 +92,12 @@ object Bench {
     val loadStart = loadavg()
     var failedRuns = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val samples = (1 to runs).map { _ =>
+      val qLoad = loadavg()
+      // one untimed warm-up rep: absorbs the per-plan codegen compile
+      // and page-cache fill so the timed runs measure steady-state plan
+      // cost (the quantity comparable across rounds); its failure is
+      // counted like any run's so a crash still surfaces
+      val samples = (0 to runs).map { rep =>
         val t0 = System.nanoTime()
         val ok =
           try {
@@ -93,22 +111,33 @@ object Bench {
         val t = (System.nanoTime() - t0) / 1e9
         // drop this query's persisted intermediates before the next run
         spark.catalog.clearCache()
-        (t, ok)
+        (t, ok, rep == 0)
       }
-      val good = samples.collect { case (t, true) => t }
-      failedRuns += samples.size - good.size
-      name -> good
+      val good = samples.collect { case (t, true, false) => t }
+      failedRuns += samples.count(s => !s._2)
+      (name, good, qLoad)
     }
-    def obj(f: Seq[Double] => Double): String = results.map { case (k, good) =>
+    def obj(f: Seq[Double] => Double): String = results.map { case (k, good, _) =>
       "\"" + k + "\":" + (if (good.nonEmpty) f(good).toString else "null")
     }.mkString("{", ",", "}")
+    def spreadOf(good: Seq[Double]): Double =
+      if (good.isEmpty || good.min <= 0) 1.0
+      else (good.sum / good.size) / good.min
     val medians = obj(median)
     val mins = obj(_.min)
-    val total = results.collect { case (_, g) if g.nonEmpty => median(g) }.sum
-    val totalMin = results.collect { case (_, g) if g.nonEmpty => g.min }.sum
+    val spreads = obj(g => math.rint(spreadOf(g) * 100) / 100)
+    val qLoads = results.map { case (k, _, l) => "\"" + k + "\":\"" + l + "\"" }
+      .mkString("{", ",", "}")
+    val maxSpread = results.map(r => spreadOf(r._2)).maxOption.getOrElse(1.0)
+    val noisy = results.filter(r => spreadOf(r._2) > 1.5).map(_._1)
+    noisy.foreach(n => System.err.println(
+      s"[bench] $n spread > 1.5x (mean/min) — number untrustworthy under load"))
+    val total = results.collect { case (_, g, _) if g.nonEmpty => median(g) }.sum
+    val totalMin = results.collect { case (_, g, _) if g.nonEmpty => g.min }.sum
     val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+    val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$medians,"queries_min":$mins,"total_min":$totalMin,"sf":"$sfDir","runs":$runs,"failed_runs":$failedRuns,"max_heap_mb":$heapMb,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$medians,"queries_min":$mins,"queries_spread":$spreads,"queries_load":$qLoads,"max_spread":${math.rint(maxSpread * 100) / 100},"noisy_queries":$noisyJson,"warmup":1,"total_min":$totalMin,"sf":"$sfDir","runs":$runs,"failed_runs":$failedRuns,"max_heap_mb":$heapMb,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}"}"""
     println(line)
     (sys.env.get("BENCH_OUT").toSeq :+ "BENCH_LAST.json").foreach { p =>
       try java.nio.file.Files.write(java.nio.file.Paths.get(p),
@@ -116,6 +145,10 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] could not write $p: ${e.getMessage}")
       }
+    }
+    if (sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1") && noisy.nonEmpty) {
+      spark.stop()
+      sys.exit(2)
     }
     spark.stop()
   }
