@@ -132,13 +132,17 @@ object Cloner {
     * the EDIT step of the round-trip.
     */
   def cloneCreative(creatives: DataFrame, creativeId: String, idPrefix: String,
-      newMessage: Column, newTitle: Column, newLink: Column): DataFrame =
+      newMessage: Column, newTitle: Column, newLink: Column): DataFrame = {
+    val specType = creatives.schema("object_story_spec").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
     creatives
       .filter(col("id") === creativeId)
       .withColumn("id", rewire(col("id"), idPrefix))
       .withColumn("object_story_spec",
-        Nested.updateStoryText(col("object_story_spec"), newMessage, newTitle, newLink))
+        Nested.updateStoryText(col("object_story_spec"), specType,
+          newMessage, newTitle, newLink))
       // G21: server-computed creative fields never POST back
       .drop(Seq("thumbnail_url", "image_url", "effective_object_story_id",
         "_corrupt_record").filter(creatives.columns.contains): _*)
+  }
 }

@@ -21,6 +21,9 @@ class NestedSpec extends AnyFunSuite {
   private def byId(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => r.getString(r.fieldIndex("id")) -> r).toMap
 
+  private lazy val specType = Schemas.creative("object_story_spec").dataType
+    .asInstanceOf[org.apache.spark.sql.types.StructType]
+
   test("G15 parse_creative_spec precedence across section shapes") {
     val rows = byId(creatives.select(col("id"),
       Nested.parseCreativeSpec(col("object_story_spec")).as("p")))
@@ -67,7 +70,7 @@ class NestedSpec extends AnyFunSuite {
 
   test("G20 text rewrite touches only present sections incl CTA link") {
     val updated = creatives.select(col("id"),
-      Nested.updateStoryText(col("object_story_spec"),
+      Nested.updateStoryText(col("object_story_spec"), specType,
         lit("NEW_MSG"), lit("NEW_TITLE"), lit("https://new.example")).as("s"))
     val rows = byId(updated)
     val ld = rows("9900001").getStruct(1).getStruct(
@@ -85,8 +88,8 @@ class NestedSpec extends AnyFunSuite {
 
   test("G20 media swap: setting video_id nulls image_hash in link_data") {
     val updated = creatives.filter(col("id") === "9900001").select(
-      Nested.swapMedia(col("object_story_spec"), lit(null).cast("string"),
-        lit("vid999")).as("s"))
+      Nested.swapMedia(col("object_story_spec"), specType,
+        lit(null).cast("string"), lit("vid999")).as("s"))
     val s = updated.collect()(0).getStruct(0)
     val ld = s.getStruct(s.fieldIndex("link_data"))
     assert(ld.getString(ld.fieldIndex("video_id")) == "vid999")
@@ -95,7 +98,7 @@ class NestedSpec extends AnyFunSuite {
 
   test("G20 retailer ids removable (nulled)") {
     val removed = creatives.filter(col("id") === "9900001").select(
-      Nested.setRetailerItemIds(col("object_story_spec"),
+      Nested.setRetailerItemIds(col("object_story_spec"), specType,
         lit(null).cast("array<string>")).as("s"))
     val s = removed.collect()(0).getStruct(0)
     val ld = s.getStruct(s.fieldIndex("link_data"))
