@@ -286,6 +286,16 @@ object PlanAudit {
       "per-round outputs are a local table (all heavy work done in " +
         "the loop's own aggregates)" ->
         (p => p.contains("LocalTableScan") || p.contains("Scan ExistingRDD")))
+    // x65: the persistent-index probe must scan only its nprobe cells —
+    // the cell restriction is a STATIC partition filter on the index
+    // scan (pruned before any row is read), and scoring runs through
+    // the codegen decimal kernel
+    audit("x65_ann_index")(
+      "probe's cell budget reaches the index scan as a partition filter" ->
+        (p => p.contains("PartitionFilters: [") && p.contains("cell#")),
+      "decimal_dot kernel scores the probe (not interpreted HOF)" ->
+        (_.contains("decimal_dot")),
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")))
 
     // Direct snapshot-log checks — the scale properties a plan string
     // can't show: file pruning happens driver-side BEFORE the plan is

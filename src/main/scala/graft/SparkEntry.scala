@@ -121,7 +121,8 @@ object SparkEntry {
     "x61_kmeans_embed" -> (X.x61KmeansEmbed _),
     "x62_semantic_dedup" -> (X.x62SemanticDedup _),
     "x63_shallow_clone" -> (X.x63ShallowClone _),
-    "x64_multi_txn" -> (X.x64MultiTxn _)
+    "x64_multi_txn" -> (X.x64MultiTxn _),
+    "x65_ann_index" -> (X.x65AnnIndex _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

@@ -20,18 +20,26 @@ import org.apache.spark.sql.functions._
   * The quantizer is inner-product argmax against a broadcast centroid
   * set (ties to the smaller cell id) — swap the scoring expression for
   * L2 without touching the layout machinery.
+  *
+  * Scoring runs through the exact-decimal codegen kernel
+  * ([[graft.expressions.DecimalDot]]): a PERSISTENT layout must be
+  * bit-reproducible — double-accumulation order could move a
+  * near-tied vector between cells across rebuilds (and across
+  * engines), which would make the index non-deterministic and its
+  * probe results un-oracle-able (x65 hash-gates this operator).
   */
 object AnnIndex {
 
   private def dot(v: String, c: String) =
-    expr(s"aggregate(zip_with($v, $c, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    graft.functions.VectorFns.dotDec(v, c)
 
   /** Best-cell assignment: one broadcast of the centroids, one scan of
     * the vectors, one hash aggregate — no shuffle keyed on anything
     * bigger than vec_id. Ties go to the smaller cell id; a degenerate
     * vector (null dot) still gets a cell.
     */
-  private def assign(embeddings: DataFrame, centroids: DataFrame): DataFrame =
+  private def assign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    graft.expressions.DecimalDot.register(embeddings.sparkSession)
     embeddings.crossJoin(broadcast(centroids))
       .withColumn("d", dot("v", "c"))
       .groupBy(col("vec_id"))
@@ -39,6 +47,7 @@ object AnnIndex {
         struct(coalesce(col("d"), lit(Double.MinValue)).as("d"),
           (-col("cid")).as("t"))).as("w"))
       .select(col("vec_id"), col("w.v").as("v"), col("w.cid").as("cell"))
+  }
 
   /** Assign every vector to its best cell and write the
     * cell-partitioned index table.
@@ -67,6 +76,7 @@ object AnnIndex {
     */
   def probe(spark: SparkSession, path: String, probes: DataFrame,
       centroids: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    graft.expressions.DecimalDot.register(spark)
     val rk = row_number().over(
       Window.partitionBy(col("p_id")).orderBy(col("d").desc, col("cid")))
     val wanted = probes.crossJoin(broadcast(centroids))

@@ -2533,6 +2533,32 @@ object Extras {
       .reduce(_ unionAll _).orderBy($"tbl", $"version")
   }
 
+  /** x65 — PERSISTENT IVF index ([[graft.operators.AnnIndex]]): the
+    * build-once/probe-many complement of the in-query IVF x13. The
+    * corpus (minus the probe vector) is laid out into a parquet table
+    * PARTITIONED BY its coarse-quantizer cell — 16 deterministic seed
+    * centroids, vectors 1..16, x13's quantizer — then vector 0 probes
+    * its nprobe=2 best cells for the inner-product top-5. The cell
+    * restriction reaches the scan as a STATIC partition filter
+    * (PlanAudit pins it), so a probe reads nprobe/n_cells of the data:
+    * the serving-path behavior that at 100 TB separates "scan the
+    * corpus per query" from "read two directories". Scoring is the
+    * exact-decimal kernel end-to-end (assignment AND ranking), which
+    * is what makes a persistent layout rebuild-stable and this query
+    * hash-checkable against the DuckDB twin.
+    */
+  def x65AnnIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val cents = e.filter($"vec_id".between(1, 16))
+      .select($"vec_id".as("cid"), $"v".as("c"))
+    val path = java.nio.file.Files.createTempDirectory("graft-x65-ivf")
+      .toString + "/index"
+    graft.operators.AnnIndex.build(e.filter($"vec_id" =!= 0), cents, path)
+    val probes = e.filter($"vec_id" === 0).select($"vec_id".as("p_id"), $"v".as("p"))
+    graft.operators.AnnIndex.probe(s, path, probes, cents, nprobe = 2, k = 5)
+  }
+
   /** q26 Aggregator twin — typed [[VectorFns.CentroidAgg]] centroid
     * (float-sum order differs by design → rows-only check; the
     * decimal-exact Q26 is the hash-checked form).

@@ -1405,6 +1405,38 @@ object ExtrasOracle {
          |  UNION ALL SELECT 'customer', CAST(4 AS BIGINT), $cd FROM c4)
          |SELECT tbl, version, n_rows, total_amt, min_key, max_key
          |FROM dig ORDER BY tbl, version""".stripMargin
-    }
+    },
+
+    // x65: persistent IVF index probe — assignment (argmax inner
+    // product over the 16 seed centroids, tie -> smaller cid, probe
+    // vector 0 excluded from the layout), probe's top-2 cells, then
+    // inner-product top-5 within them. Mirrors AnnIndex.build/probe
+    // exactly: every dot is the decimal-exact macro.
+    "x65_ann_index" ->
+      s"""WITH seeds AS (SELECT vec_id AS cid, embedding AS c FROM embeddings
+         |  WHERE vec_id BETWEEN 1 AND 16),
+         |sc AS (SELECT e.vec_id, s.cid, ${dot("e.embedding", "s.c")} AS d
+         |  FROM embeddings e, seeds s, generate_series(1, 64) t(i)
+         |  WHERE e.vec_id <> 0
+         |  GROUP BY e.vec_id, s.cid),
+         |assign AS (SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d DESC, cid) AS rn FROM sc) WHERE rn = 1),
+         |psc AS (SELECT s.cid, ${dot("p.embedding", "s.c")} AS d
+         |  FROM embeddings p, seeds s, generate_series(1, 64) t(i)
+         |  WHERE p.vec_id = 0 GROUP BY s.cid),
+         |pcells AS (SELECT cid AS cell FROM psc ORDER BY d DESC, cid LIMIT 2),
+         |probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+         |fin AS (SELECT e.vec_id, ${dot("e.embedding", "probe.pe")} AS score
+         |  FROM embeddings e
+         |    JOIN assign a ON e.vec_id = a.vec_id
+         |    JOIN pcells ON a.cell = pcells.cell,
+         |    probe, generate_series(1, 64) t(i)
+         |  GROUP BY e.vec_id)
+         |SELECT CAST(0 AS BIGINT) AS p_id,
+         |  CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT) AS rank,
+         |  vec_id, score
+         |FROM (SELECT * FROM fin ORDER BY score DESC, vec_id LIMIT 5)
+         |ORDER BY p_id, rank""".stripMargin
   )
 }
