@@ -20,8 +20,10 @@ import org.apache.spark.sql.types.LongType
   * Requirements: `keyCol` is a string whose leading 2 characters are
   * uniformly distributed (an md5 hex key qualifies); `tieCol` breaks
   * key collisions deterministically. The prefix-sum window runs on the
-  * post-aggregation counts frame only — the WindowExec warning it logs
-  * concerns tiers×256 rows, never the data.
+  * post-aggregation counts frame only (tiers×256 rows, never the
+  * data) — it partitions on a constant so the deliberate small-table
+  * rollup doesn't log the WindowExec single-partition warning real
+  * regressions would hide behind.
   */
 object GlobalOrder {
 
@@ -34,9 +36,13 @@ object GlobalOrder {
       coalesce(substring(col(keyCol), 1, 2), lit("")))
     val counts = bucketed.groupBy(col(tierCol), col("_go_bucket"))
       .agg(count(lit(1)).as("_go_n"))
+    // pmod(hash, 1) ≡ 0 for every row but is NOT foldable, so the
+    // optimizer can't strip it back to an empty partition spec (a bare
+    // lit(0) is constant-folded away and the warning returns)
     val offsets = counts.withColumn("_go_off",
       coalesce(sum(col("_go_n")).over(
-        Window.orderBy(col(tierCol), col("_go_bucket"))
+        Window.partitionBy(pmod(hash(col("_go_bucket")), lit(1)))
+          .orderBy(col(tierCol), col("_go_bucket"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
     val rn = row_number().over(
       Window.partitionBy(col(tierCol), col("_go_bucket"))

@@ -105,8 +105,14 @@ class PropertySpec extends AnyFunSuite {
         .withPosition(df, "tier", "skey", "id")
         .select(col("id"), col("pos")).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the deliberately-naive single-partition reference form;
+      // constant-partitioned (non-foldable pmod(hash,1) ≡ 0) only to
+      // keep the test log free of the WindowExec warning — same
+      // semantics: one global group
       val slow = df.select(col("id"),
-          row_number().over(Window.orderBy(col("tier"), col("skey"), col("id")))
+          row_number().over(
+            Window.partitionBy(pmod(hash(col("id")), lit(1)))
+              .orderBy(col("tier"), col("skey"), col("id")))
             .cast("long").as("pos")).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(fast == slow, s"divergence at n=$n tiers=$tiers")
