@@ -962,7 +962,15 @@ object SnapshotLog {
             val out = f.create(p, false)
             try out.write(mapper.writeValueAsString(root).getBytes("UTF-8"))
             finally out.close()
-            status
+            // fencing re-read: a writer paused past `stalenessMs`
+            // between create and write can have its claim reclaimed as
+            // stale by a concurrent decide — returning the OBSERVED
+            // status (not the intended one) turns that clobber into a
+            // loud coordinator error (commitAll requires "committed")
+            // instead of a silent wrong-outcome return
+            txnStatusAt(conf, decisionPath).getOrElse(sys.error(
+              s"decision publish at $decisionPath vanished out from " +
+              "under its writer (stale-claim reclaim race?) — retry"))
           } catch {
             case _: java.io.IOException =>
               // lost the cross-process claim race: the winner's status
