@@ -926,64 +926,139 @@ object SnapshotLog {
     * coordinator's commit, or vice versa) returns the EXISTING status
     * unchanged — a decision can never flip, which is what makes the
     * prepare-visibility check in [[snapshotAt]] stable across reads.
-    * A loser retry-reads briefly (the winner's create→write gap is
-    * microseconds); a zero-length slot older than `stalenessMs` is a
-    * writer that crashed mid-create — reclaimed, which is safe because
-    * that writer never returned an outcome to anyone (presumed abort).
+    * A zero-length slot older than `stalenessMs` is a writer that
+    * crashed mid-create — reclaimed via [[reclaimStaleClaim]]'s
+    * tombstone-rename, which is safe because that writer never
+    * returned an outcome to anyone (presumed abort) and, being a
+    * rename, can never unlink a publish that landed in the
+    * check→reclaim gap.
+    *
+    * The claim-wait (a racing writer's create→write gap) runs OUT
+    * HERE, lock-free: [[decideOnce]] is idempotent, and holding the
+    * JVM-wide `commitLock` through a cross-process gap would stall
+    * unrelated in-process commits for the full poll budget.
+    * `tables` (the participating tableDirs, when known) is embedded
+    * in the decision document so [[vacuumDecisions]] can self-check
+    * references instead of trusting its caller's table list.
     */
   private def decide(conf: org.apache.hadoop.conf.Configuration,
       decisionPath: String, status: String,
-      stalenessMs: Long = 60 * 1000L): String = commitLock.synchronized {
+      stalenessMs: Long = 60 * 1000L,
+      tables: Seq[String] = Seq.empty): String = {
+    var out: Option[String] = None
+    var i = 0
+    while (out.isEmpty && i < 150) {
+      out = decideOnce(conf, decisionPath, status, stalenessMs, tables)
+      if (out.isEmpty) Thread.sleep(10)
+      i += 1
+    }
+    out.getOrElse(sys.error(
+      s"decision slot $decisionPath is claimed but unwritten; " +
+      "retry once the writer finishes or its claim goes stale"))
+  }
+
+  /** One lock-held decision attempt: `Some(finalStatus)` once a
+    * decision stands (ours, a winner's, or one restored by the
+    * reclaim fence), `None` while a racing writer holds the
+    * zero-length claim — the caller sleeps outside the lock and
+    * retries.
+    */
+  private def decideOnce(conf: org.apache.hadoop.conf.Configuration,
+      decisionPath: String, status: String, stalenessMs: Long,
+      tables: Seq[String]): Option[String] = commitLock.synchronized {
     val p = new Path(decisionPath)
     val f = p.getFileSystem(conf)
     txnStatusAt(conf, decisionPath) match {
-      case Some(existing) => existing
+      case some @ Some(_) => some
       case None =>
-        if (f.exists(p) &&
-            f.getFileStatus(p).getModificationTime >
-              System.currentTimeMillis() - stalenessMs) {
-          // a LIVE racing writer holds the claim: its status stands,
-          // wait for the content to land
-          var s: Option[String] = None
-          var i = 0
-          while (s.isEmpty && i < 100) {
-            Thread.sleep(10); s = txnStatusAt(conf, decisionPath); i += 1
-          }
-          s.getOrElse(sys.error(
-            s"decision slot $decisionPath is claimed but unwritten; " +
-            "retry once the writer finishes or its claim goes stale"))
-        } else {
-          if (f.exists(p)) f.delete(p, false) // stale crashed claim
-          f.mkdirs(p.getParent)
-          val root = mapper.createObjectNode()
-          root.put("status", status)
-          root.put("at_ms", System.currentTimeMillis())
-          try {
-            val out = f.create(p, false)
-            try out.write(mapper.writeValueAsString(root).getBytes("UTF-8"))
-            finally out.close()
-            // fencing re-read: a writer paused past `stalenessMs`
-            // between create and write can have its claim reclaimed as
-            // stale by a concurrent decide — returning the OBSERVED
-            // status (not the intended one) turns that clobber into a
-            // loud coordinator error (commitAll requires "committed")
-            // instead of a silent wrong-outcome return
-            txnStatusAt(conf, decisionPath).getOrElse(sys.error(
-              s"decision publish at $decisionPath vanished out from " +
-              "under its writer (stale-claim reclaim race?) — retry"))
-          } catch {
-            case _: java.io.IOException =>
-              // lost the cross-process claim race: the winner's status
-              // stands — wait out its create→write gap
-              var s: Option[String] = None
-              var i = 0
-              while (s.isEmpty && i < 100) {
-                Thread.sleep(10); s = txnStatusAt(conf, decisionPath); i += 1
-              }
-              s.getOrElse(sys.error(
-                s"decision claim lost at $decisionPath but no status landed"))
+        val live = f.exists(p) &&
+          f.getFileStatus(p).getModificationTime >
+            System.currentTimeMillis() - stalenessMs
+        if (live) None // a LIVE racing writer holds the claim: wait it out
+        else {
+          val restored = if (f.exists(p)) reclaimStaleClaim(f, p) else None
+          restored.orElse {
+            f.mkdirs(p.getParent)
+            val root = mapper.createObjectNode()
+            root.put("status", status)
+            root.put("at_ms", System.currentTimeMillis())
+            if (tables.nonEmpty) {
+              val a = root.putArray("tables")
+              tables.foreach(a.add)
+            }
+            try {
+              val out = f.create(p, false)
+              try out.write(mapper.writeValueAsString(root).getBytes("UTF-8"))
+              finally out.close()
+              // fencing re-read: a writer paused past `stalenessMs`
+              // between create and write can have its claim reclaimed
+              // as stale by a concurrent decide — returning the
+              // OBSERVED status (not the intended one) turns that
+              // clobber into a loud coordinator error (commitAll
+              // requires "committed") instead of a silent
+              // wrong-outcome return
+              Some(txnStatusAt(conf, decisionPath).getOrElse(sys.error(
+                s"decision publish at $decisionPath vanished out from " +
+                "under its writer (stale-claim reclaim race?) — retry")))
+            } catch {
+              case _: java.io.IOException =>
+                None // lost the cross-process claim race: wait it out
+            }
           }
         }
+    }
+  }
+
+  /** Reclaim a stale zero-length decision claim via TOMBSTONE-RENAME,
+    * never a bare delete: rename is atomic, so whatever the slot held
+    * at the reclaim instant — the crashed writer's empty claim, or a
+    * publish that landed in the staleness-check→reclaim gap from a
+    * writer paused past `stalenessMs` — moves intact to a
+    * uniquely-named tombstone and is inspected AFTER the slot is
+    * exclusively ours. A bare delete could unlink a
+    * microseconds-earlier publish (flipping an outcome its
+    * coordinator may already have returned); with the tombstone such
+    * a publish is detected and restored verbatim through the normal
+    * create-if-absent primitive. Returns `Some(status)` when the
+    * "stale" claim turned out to be a landed decision (now standing
+    * again), `None` when the slot was a genuine crashed claim and is
+    * free for the caller to publish into.
+    */
+  private[graft] def reclaimStaleClaim(f: FileSystem, p: Path): Option[String] = {
+    val tomb = new Path(p.getParent,
+      p.getName + s".reclaim-${java.util.UUID.randomUUID()}")
+    if (!f.rename(p, tomb)) None // slot vanished: create-if-absent arbitrates
+    else {
+      val st = try f.getFileStatus(tomb) catch {
+        case _: java.io.FileNotFoundException => return None
+      }
+      if (st.getLen == 0) { f.delete(tomb, false); None }
+      else {
+        // the claim had actually been published — restore it verbatim
+        val buf = new Array[Byte](st.getLen.toInt)
+        val in = f.open(tomb)
+        try in.readFully(buf) finally in.close()
+        val observed =
+          try Some(mapper.readTree(new String(buf, "UTF-8"))
+            .get("status").asText())
+          catch { case _: Exception => None }
+        try {
+          val out = f.create(p, false)
+          try out.write(buf) finally out.close()
+        } catch {
+          case _: java.io.IOException => () // another decider published first
+        }
+        f.delete(tomb, false)
+        val standing = txnStatusAt(f.getConf, p.toString)
+        (observed, standing) match {
+          case (Some(o), Some(s)) if o == s => Some(o)
+          case (Some(o), s) => sys.error(
+            s"reclaim displaced a published '$o' at $p but the slot " +
+            s"now holds '$s' — decision integrity breach, refusing to " +
+            "proceed")
+          case (None, s) => s // garbled displaced bytes: standing wins
+        }
+      }
     }
   }
 
@@ -998,8 +1073,9 @@ object SnapshotLog {
     * is absent, every reader excludes the prepare's adds and every
     * other writer refuses to stack on the undecided head — the
     * in-flight window is the prepare→decide gap, milliseconds.
-    * Phase 2 (decide): ONE atomic rename publishes "committed"; all
-    * prepares flip visible in the same instant. Any prepare failure
+    * Phase 2 (decide): one CREATE-IF-ABSENT publish lands
+    * "committed"; all prepares flip visible in the same instant. Any
+    * prepare failure
     * (constraint violation, conflict abort) publishes "aborted" before
     * rethrowing, voiding the prepares that already landed — their
     * staged files are never listed and age out via [[vacuum]]'s grace
@@ -1040,10 +1116,12 @@ object SnapshotLog {
       }
     } catch {
       case e: Throwable =>
-        decide(hconf, decisionPath, "aborted")
+        decide(hconf, decisionPath, "aborted",
+          tables = writes.map(_._2))
         throw e
     }
-    val outcome = decide(hconf, decisionPath, "committed")
+    val outcome = decide(hconf, decisionPath, "committed",
+      tables = writes.map(_._2))
     require(outcome == "committed",
       s"transaction $decisionPath was decided '$outcome' out from under " +
       "its coordinator (concurrent rollbackTxn?)")
@@ -1698,7 +1776,14 @@ object SnapshotLog {
     * reference-scan-vs-new-txn race: a new txn's prepares land BEFORE
     * its decision file exists, so an unreferenced-but-young decision
     * may belong to a txn whose prepares this scan just missed).
-    * Returns the deleted paths.
+    *
+    * Self-checking: [[commitAll]] embeds the participating tableDirs
+    * in each decision document, and this sweep unions those with the
+    * caller's `tableDirs` per candidate — so omitting a participant
+    * from the call can no longer delete a decision its own document
+    * says is in use (the caller list still matters for pre-embedding
+    * decisions and rollback-published ones, which carry no table
+    * list). Returns the deleted paths.
     */
   def vacuumDecisions(spark: SparkSession, decisionDir: String,
       tableDirs: Seq[String],
@@ -1707,21 +1792,62 @@ object SnapshotLog {
     val dd = new Path(decisionDir)
     val df = dd.getFileSystem(hconf)
     if (!df.exists(dd)) return Seq.empty
-    val referenced = tableDirs.flatMap { t =>
-      val tf = fs(spark, t)
-      versions(spark, t).flatMap { v =>
-        Option(readDoc(tf, t, v).get("txn_decision")).map(_.asText())
-      }
-    }.toSet
+    // per-table referenced-decision sets, computed once per DISTINCT
+    // table across caller-supplied and document-embedded dirs
+    val refCache = mutable.Map.empty[String, Set[String]]
+    def referencedBy(t: String): Set[String] =
+      refCache.getOrElseUpdate(t, {
+        val tf = fs(spark, t)
+        versions(spark, t).flatMap { v =>
+          Option(readDoc(tf, t, v).get("txn_decision")).map(_.asText())
+        }.toSet
+      })
+    def embeddedTables(p: Path, len: Long): Seq[String] =
+      try {
+        val in = df.open(p)
+        val buf = new Array[Byte](len.toInt)
+        try in.readFully(buf) finally in.close()
+        Option(mapper.readTree(new String(buf, "UTF-8")).get("tables"))
+          .map(_.elements().asScala.map(_.asText()).toSeq)
+          .getOrElse(Seq.empty)
+      } catch { case _: Exception => Seq.empty }
     val cutoffMs = System.currentTimeMillis() - math.max(staleGraceMs, 0L)
+    // orphaned reclaim tombstones (reclaimer crashed between rename
+    // and delete) age out on the same clock; a LIVE reclaim holds its
+    // tombstone for microseconds, never near any sane grace window.
+    // A non-empty orphan is a DISPLACED PUBLISH the crashed reclaimer
+    // never restored — put it back through create-if-absent before
+    // dropping the tombstone, so the decision outlives the crash.
+    df.listStatus(dd).foreach { st =>
+      val name = st.getPath.getName
+      val cut = name.indexOf(".json.reclaim-")
+      if (cut >= 0 && st.getModificationTime < cutoffMs) {
+        if (st.getLen > 0) {
+          val buf = new Array[Byte](st.getLen.toInt)
+          val in = df.open(st.getPath)
+          try in.readFully(buf) finally in.close()
+          val orig = new Path(dd, name.substring(0, cut + 5))
+          try {
+            val out = df.create(orig, false)
+            try out.write(buf) finally out.close()
+          } catch { case _: java.io.IOException => () // slot re-decided
+          }
+        }
+        df.delete(st.getPath, false)
+      }
+    }
     df.listStatus(dd).toSeq
       .filter { st =>
         !st.isDirectory &&
         st.getPath.getName.startsWith("txn-") &&
         st.getPath.getName.endsWith(".json") &&
         st.getLen > 0 &&
-        st.getModificationTime < cutoffMs &&
-        !referenced.contains(df.makeQualified(st.getPath).toString)
+        st.getModificationTime < cutoffMs && {
+          val q = df.makeQualified(st.getPath).toString
+          val participants =
+            (tableDirs ++ embeddedTables(st.getPath, st.getLen)).distinct
+          !participants.exists(t => referencedBy(t).contains(q))
+        }
       }
       .map { st =>
         df.delete(st.getPath, false)

@@ -992,6 +992,111 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(SnapshotLog.rollbackTxn(spark, p.toString) == "aborted")
   }
 
+  test("tombstone reclaim restores a publish displaced mid-reclaim") {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dDir = freshDecisionDir()
+    val p = new org.apache.hadoop.fs.Path(dDir, "txn-gap.json")
+    val f = p.getFileSystem(hconf)
+    // the exact interleaving of the old delete-based race: the
+    // staleness check observed a zero-length claim, and the paused
+    // writer's publish lands BEFORE the reclaim touches the slot —
+    // drive the reclaim seam directly against that state
+    val out = f.create(p, false)
+    out.write("""{"status":"committed","at_ms":1}""".getBytes("UTF-8"))
+    out.close()
+    assert(SnapshotLog.reclaimStaleClaim(f, p).contains("committed"),
+      "reclaim detects the landed publish instead of unlinking it")
+    assert(SnapshotLog.txnStatusAt(hconf, p.toString).contains("committed"),
+      "the displaced decision stands, restored verbatim")
+    assert(!f.listStatus(new org.apache.hadoop.fs.Path(dDir))
+      .exists(_.getPath.getName.contains(".reclaim-")),
+      "no tombstone left behind")
+    // and the restored decision still never flips
+    assert(SnapshotLog.rollbackTxn(spark, p.toString) == "committed")
+  }
+
+  test("a publish racing a stale-claim reclaim never flips silently") {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dDir = freshDecisionDir()
+    val p = new org.apache.hadoop.fs.Path(dDir, "txn-race.json")
+    val f = p.getFileSystem(hconf)
+    // a coordinator paused past stalenessMs: claim created long ago,
+    // stream still open, write about to resume
+    val stream = f.create(p, false)
+    f.setTimes(p, System.currentTimeMillis() - 10 * 60 * 1000L, -1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val wRes = pool.submit(new java.util.concurrent.Callable[Option[String]] {
+      def call(): Option[String] = {
+        stream.write("""{"status":"committed","at_ms":1}""".getBytes("UTF-8"))
+        stream.close()
+        SnapshotLog.txnStatusAt(hconf, p.toString) // the fencing re-read
+      }
+    })
+    val rRes = pool.submit(new java.util.concurrent.Callable[String] {
+      def call(): String = SnapshotLog.rollbackTxn(spark, p.toString)
+    })
+    val wSeen = wRes.get(); val rOut = rRes.get()
+    pool.shutdown()
+    val standing = SnapshotLog.txnStatusAt(hconf, p.toString)
+    // one outcome, shared by every observer: the reclaimer's return
+    // value IS the standing status...
+    assert(standing.contains(rOut),
+      s"reclaimer returned '$rOut' but the slot holds '$standing'")
+    // ...and a publisher whose fencing re-read saw its own commit can
+    // never have it flipped afterwards (the silent-flip invariant);
+    // any other fence observation surfaces as a LOUD coordinator
+    // error in commitAll, which is the designed non-silent outcome
+    if (wSeen.contains("committed"))
+      assert(standing.contains("committed"),
+        "fence-confirmed publish flipped after the fact")
+    assert(!f.listStatus(new org.apache.hadoop.fs.Path(dDir))
+      .exists(_.getPath.getName.contains(".reclaim-")))
+  }
+
+  test("vacuumDecisions restores an orphaned non-empty reclaim tombstone") {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dDir = freshDecisionDir()
+    val f = new org.apache.hadoop.fs.Path(dDir).getFileSystem(hconf)
+    // a reclaimer that crashed between rename and restore leaves the
+    // displaced decision in its tombstone and the slot absent
+    val tomb = new org.apache.hadoop.fs.Path(dDir,
+      "txn-orphan.json.reclaim-deadbeef")
+    val out = f.create(tomb, false)
+    out.write("""{"status":"committed","at_ms":1}""".getBytes("UTF-8"))
+    out.close()
+    f.setTimes(tomb, System.currentTimeMillis() - 60 * 60 * 1000L, -1)
+    SnapshotLog.vacuumDecisions(spark, dDir, Seq.empty, 0L)
+    val orig = new org.apache.hadoop.fs.Path(dDir, "txn-orphan.json")
+    assert(SnapshotLog.txnStatusAt(hconf, orig.toString).contains("committed"),
+      "the displaced decision outlives the crashed reclaimer")
+    assert(!f.exists(tomb), "tombstone swept")
+  }
+
+  test("vacuumDecisions self-checks embedded participants when the caller omits them") {
+    val t1 = freshTable(); val t2 = freshTable()
+    SnapshotLog.overwrite(rows("a", 1 to 2), t1, Seq("part"))
+    SnapshotLog.overwrite(rows("a", 1 to 2), t2, Seq("part"))
+    val dDir = freshDecisionDir()
+    val (d, _) = SnapshotLog.commitAll(spark, Seq(
+      (rows("b", 10 to 11), t1, Seq("part")),
+      (rows("b", 20 to 21), t2, Seq("part"))), dDir)
+    // caller lists NO tables and zeroes the grace clock — the old
+    // contract would delete the still-referenced decision and
+    // silently revert both prepares to pending; the embedded table
+    // list lets the sweep find the references itself
+    assert(SnapshotLog.vacuumDecisions(spark, dDir, Seq.empty, 0L).isEmpty,
+      "decision kept via its own embedded participant list")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    assert(SnapshotLog.txnStatusAt(hconf, d).contains("committed"))
+    assert(SnapshotLog.read(spark, t1).count() == 4)
+    // once every participant's log no longer references it, the same
+    // zero-table call may sweep it
+    SnapshotLog.vacuum(spark, t1, retainLast = 1, staleGraceMs = 0L)
+    SnapshotLog.vacuum(spark, t2, retainLast = 1, staleGraceMs = 0L)
+    assert(SnapshotLog.vacuumDecisions(spark, dDir, Seq.empty, 0L)
+      .contains(d), "unreferenced decision swept without a caller list")
+  }
+
   test("racing commitAlls and a plain append serialize with no stuck heads") {
     val t1 = freshTable(); val t2 = freshTable()
     SnapshotLog.overwrite(rows("a", 1 to 2), t1, Seq("part"))
