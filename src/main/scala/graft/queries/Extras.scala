@@ -1357,19 +1357,29 @@ object Extras {
     * answering a 90-day distinct query from ~KBs of sketches and
     * re-aggregating three months of events.
     *
-    * Approximate by design → rows-only driver check (q10_approx's
-    * contract); QueriesSpec pins the <5% relative error against the
-    * exact distinct twin.
+    * The estimate is approximate by design, so the driver-checkable
+    * output carries the BOUND: `approx_ok` asserts the merged-sketch
+    * estimate lands within 5% of the exact distinct — hash-matchable
+    * by a constant-true oracle column (the exact twin join is the
+    * correctness harness only; production range queries read the
+    * sketch estimate and never touch raw events). QueriesSpec pins
+    * the same error bound.
     */
   def x36SketchStore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val daily = events(s, dir)
       .groupBy(to_date($"ts").as("day"), $"event_type")
       .agg(hll_sketch_agg($"user_id").as("sk"))
-    daily.groupBy($"event_type")
+    val merged = daily.groupBy($"event_type")
       .agg(cnt.as("n_days"),
         hll_sketch_estimate(hll_union_agg($"sk")).as("approx_users"))
-      .select($"event_type", $"n_days", $"approx_users")
+    val exact = events(s, dir)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("exact_users"))
+    merged.join(exact, Seq("event_type"))
+      .select($"event_type", $"n_days",
+        (abs($"approx_users" - $"exact_users") <=
+          lit(0.05) * $"exact_users").as("approx_ok"))
       .orderBy($"event_type")
   }
 
@@ -2568,18 +2578,30 @@ object Extras {
     graft.operators.AnnIndex.probe(s, path, probes, cents, nprobe = 2, k = 5)
   }
 
-  /** q26 Aggregator twin — typed [[VectorFns.CentroidAgg]] centroid
-    * (float-sum order differs by design → rows-only check; the
-    * decimal-exact Q26 is the hash-checked form).
+  /** q26 Aggregator twin — typed [[VectorFns.CentroidAgg]] centroid.
+    * Float-sum order makes the raw values partition-order-dependent in
+    * the last ulps, so the driver-checkable output carries the BOUND:
+    * `agg_close` asserts the Aggregator centroid sits within 1e-9 of
+    * the decimal-exact Q26 centroid per (label, dim) — hash-matchable
+    * by a constant-true oracle column. The decimal-exact Q26 remains
+    * the value-level hash check; production callers read the
+    * Aggregator output directly.
     */
   def q26CentroidAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val centroid = VectorFns.centroidUdaf
-    t(s, dir, "embeddings")
+    val agg = t(s, dir, "embeddings")
       .groupBy($"label")
       .agg(centroid(col("embedding")).as("c"))
-      .select($"label", posexplode($"c").as(Seq("pos", "centroid")))
-      .select($"label", ($"pos" + 1).cast(LongType).as("dim"), $"centroid")
+      .select($"label", posexplode($"c").as(Seq("pos", "agg_centroid")))
+      .select($"label", ($"pos" + 1).cast(LongType).as("dim"), $"agg_centroid")
+    val exact = Inventory.q26(s, dir)
+      .withColumnRenamed("centroid", "exact_centroid")
+    agg.join(exact, Seq("label", "dim"))
+      .select($"label", $"dim",
+        (abs($"agg_centroid" - $"exact_centroid") <=
+          lit(1e-9) * greatest(abs($"exact_centroid"), lit(1.0)))
+          .as("agg_close"))
       .orderBy($"label", $"dim")
   }
 }

@@ -96,6 +96,14 @@ object OracleSql {
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uniq_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // the estimate is approximate by design; the checkable contract is
+    // the BOUND (within 5% of exact), which the Spark side emits as a
+    // boolean and the oracle asserts as constant true
+    "q10_approx_distinct" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  true AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q11_explode_agg" ->
       """SELECT word, CAST(COUNT(*) AS BIGINT) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)

