@@ -296,6 +296,16 @@ object PlanAudit {
       "decimal_dot kernel scores the probe (not interpreted HOF)" ->
         (_.contains("decimal_dot")),
       "no cartesian product" -> (p => !p.contains("CartesianProduct")))
+    // x65b: the post-append probe keeps the same plan shape — append
+    // must not cost the serving path its partition pruning (the
+    // file-level "append wrote only affected cell dirs" claim is
+    // pinned in AnnIndexSpec)
+    audit("x65b_ann_append")(
+      "post-append probe still prunes by partition filter" ->
+        (p => p.contains("PartitionFilters: [") && p.contains("cell#")),
+      "decimal_dot kernel scores the probe (not interpreted HOF)" ->
+        (_.contains("decimal_dot")),
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")))
 
     // Direct snapshot-log checks — the scale properties a plan string
     // can't show: file pruning happens driver-side BEFORE the plan is

@@ -122,7 +122,8 @@ object SparkEntry {
     "x62_semantic_dedup" -> (X.x62SemanticDedup _),
     "x63_shallow_clone" -> (X.x63ShallowClone _),
     "x64_multi_txn" -> (X.x64MultiTxn _),
-    "x65_ann_index" -> (X.x65AnnIndex _)
+    "x65_ann_index" -> (X.x65AnnIndex _),
+    "x65b_ann_append" -> (X.x65bAnnAppend _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

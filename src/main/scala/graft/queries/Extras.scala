@@ -2571,9 +2571,35 @@ object Extras {
     val e = emb(s, dir)
     val cents = e.filter($"vec_id".between(1, 16))
       .select($"vec_id".as("cid"), $"v".as("c"))
-    val path = java.nio.file.Files.createTempDirectory("graft-x65-ivf")
-      .toString + "/index"
+    // deterministic wiped-on-entry scratch path: repeated invocations
+    // (bench warm-up + reps, Verify, PlanAudit) reuse one directory
+    // instead of leaking a fresh index copy into /tmp per call
+    val path = scratchDir(s, "x65", dir) + "/index"
     graft.operators.AnnIndex.build(e.filter($"vec_id" =!= 0), cents, path)
+    val probes = e.filter($"vec_id" === 0).select($"vec_id".as("p_id"), $"v".as("p"))
+    graft.operators.AnnIndex.probe(s, path, probes, cents, nprobe = 2, k = 5)
+  }
+
+  /** x65b — the persistent index REFRESH path, oracle-gated: build the
+    * layout WITHOUT every fifth vector, [[graft.operators.AnnIndex.append]]
+    * those as an incremental batch (the same assignment pass in append
+    * mode — new files land only inside their assigned cell directories,
+    * AnnIndexSpec pins the file-level claim), then run the identical
+    * probe. The oracle is the SAME query over the unioned data, so a
+    * dropped, duplicated, or mis-assigned appended vector
+    * hash-mismatches the probe result. Ref: A3 incremental batched
+    * lookups (src/main_extractor.py:400-436).
+    */
+  def x65bAnnAppend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val cents = e.filter($"vec_id".between(1, 16))
+      .select($"vec_id".as("cid"), $"v".as("c"))
+    val path = scratchDir(s, "x65b", dir) + "/index"
+    graft.operators.AnnIndex.build(
+      e.filter($"vec_id" =!= 0 && $"vec_id" % 5 =!= 4), cents, path)
+    graft.operators.AnnIndex.append(
+      e.filter($"vec_id" =!= 0 && $"vec_id" % 5 === 4), cents, path)
     val probes = e.filter($"vec_id" === 0).select($"vec_id".as("p_id"), $"v".as("p"))
     graft.operators.AnnIndex.probe(s, path, probes, cents, nprobe = 2, k = 5)
   }

@@ -1430,7 +1430,19 @@ object ExtrasOracle {
     // vector 0 excluded from the layout), probe's top-2 cells, then
     // inner-product top-5 within them. Mirrors AnnIndex.build/probe
     // exactly: every dot is the decimal-exact macro.
-    "x65_ann_index" ->
+    "x65_ann_index" -> annProbeSql,
+
+    // x65b: build-minus-batch followed by append produces the identical
+    // unioned cell layout (same assignment rule, same centroids), so
+    // the post-append probe must hash-match the same oracle — any
+    // dropped, duplicated, or mis-assigned appended vector diverges
+    "x65b_ann_append" -> annProbeSql
+  )
+
+  /** The IVF probe oracle shared by x65 (full build) and x65b
+    * (build + incremental append of the same vector set).
+    */
+  private lazy val annProbeSql: String =
       s"""WITH seeds AS (SELECT vec_id AS cid, embedding AS c FROM embeddings
          |  WHERE vec_id BETWEEN 1 AND 16),
          |sc AS (SELECT e.vec_id, s.cid, ${dot("e.embedding", "s.c")} AS d
@@ -1456,5 +1468,4 @@ object ExtrasOracle {
          |  vec_id, score
          |FROM (SELECT * FROM fin ORDER BY score DESC, vec_id LIMIT 5)
          |ORDER BY p_id, rank""".stripMargin
-  )
 }

@@ -68,7 +68,33 @@ class AnnIndexSpec extends AnyFunSuite {
     val p = java.nio.file.Files.createTempDirectory("graft-annindex-app").toString
     AnnIndex.build(vectors.filter(col("vec_id") <= 400), centroids, p)
     val before = spark.read.parquet(p).count()
+    def dataFiles(): Set[String] = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles()).toSeq.flatten
+          .flatMap(f => if (f.isDirectory) walk(f) else Seq(f))
+      walk(new java.io.File(p)).map(_.getPath)
+        .filter(_.endsWith(".parquet")).toSet
+    }
+    val filesBefore = dataFiles()
     AnnIndex.append(vectors.filter(col("vec_id") > 400), centroids, p)
+    // incremental refresh discipline: the append wrote new files ONLY
+    // inside the cell directories its batch assigns to — untouched
+    // cells keep exactly their old files (O(new vectors) churn)
+    val appendedCells = vectors.filter(col("vec_id") > 400)
+      .crossJoin(broadcast(centroids))
+      .withColumn("d", dot("v", "c"))
+      .groupBy(col("vec_id"))
+      .agg(org.apache.spark.sql.functions.max_by(col("cid"),
+        struct(col("d"), -col("cid"))).as("cell"))
+      .select(col("cell")).distinct()
+      .collect().map(r => s"cell=${r.getLong(0)}").toSet
+    val newFiles = dataFiles() -- filesBefore
+    assert(newFiles.nonEmpty)
+    newFiles.foreach { f =>
+      val cellDir = new java.io.File(f).getParentFile.getName
+      assert(appendedCells.contains(cellDir),
+        s"append wrote $f outside its batch's cells $appendedCells")
+    }
     val index = spark.read.parquet(p)
     assert(index.count() == vectors.count() && before < index.count())
     // an appended vector must land in its best cell, same rule as build
