@@ -6,11 +6,15 @@ import org.apache.spark.sql.SparkSession
   * sink (same execution path as [[Bench]]) to separate real plan cost
   * from JVM/codegen warmup and shared-VM noise.
   *
-  * Run: `runMain graft.Profile <query> [sfDir] [reps]`.
+  * Run: `runMain graft.Profile <query>[,<query>...] [sfDir] [reps]`.
+  * A comma-separated list runs each query's full rep block in order
+  * with [[Bench]]'s exact per-rep hygiene (noop sink + clearCache) —
+  * the tool for reproducing sweep-order interactions (e.g. "is x01
+  * slower when q28's streaming teardown precedes it?").
   */
 object Profile {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(',').toSeq
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(2).map(_.toInt).getOrElse(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -25,16 +29,19 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Logs.quietNoise()
-    if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      println(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
-    }
-    (1 to reps).foreach { i =>
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      println(f"[profile] $name rep$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    names.foreach { name =>
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      }
+      (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        println(f"[profile] $name rep$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        spark.catalog.clearCache()
+      }
     }
     spark.stop()
   }
