@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Exact Jaccard set-similarity self-join — all pairs of documents
-  * with token-set Jaccard ≥ threshold — with two physical strategies
+  * with token-set Jaccard ≥ threshold — with three physical strategies
   * the engine picks between at plan time (the reference's "adaptive
   * strategy switch" pattern, main_extractor.py:374-384, applied to a
   * similarity operator):
@@ -18,25 +18,62 @@ import org.apache.spark.sql.types._
   *     O(distinct-masks × window) instead of Σ_tok n_tok² — at sf0.1
   *     this is ~4M cheap rows where the token-index join explodes to
   *     ~700M.
-  *  2. **Shared-token candidate join** (general vocabulary): distinct
+  *  2. **Banded multi-word masks** (64 < |vocab| ≤ 1024 and the
+  *     threshold is tight enough, see below): each set becomes an
+  *     array of ⌈V/64⌉ longs; identical sets still collapse first.
+  *     J ≥ t bounds the symmetric difference: |A△B| ≤ (1−t)/t·|A∩B|
+  *     ≤ u := ⌊(1−t)/t · max set size⌋ differing BITS — so splitting
+  *     the mask into u+1 contiguous word-slices guarantees (pigeonhole)
+  *     that a qualifying pair agrees EXACTLY on at least one slice.
+  *     Candidates come from an equi-join on (band, slice-value) + the
+  *     size filter; a pair colliding in several bands is kept only at
+  *     its FIRST equal band (in-join filter on the carried masks — the
+  *     x02 lesson, no distinct() shuffle); verify is exact multi-word
+  *     bit_count. Deterministic, zero false negatives. This is the
+  *     dense-small-vocab regime where prefix filtering degenerates
+  *     (every token is hot, so rare-prefix candidate sets collapse to
+  *     the same few tokens) and the size filter alone pairs every
+  *     replica of the corpus with every other (the sf1 rehearsal
+  *     measured that cliff: 1.6 s → 381 s at 10× when the old switch
+  *     fell from strategy 1 to strategy 3).
+  *  3. **Shared-token candidate join** (general vocabulary): distinct
   *     (doc, token) index, equi-join on token, group per pair. Never a
   *     cartesian: pairs only materialize through the token index. At
   *     100 TB this is the exact-verify stage behind MinHash/LSH
-  *     banding (see Extras.x02), not a standalone all-pairs scan.
+  *     banding (see Extras.x02), not a standalone all-pairs scan —
+  *     it also stays the right path for SPARSE small-vocab corpora
+  *     (rare tokens ⇒ tiny per-token groups), the regime where banding
+  *     loses its pigeonhole bound (u+1 > word count).
   *
-  * Both strategies produce bit-identical output: (d1 < d2, jaccard)
+  * All strategies produce bit-identical output: (d1 < d2, jaccard)
   * with jaccard = |∩| / |∪| as an exact integer ratio in double.
   */
 object SetSimilarityJoin {
 
+  /** Largest vocabulary the multi-word mask path will index (16 words
+    * = 128 bytes per distinct set — still a cheap wide row).
+    */
+  private val MaxMaskBits = 1024
+
   /** items: (doc_id, tok) DISTINCT pairs. */
   def jaccardSelfJoin(items: DataFrame, threshold: Double): DataFrame = {
     val vocab = items.select(col("tok")).distinct()
-    // limit(65) short-circuits the strategy probe: the aggregation stops
-    // as soon as a 65th distinct token exists instead of counting the
-    // whole vocabulary (a full extra shuffle at scale)
-    if (vocab.limit(65).count() <= 64) bitsetPath(items, vocab, threshold)
-    else tokenJoinPath(items, threshold)
+    // limit(MaxMaskBits+1) short-circuits the strategy probe: the scan
+    // stops as soon as the vocabulary provably exceeds every mask
+    // strategy instead of counting the whole vocabulary (a full extra
+    // shuffle at scale)
+    val vCount = vocab.limit(MaxMaskBits + 1).count()
+    if (vCount <= 64) bitsetPath(items, vocab, threshold)
+    else if (vCount <= MaxMaskBits) {
+      // one scheduler-sized scalar: the largest set size bounds the
+      // symmetric difference u of any qualifying pair
+      val maxSz = items.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).head().getLong(0)
+      val u = math.floor((1 - threshold) / threshold * maxSz).toInt
+      val words = ((vCount + 63) / 64).toInt
+      if (u + 1 <= words) bandedMaskPath(items, vocab, threshold, words, u)
+      else tokenJoinPath(items, threshold)
+    } else tokenJoinPath(items, threshold)
   }
 
   /** Bit index for a ≤64-token vocabulary: one single-row aggregate
@@ -87,8 +124,115 @@ object SetSimilarityJoin {
         greatest(col("da"), col("db")).as("d2"), col("jaccard"))
   }
 
-  /** Strategy 2: shared-token candidate join (general vocab). */
-  private[operators] def tokenJoinPath(items: DataFrame, threshold: Double): DataFrame = {
+  /** Multi-word bit masks for a ≤[[MaxMaskBits]]-token vocabulary:
+    * (doc_id, mask array<bigint> of `words` longs). The global bit
+    * index is a broadcast (rank, tok) table built by posexploding ONE
+    * sorted-vocab aggregate row — a hash-join lookup per item row, not
+    * an O(V) array_position scan per row and not a global window.
+    */
+  private def multiWordMasks(items: DataFrame, vocab: DataFrame,
+      words: Int): DataFrame = {
+    val ranks = vocab.agg(sort_array(collect_list(col("tok"))).as("varr"))
+      .select(posexplode(col("varr")).as(Seq("p", "tok")))
+    val wordCols = (0 until words).map { w =>
+      sum(expr(s"CASE WHEN p DIV 64 = $w THEN " +
+        "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)) ELSE 0 END"))
+        .as(s"_w$w")
+    }
+    items.join(broadcast(ranks), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(wordCols.head, wordCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until words).map(w => col(s"_w$w")): _*).as("mask"))
+  }
+
+  /** Strategy 2: banded multi-word masks (dense medium vocabulary).
+    * Requires u + 1 ≤ words (the pigeonhole bound); `u` is the maximum
+    * possible |A△B| in bits for a qualifying pair.
+    */
+  private[operators] def bandedMaskPath(items: DataFrame, vocab: DataFrame,
+      threshold: Double, words: Int, u: Int): DataFrame = {
+    graft.expressions.MaskPairStats.register(items.sparkSession)
+    // collapse identical sets before pairing; gid = min doc_id is a
+    // unique, deterministic group key for unordered-pair canonicalization.
+    // The group frame feeds THREE subtrees of the one returned plan
+    // (identical pairs + both join sides), so it rides withPersisted —
+    // the items explode+distinct upstream is computed once, and the
+    // cache releases after the caller's first terminal action
+    val groupsRaw = multiWordMasks(items, vocab, words)
+      .groupBy(col("mask"))
+      .agg(min(col("doc_id")).as("gid"), collect_list(col("doc_id")).as("docs"))
+      .withColumn("sz", expr("aggregate(mask, 0, (acc, x) -> acc + bit_count(x))"))
+    graft.Caching.withPersisted(groupsRaw)(buildBandedFrom(_, threshold, words, u))
+  }
+
+  private def buildBandedFrom(groups: DataFrame, threshold: Double,
+      words: Int, u: Int): DataFrame = {
+    val nBands = u + 1
+    // contiguous word-slices; every band ≥ 1 word since nBands <= words.
+    // The base/remainder split MUST match MaskPairStatsOps.compute
+    val base = words / nBands
+    val rem = words % nBands
+    val lens = (0 until nBands).map(i => base + (if (i < rem) 1 else 0))
+    val starts = lens.scanLeft(1)(_ + _) // slice() is 1-based
+    def bandOf(mask: Column, i: Int): Column =
+      slice(mask, starts(i), lens(i))
+
+    // intra-group pairs: identical sets are J = 1.0 ≥ t by definition
+    val identical = groups.filter(size(col("docs")) > 1)
+      .select(explode(col("docs")).as("da"), col("docs"))
+      .select(col("da"), explode(col("docs")).as("db"))
+      .filter(col("da") < col("db"))
+      .select(col("da").as("d1"), col("db").as("d2"), lit(1.0).as("jaccard"))
+
+    // the join key is (band, xxhash64(slice)) — a plain long that
+    // hash-partitions and hash-joins (an ARRAY equi-key would keep the
+    // join off the hash path); a 2⁻⁶⁴ hash collision only ever ADDS a
+    // candidate, because both the first-equal-band filter and the
+    // verify below recheck the real masks
+    val banded = groups.select(col("gid"), col("docs"), col("sz"), col("mask"),
+      explode(array((0 until nBands).map(i =>
+        struct(lit(i).as("band"),
+          xxhash64(lit(i), bandOf(col("mask"), i)).as("bvh"))): _*))
+        .as("bs"))
+      .select(col("gid"), col("docs"), col("sz"), col("mask"),
+        col("bs.band").as("band"), col("bs.bvh").as("bvh"))
+    val a = banded.select(col("gid").as("g1"), col("docs").as("docs1"),
+      col("sz").as("sz1"), col("mask").as("m1"), col("band"), col("bvh"))
+    val b = banded.select(col("gid").as("g2"), col("docs").as("docs2"),
+      col("sz").as("sz2"), col("mask").as("m2"),
+      col("band").as("band2"), col("bvh").as("bvh2"))
+    // ONE codegen kernel call per collision row computes (first equal
+    // band, |∩|, |∪|) — the first-band condition keeps each pair
+    // exactly once without a distinct() shuffle (the x02 lesson), and
+    // the packed stats replace two interpreted aggregate(zip_with(...))
+    // passes (~70 s of the sf1 q27 tail before the kernel)
+    val cross = a.join(b,
+        col("band") === col("band2") && col("bvh") === col("bvh2") &&
+          col("g1") < col("g2") &&
+          col("sz2") >= ceil(col("sz1") * lit(threshold)) &&
+          col("sz2") <= floor(col("sz1") / lit(threshold)))
+      .withColumn("mps", graft.expressions.MaskPairStats.maskPairStats(
+        col("m1"), col("m2"), lit(nBands)))
+      .filter(col("band") === (shiftright(col("mps"), 22) - 1))
+      .withColumn("inter", shiftright(col("mps"), 11).bitwiseAND(lit(0x7FFL)))
+      .withColumn("uni", col("mps").bitwiseAND(lit(0x7FFL)))
+      .withColumn("jaccard", col("inter").cast(DoubleType) / col("uni"))
+      .filter(col("jaccard") >= threshold)
+      .select(explode(col("docs1")).as("da"), col("docs2"), col("jaccard"))
+      .select(col("da"), explode(col("docs2")).as("db"), col("jaccard"))
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"), col("jaccard"))
+
+    identical.unionAll(cross)
+  }
+
+  /** Strategy 3: shared-token candidate join (general vocab). Public:
+    * it is the straightforward reference strategy the mask paths must
+    * agree with (SetSimilarityJoinSpec), and a caller with skewless
+    * sparse data may select it directly.
+    */
+  def tokenJoinPath(items: DataFrame, threshold: Double): DataFrame = {
     val sz = items.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val pairs = items.as("a").join(items.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
