@@ -118,11 +118,13 @@ object Extras {
   }
 
   /** Random-hyperplane LSH buckets: sign bits of the dot product
-    * against 8 fixed planes (vectors 1..8 of the table itself, so the
-    * oracle shares them). One broadcast of 8 planes + one scan.
+    * against `bits` fixed planes (vectors firstPlane..firstPlane+bits-1
+    * of the table itself, so the oracle shares them). One broadcast of
+    * the planes + one scan.
     */
-  private def lshBuckets(e: DataFrame, firstPlane: Int = 1): DataFrame = {
-    val planes = e.filter(col("vec_id").between(firstPlane, firstPlane + 7))
+  private def lshBuckets(e: DataFrame, firstPlane: Int = 1,
+      bits: Int = 8): DataFrame = {
+    val planes = e.filter(col("vec_id").between(firstPlane, firstPlane + bits - 1))
       .select(col("vec_id").as("j"), col("v").as("p"))
     e.crossJoin(broadcast(planes))
       .withColumn("dot", VectorFns.dotDec("v", "p"))
@@ -186,11 +188,16 @@ object Extras {
         .filter(firstMatch)
         .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2"))
     }
-    // short-circuit strategy probe — see verifyJaccard
+    // short-circuit strategy probe — see verifyJaccard; 1024 is the
+    // same MaxMaskBits cap as SetSimilarityJoin's mask strategies
     val vocab = toks.select($"tok").distinct()
-    if (vocab.limit(65).count() <= 64) {
-      // Small vocabulary: ONE per-doc aggregate computes the 16
-      // min-hashes AND the 64-bit set mask (= exact set identity).
+    val vCount = vocab.limit(1025).count()
+    if (vCount <= 64) {
+      // Tiny vocabulary: ONE per-doc aggregate computes the 16
+      // min-hashes AND a single-long set mask (= exact set identity).
+      // Kept as its own strategy below the multi-word path: the plain
+      // long groups/joins/bit_counts measurably beat the 1-element
+      // array form at this width (7.6 s vs 13.5 s on the sf0.1 sweep).
       val varr = vocab.agg(sort_array(collect_list($"tok")).as("varr"))
       val per = toks.crossJoin(broadcast(varr))
         .withColumn("th", TextFns.tokHash($"tok"))
@@ -199,12 +206,6 @@ object Extras {
           sum(expr(
             "shiftleft(CAST(1 AS BIGINT), CAST(array_position(varr, tok) - 1 AS INT))"))
             .as("mask")): _*)
-      // Compress identical token sets BEFORE the quadratic stage: docs
-      // sharing a mask share the whole signature vector, so the band
-      // join runs on distinct-set representatives (~0.6x the quadratic
-      // volume at sf0.1) and member lists expand back afterwards.
-      // Equivalence: same-set docs collide in every band (J=1 always
-      // passes); a cross-set pair collides iff its representatives do.
       val gCols = (0 until 16).map(j => min(col(s"mh$j")).as(s"mh$j")) ++ Seq(
         min($"doc_id").as("doc_id"), collect_list($"doc_id").as("members"))
       val groups = per.groupBy($"mask").agg(gCols.head, gCols.tail: _*)
@@ -219,6 +220,67 @@ object Extras {
         .select(explode($"mem1").as("a"), $"mem2", $"jaccard")
         .select($"a", explode($"mem2").as("b"), $"jaccard")
         .select(least($"a", $"b").as("d1"), greatest($"a", $"b").as("d2"), $"jaccard")
+      val within = groups.filter(size($"members") > 1)
+        .select(explode($"members").as("a"), $"members")
+        .select($"a", explode($"members").as("b"))
+        .filter($"a" < $"b")
+        .select($"a".as("d1"), $"b".as("d2"), lit(1.0).as("jaccard"))
+      cross.unionByName(within).orderBy($"d1", $"d2")
+    } else if (vCount <= 1024) {
+      // Mask-width vocabulary (64 < V ≤ 1024 ⇒ 2..16 longs per set):
+      // ONE per-doc aggregate computes the 16 min-hashes AND the
+      // multi-word bit mask (= exact set identity). The bit index is a
+      // broadcast (rank, tok) table from one sorted-vocab aggregate
+      // row — a hash-join lookup per item row, not an O(V)
+      // array_position scan.
+      val words = ((vCount + 63) / 64).toInt
+      val ranks = vocab.agg(sort_array(collect_list($"tok")).as("varr"))
+        .select(posexplode($"varr").as(Seq("p", "tok")))
+      val wordCols = (0 until words).map { w =>
+        sum(expr(s"CASE WHEN p DIV 64 = $w THEN " +
+          "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)) ELSE 0 END"))
+          .as(s"_w$w")
+      }
+      val per = toks.join(broadcast(ranks), Seq("tok"))
+        .withColumn("th", TextFns.tokHash($"tok"))
+        .groupBy($"doc_id")
+        .agg(mhCols.head, (mhCols.tail ++ wordCols): _*)
+        .withColumn("mask", array((0 until words).map(w => col(s"_w$w")): _*))
+      // Compress identical token sets BEFORE the quadratic stage: docs
+      // sharing a mask share the whole signature vector, so the band
+      // join runs on distinct-set representatives (~0.6x the quadratic
+      // volume at sf0.1) and member lists expand back afterwards.
+      // Equivalence: same-set docs collide in every band (J=1 always
+      // passes); a cross-set pair collides iff its representatives do.
+      // The sf1 rehearsal measured why this compression must not be
+      // skipped on a dense corpus: the per-doc open-vocab path banded
+      // 64k docs from a 310-token vocabulary into 65M candidate pairs.
+      val gCols = (0 until 16).map(j => min(col(s"mh$j")).as(s"mh$j")) ++ Seq(
+        min($"doc_id").as("doc_id"), collect_list($"doc_id").as("members"))
+      val groupsRaw = per.groupBy($"mask").agg(gCols.head, gCols.tail: _*)
+      // groups feeds FOUR subtrees of the returned plan (band join +
+      // both verify sides + within-group pairs) — persist the ~|distinct
+      // sets| frame so the signature aggregate runs once (SCALE.md
+      // "Unpersist discipline")
+      graft.Caching.withPersisted(groupsRaw) { groups =>
+      val cand = bandCandidates(groups)
+      graft.expressions.MaskPairStats.register(s)
+      val gsel = groups.select($"doc_id".as("rid"), $"mask", $"members")
+      val cross = cand
+        .join(gsel.select($"rid".as("d1"), $"mask".as("m1"), $"members".as("mem1")), Seq("d1"))
+        .join(gsel.select($"rid".as("d2"), $"mask".as("m2"), $"members".as("mem2")), Seq("d2"))
+        // one codegen pass per candidate: inter << 11 | uni (band slot
+        // unused at nBands = 1) — the interpreted zip_with/aggregate
+        // form was the 70 s q27 tail at the sf1 rehearsal's volume
+        .withColumn("mps", graft.expressions.MaskPairStats.maskPairStats(
+          $"m1", $"m2", lit(1)))
+        .withColumn("jaccard",
+          shiftright($"mps", 11).bitwiseAND(lit(0x7ffL)).cast(DoubleType) /
+            $"mps".bitwiseAND(lit(0x7ffL)))
+        .filter($"jaccard" >= MinhashJaccardThreshold)
+        .select(explode($"mem1").as("a"), $"mem2", $"jaccard")
+        .select($"a", explode($"mem2").as("b"), $"jaccard")
+        .select(least($"a", $"b").as("d1"), greatest($"a", $"b").as("d2"), $"jaccard")
       // within-group pairs: identical sets, Jaccard exactly 1.0 (the
       // double ratio sz/sz the oracle computes). At open-web scale a
       // mega-group of byte-identical docs is possible — the pair
@@ -229,6 +291,7 @@ object Extras {
         .filter($"a" < $"b")
         .select($"a".as("d1"), $"b".as("d2"), lit(1.0).as("jaccard"))
       cross.unionByName(within).orderBy($"d1", $"d2")
+      }
     } else {
       // Open vocabulary (the true 100 TB path): signatures only, exact
       // verify via sorted-array merge intersect.
@@ -303,15 +366,36 @@ object Extras {
       .orderBy($"d1", $"d2")
   }
 
-  /** x12 — embedding-cosine near-dup, LSH-bucketed: candidates share an
-    * 8-bit hyperplane bucket; exact decimal cosine ≥ 0.3 verifies.
+  /** Hyperplane-bit budget for a corpus of `n` vectors: the smallest
+    * b in [8, 24] with 2^b · 16 ≥ n, i.e. expected bucket occupancy
+    * ≤ 16. Candidate volume in a bucket self-join is Σ occ²/2 ≈
+    * n·occ/2 — CONSTANT occupancy makes it linear in n, while any
+    * fixed bit count makes it n²/2^bits (the sf1 rehearsal measured
+    * that cliff on x12: 10× data → 56× time at 8 fixed bits).
+    * Integer-exact shift compare (no float log2) so the DuckDB oracle
+    * computes the identical b from the identical n at every sf.
+    */
+  private[graft] def lshBitsFor(n: Long): Int =
+    (8 to 24).find(b => (1L << b) * 16L >= n).getOrElse(24)
+
+  /** x12 — embedding-cosine near-dup, LSH-bucketed: candidates share a
+    * hyperplane sign bucket; exact decimal cosine ≥ 0.3 verifies.
     * (The synthetic embeddings are near-orthogonal, so few/no rows is
     * the honest answer — the oracle checks the same bucketed set.)
+    *
+    * The bit count scales with the corpus ([[lshBitsFor]]) so the
+    * bucket self-join stays linear; the count() that sizes it is one
+    * metadata-cheap parquet count — a scheduler-sized strategy probe,
+    * same precedent as x02's vocab limit(65). Recall per extra bit
+    * drops by the plane-agreement factor 1−θ/π; production compensates
+    * with L tables at constant bits-per-table (the x06 dial), which is
+    * a recall knob, not a scale knob — here one table matches the
+    * declared operator.
     */
   def x12EmbedNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = emb(s, dir)
-    val b = lshBuckets(e)
+    val b = lshBuckets(e, 1, lshBitsFor(e.count()))
     val pairs = b.as("x").join(b.as("y"),
         $"x.bucket" === $"y.bucket" && $"x.vec_id" < $"y.vec_id")
       .select($"x.vec_id".as("d1"), $"y.vec_id".as("d2"))

@@ -1331,9 +1331,14 @@ object ExtrasOracle {
         |  (CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 480) + 1 AS fake_height
         |FROM documents WHERE doc_id <= 200 ORDER BY doc_id""".stripMargin,
 
+    // bits replays Extras.lshBitsFor integer-exactly: smallest b in
+    // [8,24] with (1<<b)*16 >= count(*) — occupancy-constant buckets.
     "x12_embed_neardup" ->
-      s"""WITH planes AS (SELECT vec_id AS j, embedding AS pe FROM embeddings
-         |  WHERE vec_id BETWEEN 1 AND 8),
+      s"""WITH bits AS (SELECT MIN(b) AS b
+         |  FROM generate_series(8, 24) t(b), (SELECT COUNT(*) AS n FROM embeddings)
+         |  WHERE (CAST(1 AS BIGINT) << b) * 16 >= n),
+         |planes AS (SELECT vec_id AS j, embedding AS pe FROM embeddings, bits
+         |  WHERE vec_id BETWEEN 1 AND bits.b),
          |dots AS (SELECT e.vec_id, p.j, ${dot("e.embedding", "p.pe")} AS dot
          |  FROM embeddings e, planes p, generate_series(1, 64) t(i)
          |  GROUP BY e.vec_id, p.j),

@@ -652,4 +652,20 @@ class QueriesSpec extends AnyFunSuite {
   test("entry() returns non-empty flagship result") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("lshBitsFor keeps bucket occupancy <= 16 with exact power-of-2 edges") {
+    // floor: tiny corpora stay at 8 bits (the historical sf0.01 value,
+    // pinning oracle back-compat at the correctness-gate sf)
+    assert(Extras.lshBitsFor(1) == 8)
+    assert(Extras.lshBitsFor(256 * 16) == 8) // exactly full: 2^8*16 >= n holds
+    assert(Extras.lshBitsFor(256 * 16 + 1) == 9) // one over: next bit
+    assert(Extras.lshBitsFor(6400) == 9) // sf0.1 corpus
+    assert(Extras.lshBitsFor(64000) == 12) // sf1 corpus
+    // occupancy bound holds across the range; bits never exceed the cap
+    Seq(1L, 100L, 4096L, 100000L, 10000000L, Long.MaxValue / 32).foreach { n =>
+      val b = Extras.lshBitsFor(n)
+      assert(b >= 8 && b <= 24)
+      if (b < 24) assert((1L << b) * 16 >= n, s"occupancy bound at n=$n")
+    }
+  }
 }
