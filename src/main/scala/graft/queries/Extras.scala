@@ -443,6 +443,12 @@ object Extras {
 
   def x14DedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // lab feeds both the size agg and the final join, but stays
+    // UNPERSISTED deliberately: the expensive CC run behind it is
+    // already localCheckpointed, so each consumer re-runs only the
+    // cheap docs-scan + labels join — measured at sf0.1, persisting
+    // the 2-column frame is a wash-to-loss (3.75 s vs 4.13 s min;
+    // SCALE.md "Unpersist discipline").
     val lab = dedupClusterLabels(s, dir)
     val sizes = lab.groupBy($"cluster_id").agg(cnt.as("cluster_size"))
     lab.join(sizes, Seq("cluster_id"))
