@@ -282,7 +282,23 @@ object SetSimilarityJoin {
           slice(col("ft"), lit(1),
             (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast(IntegerType)),
           _.getField("tok")).as("prefix"))
-    graft.Caching.withPersisted(perDoc) { docs =>
+    // Collapse identical item sets BEFORE the prefix stage. Without
+    // this, a k-doc exact-duplicate group (the COMMON case in a dedup
+    // workload) emits prefix_len × k²/2 pre-distinct join rows — the
+    // sf5 rehearsal measured x04 at 44× for 5× data from exactly that
+    // multiplicity. Set identity = md5 over the NUL-joined sorted
+    // array (x01's md5-as-identity precedent; tokens cannot contain
+    // NUL), computed ROW-LOCALLY so the grouping shuffle moves 24
+    // bytes per doc, not the wide arr/prefix arrays — and the rep
+    // join below reuses perDoc's existing hash(doc_id) partitioning,
+    // so a dup-free corpus pays almost nothing for the insurance.
+    val gids = perDoc
+      .select(md5(concat_ws("\u0000", col("arr"))).as("h"), col("doc_id"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("doc_id"), collect_list(col("doc_id")).as("members"))
+      .drop("h")
+    val groupsRaw = perDoc.join(gids, Seq("doc_id"))
+    graft.Caching.withPersisted(groupsRaw) { docs =>
       val pre = docs.select(col("doc_id"), col("sz"), explode(col("prefix")).as("tok"))
       val cand = pre.as("a").join(pre.as("b"),
           col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
@@ -290,17 +306,38 @@ object SetSimilarityJoin {
             col("b.sz") <= floor(col("a.sz") / lit(threshold)))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .distinct()
-      cand
+        // pin the verify stage's parallelism: AQE sizes the post-distinct
+        // exchange by its 16-byte rows (~5 MB at sf0.1) and coalesces to
+        // 1–2 partitions, but each row implies heavy downstream work
+        // (two array attachments + a merge-intersect kernel) — measured
+        // 5.0 s vs 1.1 s at sf0.1. The explicit d1-hash exchange is the
+        // partitioning the d1 verify join needs anyway once the per-doc
+        // frame outgrows broadcast, so at scale this costs nothing extra.
+        .repartition(items.sparkSession.sessionState.conf.numShufflePartitions,
+          col("d1"))
+      val cross = cand
         .join(docs.select(col("doc_id").as("d1"), col("arr").as("a1"),
-          col("sz").as("sz1")), Seq("d1"))
+          col("sz").as("sz1"), col("members").as("mem1")), Seq("d1"))
         .join(docs.select(col("doc_id").as("d2"), col("arr").as("a2"),
-          col("sz").as("sz2")), Seq("d2"))
+          col("sz").as("sz2"), col("members").as("mem2")), Seq("d2"))
         .withColumn("inter",
           graft.expressions.SortedIntersectCount.sortedIntersectCount(col("a1"), col("a2")))
         .withColumn("jaccard",
           col("inter").cast(DoubleType) / (col("sz1") + col("sz2") - col("inter")))
         .filter(col("jaccard") >= threshold)
-        .select(col("d1"), col("d2"), col("jaccard"))
+        .select(explode(col("mem1")).as("a"), col("mem2"), col("jaccard"))
+        .select(col("a"), explode(col("mem2")).as("b"), col("jaccard"))
+        .select(least(col("a"), col("b")).as("d1"),
+          greatest(col("a"), col("b")).as("d2"), col("jaccard"))
+      // within-group pairs: identical sets, Jaccard exactly 1.0; each
+      // doc belongs to exactly one set-group, so cross and within can
+      // never emit the same (d1, d2)
+      val within = docs.filter(size(col("members")) > 1)
+        .select(explode(col("members")).as("a"), col("members"))
+        .select(col("a"), explode(col("members")).as("b"))
+        .filter(col("a") < col("b"))
+        .select(col("a").as("d1"), col("b").as("d2"), lit(1.0).as("jaccard"))
+      cross.unionByName(within)
     }
   }
 

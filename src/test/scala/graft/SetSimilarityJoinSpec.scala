@@ -97,6 +97,32 @@ class SetSimilarityJoinSpec extends AnyFunSuite {
     assert(out.map(p => (p._1, p._2)) === Seq((1L, 2L), (3L, 4L)))
   }
 
+  test("prefix path ≡ token-join path, including exact-duplicate groups") {
+    // duplicate groups are the case the distinct-set compression exists
+    // for (the sf5 rehearsal's prefix_len × k²/2 blowup): three docs
+    // with the identical set, two near-dups, plus random background
+    val vocab = (0 until 150).map(i => f"s$i%03d")
+    val rnd = new scala.util.Random(23)
+    val sets: Map[Long, Seq[String]] = (0L until 100L).map { d =>
+      d -> rnd.shuffle(vocab).take(6 + rnd.nextInt(10)).toSeq
+    }.toMap ++ Map(
+      300L -> vocab.take(12),
+      301L -> vocab.take(12), // identical
+      302L -> vocab.take(12), // identical
+      303L -> vocab.take(11), // J = 11/12 ≈ 0.917
+      310L -> vocab.slice(50, 58),
+      311L -> vocab.slice(50, 58).reverse) // same set, different order
+    val it = items(sets).cache()
+    val viaPrefix = collectPairs(SetSimilarityJoin.prefixJaccardSelfJoin(it, 0.6))
+    val viaTokens = collectPairs(SetSimilarityJoin.tokenJoinPath(it, 0.6))
+    assert(viaPrefix === viaTokens)
+    val keys = viaPrefix.map(p => (p._1, p._2)).toSet
+    assert(keys((300L, 301L)) && keys((300L, 302L)) && keys((301L, 302L)))
+    assert(keys((300L, 303L)) && keys((310L, 311L)))
+    assert(viaPrefix.collect { case (310L, 311L, j) => j } === Seq(1.0))
+    it.unpersist()
+  }
+
   test("small vocabulary still takes the single-word bitset path, same answer") {
     val vocab = (0 until 40).map(i => s"w$i")
     val rnd = new scala.util.Random(11)
