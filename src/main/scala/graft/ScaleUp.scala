@@ -44,6 +44,14 @@ import org.apache.spark.sql.functions._
   *
   * Dimension tables `region`/`nation` are copied unscaled (TPC-H
   * semantics: fixed geography at every sf).
+  *
+  * CAVEAT (measured in the factor-50 rehearsal): the Caesar rotation
+  * wraps at 26, so factors beyond 26 produce replicas with EXACTLY
+  * duplicated text — identical-set pair volume then grows
+  * quadratically in replicas-per-rotation and pair-operator timings
+  * measure output growth, not plan cost. Factors ≤ 26 preserve the
+  * non-duplicate invariant; larger factors deliberately model a
+  * dup-heavy (open-web-shaped) corpus.
   */
 object ScaleUp {
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
