@@ -90,7 +90,14 @@ object PlanAudit {
       "sorted_intersect_count kernel in plan" ->
         (_.contains("sorted_intersect_count")),
       "no window (one-pass PPJoin, VERDICT r04 #7)" ->
-        (p => !p.contains("Window")))
+        (p => !p.contains("Window")),
+      // the r10 AQE lesson: the post-distinct candidate exchange is 16
+      // bytes/row, so byte-based coalescing collapses the expensive
+      // merge-intersect verify to 1-2 partitions unless the operator
+      // pins its parallelism with an explicit d1-hash repartition
+      "verify parallelism pinned (REPARTITION_BY_NUM on d1)" ->
+        (p => p.contains("REPARTITION_BY_NUM") ||
+          "hashpartitioning\\(d1".r.findFirstIn(p).nonEmpty))
     // x02: banded candidates, no global window, no cartesian
     audit("x02_dedup_minhash_lsh")(
       "no cartesian product" -> (p => !p.contains("CartesianProduct")))
