@@ -77,7 +77,14 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Logs.quietNoise()
+    run(spark, src, dst, factor)
+    spark.stop()
+  }
 
+  /** The generator body, callable with a live session (the spec drives
+    * it without stopping the shared test session).
+    */
+  def run(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
     def table(name: String): DataFrame =
       spark.read.parquet(s"$src/$name.parquet")
 
@@ -169,6 +176,5 @@ object ScaleUp {
     }, "embeddings")
 
     println(s"[scaleup] done: $src ×$factor → $dst")
-    spark.stop()
   }
 }
