@@ -293,12 +293,49 @@ object Extras {
       cross.unionByName(within).orderBy($"d1", $"d2")
       }
     } else {
-      // Open vocabulary (the true 100 TB path): signatures only, exact
-      // verify via sorted-array merge intersect.
-      val sig = toks.withColumn("th", TextFns.tokHash($"tok"))
+      // Open vocabulary (the true 100 TB path): signatures + exact
+      // verify via sorted-array merge intersect — with the SAME
+      // identical-set compression as the mask paths (set identity =
+      // md5 over the NUL-joined sorted token array, the x01/x04
+      // precedent). Without it, a k-doc duplicate group — the dominant
+      // structure of real open-web corpora — costs k²/2 band-join and
+      // verify rows per band; with it, one representative per distinct
+      // set and the quadratic stage is driven by distinct-set count.
+      val arrs = toks.groupBy($"doc_id")
+        .agg(sort_array(collect_list($"tok")).as("arr"), cnt.as("sz"))
+        .withColumn("h", md5(concat_ws("\u0000", $"arr")))
+      val gids = arrs.select($"h", $"doc_id")
+        .groupBy($"h")
+        .agg(min($"doc_id").as("doc_id"), collect_list($"doc_id").as("members"))
+        .drop("h")
+      // reps carry the verify arrays; the join reuses arrs' hash(doc_id)
+      // partitioning (gids' min(doc_id) side shuffles 8 bytes per set)
+      val repsRaw = arrs.drop("h").join(gids, Seq("doc_id"))
+      graft.Caching.withPersisted(repsRaw) { reps =>
+      graft.expressions.SortedIntersectCount.register(s)
+      val sig = toks.join(reps.select($"doc_id"), Seq("doc_id"), "left_semi")
+        .withColumn("th", TextFns.tokHash($"tok"))
         .groupBy($"doc_id").agg(mhCols.head, mhCols.tail: _*)
-      verifyJaccard(s, bandCandidates(sig), toks, MinhashJaccardThreshold,
-        tryMasks = false)
+      val cross = bandCandidates(sig)
+        .join(reps.select($"doc_id".as("d1"), $"arr".as("a1"), $"sz".as("sz1"),
+          $"members".as("mem1")), Seq("d1"))
+        .join(reps.select($"doc_id".as("d2"), $"arr".as("a2"), $"sz".as("sz2"),
+          $"members".as("mem2")), Seq("d2"))
+        .withColumn("inter",
+          graft.expressions.SortedIntersectCount.sortedIntersectCount($"a1", $"a2"))
+        .withColumn("jaccard",
+          $"inter".cast(DoubleType) / ($"sz1" + $"sz2" - $"inter"))
+        .filter($"jaccard" >= MinhashJaccardThreshold)
+        .select(explode($"mem1").as("a"), $"mem2", $"jaccard")
+        .select($"a", explode($"mem2").as("b"), $"jaccard")
+        .select(least($"a", $"b").as("d1"), greatest($"a", $"b").as("d2"), $"jaccard")
+      val within = reps.filter(size($"members") > 1)
+        .select(explode($"members").as("a"), $"members")
+        .select($"a", explode($"members").as("b"))
+        .filter($"a" < $"b")
+        .select($"a".as("d1"), $"b".as("d2"), lit(1.0).as("jaccard"))
+      cross.unionByName(within).orderBy($"d1", $"d2")
+      }
     }
     }
   }

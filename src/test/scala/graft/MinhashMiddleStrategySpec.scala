@@ -33,33 +33,18 @@ class MinhashMiddleStrategySpec extends AnyFunSuite {
     Extras.Perms.map { case (_, a, b) => hs.map(h => (a * h + b) % P).min }.toIndexedSeq
   }
 
-  test("x02 middle strategy matches a driver-side semantic replay at vocab=150") {
-    val dir = java.nio.file.Files.createTempDirectory("x02mid").toString
-    val vocab = (0 until 150).map(i => f"w$i%03d")
-    val rnd = new scala.util.Random(11)
-    val randomDocs = (0L until 200L).map { d =>
-      d -> rnd.shuffle(vocab).take(5 + rnd.nextInt(20)).mkString(" ")
-    }
-    val planted = Seq(
-      500L -> vocab.take(10).mkString(" "),          // group seed
-      501L -> vocab.take(10).mkString(" "),          // identical text
-      502L -> vocab.take(9).mkString(" "),           // J = 9/10 vs 500
-      503L -> vocab.take(10).reverse.mkString(" "),  // same SET, other order
-      510L -> vocab.slice(80, 100).mkString(" "),
-      511L -> (vocab.slice(80, 99) :+ vocab(120)).mkString(" ")) // J = 19/21 < 0.7? no: |∩|=19 |∪|=21 ≈ 0.905
-    val docs = randomDocs ++ planted
+  /** Shared harness: write the corpus, run x02, compare against the
+    * driver-side replay, and assert the planted structure surfaced.
+    */
+  private def checkAgainstReplay(tag: String, vocab: IndexedSeq[String],
+      docs: Seq[(Long, String)]): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory(tag).toString
     docs.toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
       .withColumn("n_chars", length($"text"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-
-    // sanity: this corpus really exercises the middle strategy
-    assert(vocab.size > 64 && vocab.size <= 1024)
-
     val got = Extras.x02DedupMinhashLsh(spark, dir)
       .as[(Long, Long, Double)].collect().toSeq
-
-    // driver-side reference
     val sets = docs.map { case (d, text) => d -> text.split(" ").toSet }
     val sigs = sets.map { case (d, s) => (d, s, minhashes(s)) }
     val expected = (for {
@@ -74,15 +59,49 @@ class MinhashMiddleStrategySpec extends AnyFunSuite {
       j = (s1 & s2).size.toDouble / (s1 | s2).size
       if j >= Extras.MinhashJaccardThreshold
     } yield (d1, d2, j)).sortBy(p => (p._1, p._2))
-
     assert(got.map(p => (p._1, p._2)).toSeq ==
       got.map(p => (p._1, p._2)).toSeq.sorted, "output ordered by (d1, d2)")
     assert(got.sortBy(p => (p._1, p._2)) === expected)
-    // the planted structure is actually found (guards against a
-    // trivially-empty comparison)
     val keys = got.map(p => (p._1, p._2)).toSet
     assert(keys((500L, 501L)) && keys((500L, 503L)) && keys((501L, 503L)))
     assert(keys((500L, 502L)) && keys((510L, 511L)))
     assert(got.collect { case (500L, 501L, j) => j } === Seq(1.0))
+  }
+
+  test("x02 middle strategy matches a driver-side semantic replay at vocab=150") {
+    val vocab = (0 until 150).map(i => f"w$i%03d")
+    val rnd = new scala.util.Random(11)
+    val randomDocs = (0L until 200L).map { d =>
+      d -> rnd.shuffle(vocab).take(5 + rnd.nextInt(20)).mkString(" ")
+    }
+    val planted = Seq(
+      500L -> vocab.take(10).mkString(" "),          // group seed
+      501L -> vocab.take(10).mkString(" "),          // identical text
+      502L -> vocab.take(9).mkString(" "),           // J = 9/10 vs 500
+      503L -> vocab.take(10).reverse.mkString(" "),  // same SET, other order
+      510L -> vocab.slice(80, 100).mkString(" "),
+      511L -> (vocab.slice(80, 99) :+ vocab(120)).mkString(" ")) // J = 19/21 ≈ 0.905
+    // sanity: this corpus really exercises the middle strategy
+    assert(vocab.size > 64 && vocab.size <= 1024)
+    checkAgainstReplay("x02mid", vocab, randomDocs ++ planted)
+  }
+
+  test("x02 open-vocab strategy (vocab>1024) matches the same replay, dup groups included") {
+    val vocab = (0 until 1100).map(i => f"v$i%04d")
+    val rnd = new scala.util.Random(29)
+    val randomDocs = (0L until 150L).map { d =>
+      d -> rnd.shuffle(vocab).take(6 + rnd.nextInt(24)).mkString(" ")
+    }
+    val planted = Seq(
+      500L -> vocab.take(10).mkString(" "),
+      501L -> vocab.take(10).mkString(" "),          // identical text
+      502L -> vocab.take(9).mkString(" "),           // J = 0.9
+      503L -> vocab.take(10).reverse.mkString(" "),  // same SET, other order
+      510L -> vocab.slice(600, 620).mkString(" "),
+      511L -> (vocab.slice(600, 619) :+ vocab(1050)).mkString(" "))
+    // sanity: above every mask strategy — the open path with the
+    // r10 identical-set compression is in play
+    assert(vocab.size > 1024)
+    checkAgainstReplay("x02open", vocab, randomDocs ++ planted)
   }
 }
