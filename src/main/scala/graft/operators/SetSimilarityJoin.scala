@@ -341,19 +341,4 @@ object SetSimilarityJoin {
     }
   }
 
-  /** Exact Jaccard for a given candidate-pair set via bitset masks
-    * (used to verify LSH candidates cheaply when |vocab| ≤ 64).
-    * cand: (d1, d2); items: distinct (doc_id, tok).
-    */
-  def verifyWithMasks(cand: DataFrame, items: DataFrame, vocab: DataFrame,
-      threshold: Double): DataFrame = {
-    val masks = docMasks(items, vocab)
-    cand
-      .join(masks.select(col("doc_id").as("d1"), col("mask").as("m1")), Seq("d1"))
-      .join(masks.select(col("doc_id").as("d2"), col("mask").as("m2")), Seq("d2"))
-      .withColumn("jaccard",
-        expr("bit_count(m1 & m2)").cast(DoubleType) / expr("bit_count(m1 | m2)"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("d1"), col("d2"), col("jaccard"))
-  }
 }

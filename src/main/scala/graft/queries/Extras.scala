@@ -76,47 +76,6 @@ object Extras {
       .select($"vec_id", VectorFns.asDoubleArray("embedding").as("v"))
   }
 
-  /** Exact Jaccard over a candidate-pair set (candidate-driven: only
-    * candidate pairs are ever scored).
-    *
-    * `tryMasks = false` skips the vocabulary probe when the caller
-    * already knows the item space is large (e.g. shingles); the general
-    * path then joins each pair to its two per-doc SORTED item arrays
-    * and counts the intersection with the
-    * [[graft.expressions.SortedIntersectCount]] merge kernel — one
-    * O(|A|+|B|) scan per pair instead of re-expanding candidates
-    * through the token index (a Σ_pair |items| intermediate plus a
-    * pair-keyed shuffle).
-    */
-  private def verifyJaccard(s: SparkSession, cand: DataFrame, toks: DataFrame,
-      threshold: Double, tryMasks: Boolean = true): DataFrame = {
-    import s.implicits._
-    val vocab = toks.select($"tok").distinct()
-    // "at most 64 tokens?" needs a short-circuit probe, not a full
-    // distinct count: limit(65) stops the aggregation as soon as a 65th
-    // group exists, so at 100 TB the strategy choice costs one early-out
-    // pass instead of a complete shuffle-and-count (VERDICT r04 #1)
-    val verified =
-      if (tryMasks && vocab.limit(65).count() <= 64)
-        // small-vocab fast path: one 64-bit mask per doc, two joins,
-        // Jaccard = two bit_count instructions per candidate
-        graft.operators.SetSimilarityJoin.verifyWithMasks(cand, toks, vocab, threshold)
-      else {
-        graft.expressions.SortedIntersectCount.register(s)
-        val arrs = toks.groupBy($"doc_id")
-          .agg(sort_array(collect_list($"tok")).as("arr"), cnt.as("sz"))
-        cand
-          .join(arrs.select($"doc_id".as("d1"), $"arr".as("a1"), $"sz".as("sz1")), Seq("d1"))
-          .join(arrs.select($"doc_id".as("d2"), $"arr".as("a2"), $"sz".as("sz2")), Seq("d2"))
-          .withColumn("inter",
-            graft.expressions.SortedIntersectCount.sortedIntersectCount($"a1", $"a2"))
-          .withColumn("jaccard", $"inter".cast(DoubleType) / ($"sz1" + $"sz2" - $"inter"))
-          .filter($"jaccard" >= threshold)
-          .select($"d1", $"d2", $"jaccard")
-      }
-    verified.orderBy($"d1", $"d2")
-  }
-
   /** Random-hyperplane LSH buckets: sign bits of the dot product
     * against `bits` fixed planes (vectors firstPlane..firstPlane+bits-1
     * of the table itself, so the oracle shares them). One broadcast of
