@@ -233,18 +233,44 @@ object SetSimilarityJoin {
     * sparse data may select it directly.
     */
   def tokenJoinPath(items: DataFrame, threshold: Double): DataFrame = {
-    val sz = items.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val pairs = items.as("a").join(items.as("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sz.select(col("doc_id").as("d1"), col("sz").as("sz1")), Seq("d1"))
-      .join(sz.select(col("doc_id").as("d2"), col("sz").as("sz2")), Seq("d2"))
-      .withColumn("jaccard",
-        col("inter").cast(DoubleType) / (col("sz1") + col("sz2") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("d1"), col("d2"), col("jaccard"))
+    // Identical-set compression, like every other rung: the set
+    // fingerprint is md5 over the NUL-joined sorted token array —
+    // computed inside one doc-keyed aggregate and immediately reduced
+    // to 16 bytes, so the array itself is never shuffled. A k-copy
+    // duplicate group then costs ONE representative in the token
+    // self-join instead of |set|·k²/2 join rows.
+    val sets = items.groupBy(col("doc_id"))
+      .agg(md5(concat_ws("\u0000", sort_array(collect_list(col("tok"))))).as("h"),
+        count(lit(1)).as("sz"))
+    val gids = sets.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("doc_id"), collect_list(col("doc_id")).as("members"))
+      .drop("h")
+    val reps = sets.drop("h").join(gids, Seq("doc_id"))
+    graft.Caching.withPersisted(reps) { rp =>
+      val repItems = items.join(rp.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      val pairs = repItems.as("a").join(repItems.as("b"),
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+      val cross = pairs
+        .join(rp.select(col("doc_id").as("d1"), col("sz").as("sz1"),
+          col("members").as("mem1")), Seq("d1"))
+        .join(rp.select(col("doc_id").as("d2"), col("sz").as("sz2"),
+          col("members").as("mem2")), Seq("d2"))
+        .withColumn("jaccard",
+          col("inter").cast(DoubleType) / (col("sz1") + col("sz2") - col("inter")))
+        .filter(col("jaccard") >= threshold)
+        .select(explode(col("mem1")).as("a"), col("mem2"), col("jaccard"))
+        .select(col("a"), explode(col("mem2")).as("b"), col("jaccard"))
+        .select(least(col("a"), col("b")).as("d1"),
+          greatest(col("a"), col("b")).as("d2"), col("jaccard"))
+      val within = rp.filter(size(col("members")) > 1)
+        .select(explode(col("members")).as("a"), col("members"))
+        .select(col("a"), explode(col("members")).as("b"))
+        .filter(col("a") < col("b"))
+        .select(col("a").as("d1"), col("b").as("d2"), lit(1.0).as("jaccard"))
+      cross.unionByName(within)
+    }
   }
 
   /** PPJoin-style prefix-filtered exact Jaccard self-join for large

@@ -97,6 +97,29 @@ class SetSimilarityJoinSpec extends AnyFunSuite {
     assert(out.map(p => (p._1, p._2)) === Seq((1L, 2L), (3L, 4L)))
   }
 
+  test("token-join path ≡ driver-side all-pairs brute force (it anchors the others)") {
+    // tokenJoinPath is the reference side of the equivalence tests, so
+    // it gets its own independent anchor: exact all-pairs Jaccard
+    // computed on collected sets, duplicate groups included
+    val vocab = (0 until 90).map(i => s"a$i")
+    val rnd = new scala.util.Random(41)
+    val sets: Map[Long, Seq[String]] = (0L until 60L).map { d =>
+      d -> rnd.shuffle(vocab).take(4 + rnd.nextInt(8)).toSeq
+    }.toMap ++ Map(
+      400L -> vocab.take(6), 401L -> vocab.take(6), 402L -> vocab.take(6),
+      403L -> vocab.take(5))
+    val got = collectPairs(SetSimilarityJoin.tokenJoinPath(items(sets), 0.6))
+    val ss = sets.view.mapValues(_.toSet).toMap
+    val expected = (for {
+      d1 <- ss.keys; d2 <- ss.keys; if d1 < d2
+      j = (ss(d1) & ss(d2)).size.toDouble / (ss(d1) | ss(d2)).size
+      if j >= 0.6 && (ss(d1) & ss(d2)).nonEmpty
+    } yield (d1, d2, j)).toSeq.sortBy(p => (p._1, p._2))
+    assert(got === expected)
+    val keys = got.map(p => (p._1, p._2)).toSet
+    assert(keys((400L, 401L)) && keys((401L, 402L)) && keys((400L, 403L)))
+  }
+
   test("prefix path ≡ token-join path, including exact-duplicate groups") {
     // duplicate groups are the case the distinct-set compression exists
     // for (the sf5 rehearsal's prefix_len × k²/2 blowup): three docs
