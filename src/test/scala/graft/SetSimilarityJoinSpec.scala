@@ -146,6 +146,25 @@ class SetSimilarityJoinSpec extends AnyFunSuite {
     it.unpersist()
   }
 
+  test("degenerate corpora: empty, single doc, all-identical — every path") {
+    val empty = items(Map.empty)
+    assert(SetSimilarityJoin.jaccardSelfJoin(empty, 0.8).count() === 0L)
+    assert(SetSimilarityJoin.tokenJoinPath(empty, 0.8).count() === 0L)
+    assert(SetSimilarityJoin.prefixJaccardSelfJoin(empty, 0.8).count() === 0L)
+    val single = items(Map(1L -> Seq("a", "b", "c")))
+    assert(SetSimilarityJoin.jaccardSelfJoin(single, 0.8).count() === 0L)
+    assert(SetSimilarityJoin.tokenJoinPath(single, 0.8).count() === 0L)
+    assert(SetSimilarityJoin.prefixJaccardSelfJoin(single, 0.8).count() === 0L)
+    // an all-identical corpus is ONE group: exactly k*(k-1)/2 pairs at J=1.0
+    val allSame = items((1L to 5L).map(d => d -> Seq("x", "y", "z")).toMap)
+    for (df <- Seq(SetSimilarityJoin.jaccardSelfJoin(allSame, 0.8),
+                   SetSimilarityJoin.tokenJoinPath(allSame, 0.8),
+                   SetSimilarityJoin.prefixJaccardSelfJoin(allSame, 0.8))) {
+      val ps = collectPairs(df)
+      assert(ps.size === 10 && ps.forall(_._3 == 1.0))
+    }
+  }
+
   test("small vocabulary still takes the single-word bitset path, same answer") {
     val vocab = (0 until 40).map(i => s"w$i")
     val rnd = new scala.util.Random(11)
