@@ -28,7 +28,11 @@ import org.apache.spark.sql.SparkSession
   * file verbatim — so the artifact doesn't depend on scraping the sbt
   * log (VERDICT r04 #8). It is also always written to
   * `BENCH_LAST.json` in the working directory so every run leaves a
-  * machine-readable artifact even when the env var is absent.
+  * machine-readable artifact even when the env var is absent, and
+  * appended (commit- and time-stamped) to `BENCH_HISTORY.jsonl`,
+  * the committed append-only record that keeps every run's full
+  * per-query maps diagnosable after BENCH_LAST is overwritten and
+  * the driver's 2000-char log tail truncates them (VERDICT r10 #6).
   *
   * Contention evidence (BENCH_r05 post-mortem): the shared VM can be
   * loaded by other tenants mid-run — r5's driver bench reported 213 s
@@ -145,6 +149,27 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] could not write $p: ${e.getMessage}")
       }
+    }
+    // Append-only history (VERDICT r10 #6): BENCH_LAST.json is
+    // overwritten by every run and the driver's per-round tail
+    // truncates the per-query maps, so regressions lost their history
+    // once a new baseline landed. Every run now also appends its full
+    // artifact — stamped with commit + wall time — to
+    // BENCH_HISTORY.jsonl, which is committed and never rewritten.
+    try {
+      val commit =
+        try scala.sys.process.Process(
+          Seq("git", "rev-parse", "--short", "HEAD")).!!.trim
+        catch { case _: Throwable => "unknown" }
+      val stamped =
+        s"""{"ts":"${java.time.Instant.now()}","commit":"$commit",""" +
+          line.stripPrefix("{")
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
+        (stamped + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not append history: ${e.getMessage}")
     }
     if (sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1") && noisy.nonEmpty) {
       spark.stop()

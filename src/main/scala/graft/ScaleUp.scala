@@ -52,6 +52,13 @@ import org.apache.spark.sql.functions._
   * measure output growth, not plan cost. Factors ≤ 26 preserve the
   * non-duplicate invariant; larger factors deliberately model a
   * dup-heavy (open-web-shaped) corpus.
+  *
+  * The embedding circular shift wraps the same way at `dim` (k = r %
+  * dim, dim = 64 in the driver tables): factors > 64 produce replicas
+  * with byte-identical embeddings, so embedding-pair operators (x12
+  * near-dup, x61/x62 SemDeDup) at factor-100+ measure duplicate-pair
+  * output volume, not plan cost — same reading as the Caesar wrap,
+  * arriving at 64 instead of 26 (ADVICE r10).
   */
 object ScaleUp {
   private val Lower = "abcdefghijklmnopqrstuvwxyz"

@@ -30,6 +30,20 @@ object TextFns {
   def tokHash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType) % HashMod
 
+  /** Injective 128-bit fingerprint of a (sorted) token array, used as
+    * the identical-set identity by the dedup/similarity compression
+    * stages. Each element is length-prefixed ("len:tok") before the
+    * NUL join, so the encoding decodes unambiguously even when a token
+    * itself contains NUL — possible, since NUL is not whitespace and
+    * [[tokenize]] splits only on spaces. Without the prefix,
+    * ["a<NUL>b"] and ["a","b"] would hash equal and falsely merge two
+    * different sets into one J=1.0 duplicate group (ADVICE r10). md5
+    * keeps the grouping shuffle at 16 bytes per row, never the array.
+    */
+  def setIdentity(arr: Column): Column =
+    md5(concat_ws("\u0000",
+      transform(arr, t => concat(length(t).cast(StringType), lit(":"), t))))
+
   /** BPE-ish token regex: letter runs, digit runs, single other chars. */
   val TokenRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 

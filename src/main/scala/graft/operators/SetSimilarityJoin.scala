@@ -234,13 +234,15 @@ object SetSimilarityJoin {
     */
   def tokenJoinPath(items: DataFrame, threshold: Double): DataFrame = {
     // Identical-set compression, like every other rung: the set
-    // fingerprint is md5 over the NUL-joined sorted token array —
-    // computed inside one doc-keyed aggregate and immediately reduced
-    // to 16 bytes, so the array itself is never shuffled. A k-copy
+    // fingerprint is TextFns.setIdentity (md5 over the length-prefixed
+    // NUL-joined sorted token array — injective even for tokens
+    // containing NUL, ADVICE r10) — computed inside one doc-keyed
+    // aggregate and immediately reduced to 16 bytes, so the array
+    // itself is never shuffled. A k-copy
     // duplicate group then costs ONE representative in the token
     // self-join instead of |set|·k²/2 join rows.
     val sets = items.groupBy(col("doc_id"))
-      .agg(md5(concat_ws("\u0000", sort_array(collect_list(col("tok"))))).as("h"),
+      .agg(graft.functions.TextFns.setIdentity(sort_array(collect_list(col("tok")))).as("h"),
         count(lit(1)).as("sz"))
     val gids = sets.groupBy(col("h"))
       .agg(min(col("doc_id")).as("doc_id"), collect_list(col("doc_id")).as("members"))
@@ -312,14 +314,15 @@ object SetSimilarityJoin {
     // this, a k-doc exact-duplicate group (the COMMON case in a dedup
     // workload) emits prefix_len × k²/2 pre-distinct join rows — the
     // sf5 rehearsal measured x04 at 44× for 5× data from exactly that
-    // multiplicity. Set identity = md5 over the NUL-joined sorted
-    // array (x01's md5-as-identity precedent; tokens cannot contain
-    // NUL), computed ROW-LOCALLY so the grouping shuffle moves 24
+    // multiplicity. Set identity = TextFns.setIdentity (injective
+    // length-prefixed encoding — a token CAN contain NUL, since NUL
+    // is not whitespace; ADVICE r10), computed ROW-LOCALLY so the
+    // grouping shuffle moves 24
     // bytes per doc, not the wide arr/prefix arrays — and the rep
     // join below reuses perDoc's existing hash(doc_id) partitioning,
     // so a dup-free corpus pays almost nothing for the insurance.
     val gids = perDoc
-      .select(md5(concat_ws("\u0000", col("arr"))).as("h"), col("doc_id"))
+      .select(graft.functions.TextFns.setIdentity(col("arr")).as("h"), col("doc_id"))
       .groupBy(col("h"))
       .agg(min(col("doc_id")).as("doc_id"), collect_list(col("doc_id")).as("members"))
       .drop("h")

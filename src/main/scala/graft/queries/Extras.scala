@@ -167,7 +167,11 @@ object Extras {
             .as("mask")): _*)
       val gCols = (0 until 16).map(j => min(col(s"mh$j")).as(s"mh$j")) ++ Seq(
         min($"doc_id").as("doc_id"), collect_list($"doc_id").as("members"))
-      val groups = per.groupBy($"mask").agg(gCols.head, gCols.tail: _*)
+      val groupsRaw = per.groupBy($"mask").agg(gCols.head, gCols.tail: _*)
+      // groups feeds FOUR subtrees (band join + both verify sides +
+      // within-group pairs) — persist like the other two strategies so
+      // the per-doc signature aggregate runs once (ADVICE r10)
+      graft.Caching.withPersisted(groupsRaw) { groups =>
       val cand = bandCandidates(groups)
       val gsel = groups.select($"doc_id".as("rid"), $"mask", $"members")
       val cross = cand
@@ -185,6 +189,7 @@ object Extras {
         .filter($"a" < $"b")
         .select($"a".as("d1"), $"b".as("d2"), lit(1.0).as("jaccard"))
       cross.unionByName(within).orderBy($"d1", $"d2")
+      }
     } else if (vCount <= 1024) {
       // Mask-width vocabulary (64 < V ≤ 1024 ⇒ 2..16 longs per set):
       // ONE per-doc aggregate computes the 16 min-hashes AND the
@@ -255,14 +260,14 @@ object Extras {
       // Open vocabulary (the true 100 TB path): signatures + exact
       // verify via sorted-array merge intersect — with the SAME
       // identical-set compression as the mask paths (set identity =
-      // md5 over the NUL-joined sorted token array, the x01/x04
-      // precedent). Without it, a k-doc duplicate group — the dominant
+      // TextFns.setIdentity — injective length-prefixed md5, the
+      // x01/x04 precedent). Without it, a k-doc duplicate group — the dominant
       // structure of real open-web corpora — costs k²/2 band-join and
       // verify rows per band; with it, one representative per distinct
       // set and the quadratic stage is driven by distinct-set count.
       val arrs = toks.groupBy($"doc_id")
         .agg(sort_array(collect_list($"tok")).as("arr"), cnt.as("sz"))
-        .withColumn("h", md5(concat_ws("\u0000", $"arr")))
+        .withColumn("h", TextFns.setIdentity($"arr"))
       val gids = arrs.select($"h", $"doc_id")
         .groupBy($"h")
         .agg(min($"doc_id").as("doc_id"), collect_list($"doc_id").as("members"))

@@ -1333,8 +1333,11 @@ object ExtrasOracle {
 
     // bits replays Extras.lshBitsFor integer-exactly: smallest b in
     // [8,24] with (1<<b)*16 >= count(*) — occupancy-constant buckets.
+    // COALESCE mirrors the Scala getOrElse(24) fallback: above
+    // 2^24*16 embeddings the filtered series is empty and a bare MIN
+    // would yield NULL → zero planes → silent divergence (ADVICE r10).
     "x12_embed_neardup" ->
-      s"""WITH bits AS (SELECT MIN(b) AS b
+      s"""WITH bits AS (SELECT COALESCE(MIN(b), 24) AS b
          |  FROM generate_series(8, 24) t(b), (SELECT COUNT(*) AS n FROM embeddings)
          |  WHERE (CAST(1 AS BIGINT) << b) * 16 >= n),
          |planes AS (SELECT vec_id AS j, embedding AS pe FROM embeddings, bits
