@@ -178,3 +178,4 @@ object Bench {
     spark.stop()
   }
 }
+// staged-tree gate probe
