@@ -178,4 +178,3 @@ object Bench {
     spark.stop()
   }
 }
-// staged-tree gate probe
