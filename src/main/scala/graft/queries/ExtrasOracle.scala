@@ -745,12 +745,12 @@ object ExtrasOracle {
          |perms(j, a, b) AS (VALUES $permsValues),
          |mh AS (SELECT doc_id, j, MIN((a*th + b) % $P) AS mh
          |  FROM th, perms GROUP BY doc_id, j),
-         |sigs AS (SELECT doc_id, j // 4 AS band, CONCAT_WS('-',
-         |    CAST(MAX(CASE WHEN j % 4 = 0 THEN mh END) AS VARCHAR),
-         |    CAST(MAX(CASE WHEN j % 4 = 1 THEN mh END) AS VARCHAR),
-         |    CAST(MAX(CASE WHEN j % 4 = 2 THEN mh END) AS VARCHAR),
-         |    CAST(MAX(CASE WHEN j % 4 = 3 THEN mh END) AS VARCHAR)) AS sig
-         |  FROM mh GROUP BY doc_id, j // 4),
+         |nb AS (SELECT CASE WHEN COUNT(*) <= 100000 THEN 4
+         |         WHEN COUNT(*) <= 16777216 THEN 8 ELSE 16 END AS r
+         |  FROM documents),
+         |sigs AS (SELECT doc_id, j // r AS band,
+         |    string_agg(CAST(mh AS VARCHAR), '-' ORDER BY j) AS sig
+         |  FROM mh, nb GROUP BY doc_id, band),
          |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
          |  FROM sigs x JOIN sigs y
          |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
