@@ -93,9 +93,17 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").write.format("noop")
       .mode("overwrite").save()
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    // Optional subset sweep (comma-separated keys): scale rehearsals
+    // target one operator family (VERDICT r10 #4 runs the dedup/pair
+    // family at factor 100) without paying the full 101-query sweep at
+    // that volume. The driver's per-round run leaves this unset, so
+    // the round artifact stays the full contract surface.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     val loadStart = loadavg()
     var failedRuns = 0
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val qLoad = loadavg()
       // one untimed warm-up rep: absorbs the per-plan codegen compile
       // and page-cache fill so the timed runs measure steady-state plan

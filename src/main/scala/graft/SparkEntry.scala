@@ -123,7 +123,8 @@ object SparkEntry {
     "x63_shallow_clone" -> (X.x63ShallowClone _),
     "x64_multi_txn" -> (X.x64MultiTxn _),
     "x65_ann_index" -> (X.x65AnnIndex _),
-    "x65b_ann_append" -> (X.x65bAnnAppend _)
+    "x65b_ann_append" -> (X.x65bAnnAppend _),
+    "x65c_ann_optimize" -> (X.x65cAnnOptimize _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

@@ -67,6 +67,121 @@ object AnnIndex {
     assign(embeddings, centroids)
       .write.mode("append").partitionBy("cell").parquet(path)
 
+  /** Rebalance over-occupied cells (VERDICT r10 #8): after many
+    * appends a hot cell degrades probe cost toward a full scan of that
+    * cell — `nprobe / n_cells` of the data only bounds the read when
+    * occupancy stays near-uniform. Every cell holding more than
+    * `maxOccupancy` vectors is split in two:
+    *
+    *  - **Seeds** are the cell's own extreme members under the
+    *    exact-decimal score against the cell's current centroid — the
+    *    best-aligned vector (max d, tie → smaller vec_id) and the
+    *    worst-aligned (min d, tie → smaller vec_id). Seed VECTORS, not
+    *    float means, become the children's centroids, so the refreshed
+    *    centroid set is bit-reproducible across engines (the same
+    *    property that makes x65 oracle-able); one Lloyd sweep could
+    *    refine them at the cost of that determinism.
+    *  - **Reassignment is local**: each member joins the child whose
+    *    seed scores higher (tie → the best-aligned child), the
+    *    standard IVF split — no global re-argmax, so only the split
+    *    cells' rows move.
+    *  - **Child ids**: the best-aligned child keeps the old cell id
+    *    (its directory is rewritten in place); the other child gets
+    *    `max cid + rank(split cid)` — deterministic and collision-free.
+    *  - **Layout rewrite touches only split cells**: the reassigned
+    *    rows are staged to an underscore-prefixed dir and swapped in
+    *    with driver-side renames (SnapshotLog.stage's write-then-
+    *    rename machinery — Spark refuses to overwrite a path it also
+    *    reads), so untouched cells' files are left byte-identical
+    *    (the spec pins the file-level claim). A degenerate cell of identical vectors
+    *    splits into itself (every member ties to the kept child) —
+    *    occupancy then stays above the threshold, which is correct:
+    *    no layout can thin identical points.
+    *
+    * Returns the refreshed centroid table (cid, c) the caller must
+    * use for subsequent [[probe]]/[[append]] calls. Cost is
+    * O(split-cell rows) data + one scheduler-sized aggregate over
+    * cell counts — the same O(delta) shape as [[append]].
+    */
+  def optimize(spark: SparkSession, path: String, centroids: DataFrame,
+      maxOccupancy: Long): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    graft.expressions.DecimalDot.register(spark)
+    val index = spark.read.parquet(path)
+    val counts = index.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    // partition discovery types `cell=` dirs as INT when the ids are
+    // small — normalize to long before collecting
+    val hotCells = counts.filter(col("n") > maxOccupancy)
+      .select(col("cell").cast("long"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    if (hotCells.isEmpty) return centroids
+    val maxCid = centroids.agg(max(col("cid"))).head().getLong(0)
+    // new id per split cell: max cid + 1-based rank of the cell id
+    import spark.implicits._
+    val childBDf = hotCells.zipWithIndex
+      .map { case (c, i) => (c, maxCid + i + 1L) }
+      .toDF("cell", "bcid")
+    // members of split cells, scored against their OWN centroid — the
+    // partition filter prunes the scan to the split directories
+    val members = index.filter(col("cell").isin(hotCells: _*))
+      .join(broadcast(centroids), col("cell") === col("cid"))
+      .withColumn("d", dot("v", "c"))
+      .drop("cid", "c")
+    val seeds = members.groupBy(col("cell"))
+      .agg(
+        max_by(struct(col("v").as("v"), col("vec_id").as("t")),
+          struct(coalesce(col("d"), lit(Double.MinValue)).as("d"),
+            (-col("vec_id")).as("t"))).as("sa"),
+        min_by(struct(col("v").as("v"), col("vec_id").as("t")),
+          struct(coalesce(col("d"), lit(Double.MaxValue)).as("d"),
+            col("vec_id").as("t"))).as("sb"))
+      .join(broadcast(childBDf), Seq("cell"))
+      .select(col("cell"), col("sa.v").as("va"), col("sb.v").as("vb"),
+        col("bcid"))
+    val reassigned = members.join(broadcast(seeds), Seq("cell"))
+      .withColumn("da", dot("v", "va"))
+      .withColumn("db", dot("v", "vb"))
+      .select(col("vec_id"), col("v"),
+        when(coalesce(col("db"), lit(Double.MinValue)) >
+            coalesce(col("da"), lit(Double.MinValue)),
+          col("bcid")).otherwise(col("cell")).cast(LongType).as("cell"))
+    // Stage-then-rename (SnapshotLog.stage's machinery): Spark refuses
+    // to overwrite a path it is also reading, so the reassigned rows
+    // land in an underscore-prefixed staging dir (invisible to parquet
+    // readers of `path`), then the split cells' directories — and ONLY
+    // those — are swapped in with driver-side renames. All other
+    // cells' files are left byte-for-byte untouched.
+    val staging = s"$path/_optimize-${java.util.UUID.randomUUID()}"
+    reassigned.write.mode("overwrite").partitionBy("cell").parquet(staging)
+    // Materialize the refreshed centroid set BEFORE the renames: its
+    // lineage reads the PRE-optimize file listing (seeds come from the
+    // split cells' current files), so a lazy return would chase
+    // deleted paths on first use. One (cid, 64-double) row per cell —
+    // scheduler-sized, the same trade as probe's cell-id collect.
+    val kept = centroids.filter(!col("cid").isin(hotCells: _*))
+    val refreshed = kept
+      .unionByName(seeds.select(col("cell").as("cid"), col("va").as("c")))
+      .unionByName(seeds.select(col("bcid").as("cid"), col("vb").as("c")))
+    val refreshedRows = refreshed.collect().toSeq
+    val refreshedDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(refreshedRows, 1), refreshed.schema)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val f = fsPath.getFileSystem(hconf)
+    hotCells.foreach { c =>
+      f.delete(new org.apache.hadoop.fs.Path(path, s"cell=$c"), true)
+    }
+    f.listStatus(new org.apache.hadoop.fs.Path(staging))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .foreach { st =>
+        val dest = new org.apache.hadoop.fs.Path(path, st.getPath.getName)
+        f.delete(dest, true) // a child-B id can never pre-exist; defensive
+        require(f.rename(st.getPath, dest), s"optimize: rename failed for $dest")
+      }
+    f.delete(new org.apache.hadoop.fs.Path(staging), true)
+    refreshedDf
+  }
+
   /** Top-k nearest (by inner product) for each probe, scanning only
     * each probe's `nprobe` best cells. Cell ranking runs distributed
     * (probes × broadcast centroids, probe-partitioned WindowGroupLimit);

@@ -2750,6 +2750,47 @@ object Extras {
     graft.operators.AnnIndex.probe(s, path, probes, cents, nprobe = 2, k = 5)
   }
 
+  /** x65c — the persistent index MAINTENANCE path, oracle-gated
+    * (VERDICT r10 #8): build minus a batch, land the batch as TEN
+    * append slices (append has no rebalance, so occupancy drifts with
+    * every refresh), then [[graft.operators.AnnIndex.optimize]] splits
+    * every cell above mean occupancy (⌊n/16⌋ — at least one cell must
+    * exceed the mean, so the split path always executes) and the probe
+    * runs against the REFRESHED centroid set. The output carries the
+    * probe's top-5 PLUS a layout digest (cell count, max occupancy,
+    * total rows) on every row, so the oracle hash-checks both the
+    * serving result under the new centroids and the global layout the
+    * split produced — a dropped member, a mis-assigned child, or a
+    * wrong child id diverges one or the other. The oracle replays the
+    * whole lifecycle relationally (appends are order-irrelevant by
+    * x65b's argument; optimize is deterministic by seed-vector
+    * construction).
+    */
+  def x65cAnnOptimize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val cents = e.filter($"vec_id".between(1, 16))
+      .select($"vec_id".as("cid"), $"v".as("c"))
+    val path = scratchDir(s, "x65c", dir) + "/index"
+    graft.operators.AnnIndex.build(
+      e.filter($"vec_id" =!= 0 && $"vec_id" % 5 =!= 4), cents, path)
+    (0 until 10).foreach { k =>
+      graft.operators.AnnIndex.append(
+        e.filter($"vec_id" =!= 0 && $"vec_id" % 50 === (5 * k + 4)), cents, path)
+    }
+    val nIdx = e.filter($"vec_id" =!= 0).count()
+    val refreshed = graft.operators.AnnIndex.optimize(
+      s, path, cents, math.max(1L, nIdx / 16))
+    val probes = e.filter($"vec_id" === 0).select($"vec_id".as("p_id"), $"v".as("p"))
+    val res = graft.operators.AnnIndex.probe(
+      s, path, probes, refreshed, nprobe = 2, k = 5)
+    val digest = s.read.parquet(path)
+      .groupBy($"cell").agg(cnt.as("n"))
+      .agg(cnt.as("n_cells"), max($"n").as("max_occ"),
+        sum($"n").cast(LongType).as("n_rows"))
+    res.crossJoin(broadcast(digest)).orderBy($"p_id", $"rank")
+  }
+
   /** q26 Aggregator twin — typed [[VectorFns.CentroidAgg]] centroid.
     * Float-sum order makes the raw values partition-order-dependent in
     * the last ulps, so the driver-checkable output carries the BOUND:

@@ -1444,7 +1444,81 @@ object ExtrasOracle {
     // unioned cell layout (same assignment rule, same centroids), so
     // the post-append probe must hash-match the same oracle — any
     // dropped, duplicated, or mis-assigned appended vector diverges
-    "x65b_ann_append" -> annProbeSql
+    "x65b_ann_append" -> annProbeSql,
+
+    // x65c: the full maintenance lifecycle — assignment over the 16
+    // seeds, mean-occupancy threshold (⌊n/16⌋), hot cells split into
+    // (best-aligned keeps cid, worst-aligned gets 16 + rank(cell)),
+    // LOCAL reassignment by seed-vector dots, probe over the REFRESHED
+    // centroid set, plus the layout digest (n_cells / max_occ /
+    // n_rows) on every row. Mirrors AnnIndex.optimize exactly: every
+    // dot decimal-exact, every tie broken on (score, vec_id).
+    "x65c_ann_optimize" ->
+      s"""WITH seeds AS (SELECT vec_id AS cid, embedding AS c FROM embeddings
+         |  WHERE vec_id BETWEEN 1 AND 16),
+         |sc AS (SELECT e.vec_id, s.cid, ${dot("e.embedding", "s.c")} AS d
+         |  FROM embeddings e, seeds s, generate_series(1, 64) t(i)
+         |  WHERE e.vec_id <> 0
+         |  GROUP BY e.vec_id, s.cid),
+         |assign AS (SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d DESC, cid) AS rn FROM sc) WHERE rn = 1),
+         |occ AS (SELECT cell, COUNT(*) AS n FROM assign GROUP BY cell),
+         |thr AS (SELECT GREATEST(1, COUNT(*) // 16) AS t FROM embeddings
+         |  WHERE vec_id <> 0),
+         |hot AS (SELECT cell, 16 + row_number() OVER (ORDER BY cell) AS bcid
+         |  FROM occ, thr WHERE n > t),
+         |md AS (SELECT a.vec_id, a.cell, sc.d
+         |  FROM assign a JOIN hot h ON h.cell = a.cell
+         |  JOIN sc ON sc.vec_id = a.vec_id AND sc.cid = a.cell),
+         |sa AS (SELECT cell, vec_id AS sa_vid FROM (
+         |    SELECT cell, vec_id, row_number() OVER (PARTITION BY cell
+         |      ORDER BY d DESC, vec_id) AS rn FROM md) WHERE rn = 1),
+         |sb AS (SELECT cell, vec_id AS sb_vid FROM (
+         |    SELECT cell, vec_id, row_number() OVER (PARTITION BY cell
+         |      ORDER BY d ASC, vec_id) AS rn FROM md) WHERE rn = 1),
+         |rd AS (SELECT m.vec_id, m.cell,
+         |    ${dot("e.embedding", "ea.embedding")} AS da,
+         |    ${dot("e.embedding", "eb.embedding")} AS db
+         |  FROM md m
+         |    JOIN embeddings e ON e.vec_id = m.vec_id
+         |    JOIN sa ON sa.cell = m.cell
+         |    JOIN embeddings ea ON ea.vec_id = sa.sa_vid
+         |    JOIN sb ON sb.cell = m.cell
+         |    JOIN embeddings eb ON eb.vec_id = sb.sb_vid,
+         |    generate_series(1, 64) t(i)
+         |  GROUP BY m.vec_id, m.cell),
+         |na AS (SELECT a.vec_id,
+         |    COALESCE(CASE WHEN rd.db > rd.da THEN h.bcid ELSE rd.cell END,
+         |      a.cell) AS cell
+         |  FROM assign a LEFT JOIN rd ON rd.vec_id = a.vec_id
+         |    LEFT JOIN hot h ON h.cell = rd.cell),
+         |newcents AS (
+         |  SELECT cid, c FROM seeds WHERE cid NOT IN (SELECT cell FROM hot)
+         |  UNION ALL SELECT s.cell AS cid, e.embedding AS c
+         |    FROM sa s JOIN embeddings e ON e.vec_id = s.sa_vid
+         |  UNION ALL SELECT h.bcid AS cid, e.embedding AS c
+         |    FROM sb s JOIN hot h ON h.cell = s.cell
+         |    JOIN embeddings e ON e.vec_id = s.sb_vid),
+         |psc AS (SELECT nc.cid, ${dot("p.embedding", "nc.c")} AS d
+         |  FROM embeddings p, newcents nc, generate_series(1, 64) t(i)
+         |  WHERE p.vec_id = 0 GROUP BY nc.cid),
+         |pcells AS (SELECT cid AS cell FROM psc ORDER BY d DESC, cid LIMIT 2),
+         |probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+         |fin AS (SELECT e.vec_id, ${dot("e.embedding", "probe.pe")} AS score
+         |  FROM embeddings e
+         |    JOIN na ON na.vec_id = e.vec_id
+         |    JOIN pcells ON na.cell = pcells.cell,
+         |    probe, generate_series(1, 64) t(i)
+         |  GROUP BY e.vec_id),
+         |digest AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+         |    CAST(MAX(n) AS BIGINT) AS max_occ, CAST(SUM(n) AS BIGINT) AS n_rows
+         |  FROM (SELECT cell, COUNT(*) AS n FROM na GROUP BY cell))
+         |SELECT CAST(0 AS BIGINT) AS p_id,
+         |  CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT) AS rank,
+         |  vec_id, score, n_cells, max_occ, n_rows
+         |FROM (SELECT * FROM fin ORDER BY score DESC, vec_id LIMIT 5), digest
+         |ORDER BY p_id, rank""".stripMargin
   )
 
   /** The IVF probe oracle shared by x65 (full build) and x65b

@@ -116,6 +116,82 @@ class AnnIndexSpec extends AnyFunSuite {
       "the appended vector is reachable through the probe path")
   }
 
+  test("optimize splits a hot cell after skewed appends and bounds probe cost") {
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("graft-annindex-opt").toString
+    // 2 cells: c1 along axis 0, c2 along axis 1. The hot cell's
+    // members are BIMODAL in direction (axis 2 vs -axis 2) so the
+    // seed-split separates them; the cold cell hugs c1.
+    val cents = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("cid", "c")
+    def pVec(i: Int) = Seq(0.0, 1.0 + 0.002 * i, 1.0 + 0.01 * i, 0.0)
+    def qVec(i: Int) = Seq(0.0, 1.0 + 0.002 * i + 0.001, -(1.0 + 0.01 * i), 0.0)
+    val hot = (0 until 12).map(i => (10L + i, pVec(i))) ++
+      (0 until 12).map(i => (30L + i, qVec(i)))
+    val cold = (0 until 8).map(i => (50L + i, Seq(1.0 + 0.01 * i, 0.0, 0.0, 0.0)))
+    val initial = (hot.take(4) ++ cold).toDF("vec_id", "v")
+    AnnIndex.build(initial, cents, p)
+    // ten skewed appends: every batch lands in cell 2
+    val rest = hot.drop(4)
+    (0 until 10).foreach { k =>
+      AnnIndex.append(rest.slice(2 * k, 2 * k + 2).toDF("vec_id", "v"), cents, p)
+    }
+    def occ(): Map[Long, Long] = spark.read.parquet(p)
+      .groupBy(col("cell").cast("long").as("cell")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = occ()
+    assert(before(2L) == 24 && before(1L) == 8, s"skew setup: $before")
+    def cellFiles(cell: Long): Map[String, Long] = {
+      val d = new java.io.File(p, s"cell=$cell")
+      Option(d.listFiles()).toSeq.flatten.filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val coldFilesBefore = cellFiles(1L)
+    val maxOcc = 16L
+    val refreshed = AnnIndex.optimize(spark, p, cents, maxOcc)
+    val after = occ()
+    // the hot cell (24 > 16) split into two ~even children; the probe
+    // read bound nprobe/n_cells is restored: any 1-cell probe now
+    // reads <= maxOcc rows where the pre-optimize hot-cell probe read
+    // 24 — appends alone degrade toward a full scan of the hot cell
+    assert(after.values.max <= maxOcc,
+      s"post-optimize occupancy must be bounded: $after")
+    assert(after.size == 3 && after.values.sum == before.values.sum,
+      s"split must conserve rows across 3 cells: $after")
+    assert(cellFiles(1L) == coldFilesBefore,
+      "untouched cells keep their files byte-for-byte")
+    // the refreshed centroid set names exactly the live cells
+    val cids = refreshed.select(col("cid").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    assert(cids == after.keySet, s"centroids $cids vs cells ${after.keySet}")
+    // the bimodal halves separate: every P member (axis +2) shares a
+    // cell, every Q member (axis -2) shares the other
+    val cellOf = spark.read.parquet(p)
+      .select(col("vec_id").cast("long"), col("cell").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pCells = (0 until 12).map(i => cellOf(10L + i)).toSet
+    val qCells = (0 until 12).map(i => cellOf(30L + i)).toSet
+    assert(pCells.size == 1 && qCells.size == 1 && pCells != qCells,
+      s"seed split must separate the modes: P=$pCells Q=$qCells")
+    // probing with the refreshed centroids over every cell stays exact
+    val probes = Seq((10L, pVec(0)), (30L, qVec(0))).toDF("p_id", "p")
+    val vecs = (hot ++ cold).toDF("vec_id", "v")
+    val got = AnnIndex.probe(spark, p, probes, refreshed, nprobe = 3, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = probes.crossJoin(vecs)
+      .withColumn("score", dot("p", "v"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("p_id")).orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("p_id"), col("rank").cast("long"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute, "full-coverage probe over the optimized layout is exact")
+    // a no-op optimize (nothing above threshold) returns the input set
+    val again = AnnIndex.optimize(spark, p, refreshed, maxOcc)
+    assert(again.collect().toSet == refreshed.collect().toSet)
+  }
+
   test("probing every cell equals the brute-force top-k") {
     val probes = vectors.filter(col("vec_id").between(20, 22))
       .select(col("vec_id").as("p_id"), col("v").as("p"))
