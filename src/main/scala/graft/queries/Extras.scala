@@ -2520,7 +2520,13 @@ object Extras {
     def assign(cents: DataFrame): DataFrame = {
       val scored = ef.crossJoin(broadcast(cents))
         .select($"vec_id", $"cid", {
-          val d = VectorFns.dotFast("v", "c") / (sqrt($"dn") * sqrt($"cnd"))
+          // zero-norm guard: ANSI mode makes 0/0 a DIVIDE_BY_ZERO
+          // error, not NaN — the null from the unsatisfied `when`
+          // falls through the outer otherwise(-2.0) to the same
+          // assign-anyway pin the NaN used to take (SemanticDedupSpec
+          // plants zero vectors; the driver corpora never do)
+          val nprod = sqrt($"dn") * sqrt($"cnd")
+          val d = when(nprod > 0d, VectorFns.dotFast("v", "c") / nprod)
           when(abs(nanvl(d, lit(-2.0))) <= 1.5, nanvl(d, lit(-2.0)))
             .otherwise(-2.0).as("dcos")
         })
@@ -2532,8 +2538,10 @@ object Extras {
         .select($"vec_id", $"w.cid".as("cid"))
       cand.join(ef.select($"vec_id", $"v"), Seq("vec_id"))
         .join(broadcast(cents.select($"cid", $"c")), Seq("cid"))
-        .withColumn("cos", VectorFns.dotDec("v", "c") /
-          (sqrt(VectorFns.dotDec("v", "v")) * sqrt(VectorFns.dotDec("c", "c"))))
+        .withColumn("nprod",
+          sqrt(VectorFns.dotDec("v", "v")) * sqrt(VectorFns.dotDec("c", "c")))
+        .withColumn("cos",
+          when($"nprod" > 0d, VectorFns.dotDec("v", "c") / $"nprod"))
         .groupBy($"vec_id")
         .agg(max(struct(coalesce($"cos", lit(-2.0)).as("k"), (-$"cid").as("nk"),
           $"cid".as("cid"), $"cos".as("cos"))).as("w"))
@@ -2585,25 +2593,53 @@ object Extras {
     // x49 lesson: three consumers re-ran the expensive sub-frame)
     val m0 = kmeansAssign(s, dir).select($"vec_id", $"cell")
       .join(e, Seq("vec_id"))
+    // Identical-vector compression BEFORE the quadratic stage (the
+    // sf10 rehearsal's x62 watch item — re-crawled corpora carry
+    // byte-identical embeddings, and within-cell pair volume grows
+    // quadratically in copies). Identical vectors share a cell (the
+    // assignment is a function of v), so grouping by (cell, v) is
+    // exact; the pair scan then runs on group REPRESENTATIVES (min
+    // vec_id) only. Equivalence, member by member:
+    //  - a non-min member of a NONZERO-norm group is always dropped —
+    //    its group min is a smaller-id cell-mate at cosine exactly 1;
+    //  - a group min is dropped iff some OTHER group in the cell has
+    //    min < it and rep-cosine ≥ τ (any qualifying member x implies
+    //    its group min also qualifies, and cosine only depends on the
+    //    group vector) — exactly the rep-level pair scan;
+    //  - ZERO-norm vectors have null cosine against everything
+    //    (including their own copies), so they are never dropped and
+    //    never drop others: keep = 1 unconditionally, and zero-norm
+    //    reps are excluded from the pair scan on both sides.
+    // Spec-pinned against a driver-side replay of the declared
+    // pairwise rule on a duplicate-heavy fixture (SemanticDedupSpec).
     graft.Caching.withPersisted(m0) { m =>
+      val groups = m.groupBy($"cell", $"v", $"n1")
+        .agg(min($"vec_id").as("rep"), collect_list($"vec_id").as("members"))
+      val reps = groups.filter($"n1" > 0d)
+        .select($"rep", $"cell", $"v", $"n1")
       // bloom-route pattern for the exact arithmetic: the cheap DOUBLE
       // dot pre-filters candidates (error ~64·ε « the 1e-9 margin), the
       // exact-decimal cosine alone DECIDES — results stay bit-identical
       // to the oracle while the costly decimal kernel runs only on
       // pairs already at the threshold.
-      val dropped = m.as("x").join(m.as("y"),
-          $"x.cell" === $"y.cell" && $"x.vec_id" < $"y.vec_id")
+      val droppedReps = reps.as("x").join(reps.as("y"),
+          $"x.cell" === $"y.cell" && $"x.rep" < $"y.rep")
         .filter(VectorFns.dotFast("x.v", "y.v") / (sqrt($"x.n1") * sqrt($"y.n1"))
           >= SemanticDupCosThreshold - 1e-9)
         .withColumn("cp",
           VectorFns.dotDec("x.v", "y.v") / (sqrt($"x.n1") * sqrt($"y.n1")))
         .filter($"cp" >= SemanticDupCosThreshold)
-        .select($"y.vec_id".as("vec_id")).distinct()
-        .withColumn("is_dropped", lit(1L))
-      m.select($"vec_id", $"cell")
-        .join(dropped, Seq("vec_id"), "left")
+        .select($"y.rep".as("rep")).distinct()
+        .withColumn("rep_dropped", lit(1L))
+      groups
+        .join(droppedReps, Seq("rep"), "left")
+        .select($"cell", $"n1", $"rep",
+          when($"rep_dropped".isNull, 1L).otherwise(0L).as("rep_keep"),
+          explode($"members").as("vec_id"))
         .select($"vec_id", $"cell",
-          when($"is_dropped".isNull, 1L).otherwise(0L).as("keep"))
+          when($"n1" <= 0d, 1L) // zero-norm: null cosine never drops
+            .when($"vec_id" === $"rep", $"rep_keep")
+            .otherwise(0L).as("keep"))
         .orderBy($"vec_id")
     }
   }
