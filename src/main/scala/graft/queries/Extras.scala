@@ -2593,6 +2593,8 @@ object Extras {
     // x49 lesson: three consumers re-ran the expensive sub-frame)
     val m0 = kmeansAssign(s, dir).select($"vec_id", $"cell")
       .join(e, Seq("vec_id"))
+    val groupsRaw = m0.groupBy($"cell", $"v", $"n1")
+      .agg(min($"vec_id").as("rep"), collect_list($"vec_id").as("members"))
     // Identical-vector compression BEFORE the quadratic stage (the
     // sf10 rehearsal's x62 watch item — re-crawled corpora carry
     // byte-identical embeddings, and within-cell pair volume grows
@@ -2612,9 +2614,13 @@ object Extras {
     //    reps are excluded from the pair scan on both sides.
     // Spec-pinned against a driver-side replay of the declared
     // pairwise rule on a duplicate-heavy fixture (SemanticDedupSpec).
-    graft.Caching.withPersisted(m0) { m =>
-      val groups = m.groupBy($"cell", $"v", $"n1")
-        .agg(min($"vec_id").as("rep"), collect_list($"vec_id").as("members"))
+    //
+    // The persist sits on the GROUP frame, not the raw (vec_id, cell,
+    // v) join: groups is the frame with three consumers (both pair
+    // sides + the member expansion), so caching upstream of the
+    // grouping would re-run the aggregate per consumer (the r11
+    // baseline refresh measured that mistake at 1.68 s → 3.82 s).
+    graft.Caching.withPersisted(groupsRaw) { groups =>
       val reps = groups.filter($"n1" > 0d)
         .select($"rep", $"cell", $"v", $"n1")
       // bloom-route pattern for the exact arithmetic: the cheap DOUBLE

@@ -119,6 +119,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("setIdentity is injective over an adversarial token alphabet") {
+    // Exhaustive over every array of length <= 3 drawn from pieces
+    // built to confuse a separator-based encoding: NUL itself,
+    // NUL-composites (the ADVICE r10 collision ["a<NUL>b"] vs
+    // ["a","b"]), the length-prefix delimiter ':', digit tokens that
+    // could merge into a length field, and the empty token (legal
+    // output of a double-space split). 585 distinct arrays must yield
+    // 585 distinct fingerprints.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val pieces = Seq("a", "b", "\u0000", ":", "1", "10", "a\u0000b", "")
+    val arrays: Seq[Seq[String]] =
+      Seq(Seq.empty[String]) ++
+        pieces.map(Seq(_)) ++
+        (for (x <- pieces; y <- pieces) yield Seq(x, y)) ++
+        (for (x <- pieces; y <- pieces; z <- pieces) yield Seq(x, y, z))
+    assert(arrays.distinct.size == arrays.size)
+    val n = arrays.size
+    val distinctIds = arrays.zipWithIndex.map { case (a, i) => (i.toLong, a) }
+      .toDF("id", "arr")
+      .select(graft.functions.TextFns.setIdentity(org.apache.spark.sql.functions.col("arr")).as("h"))
+      .distinct().count()
+    assert(distinctIds == n, s"expected $n distinct fingerprints, got $distinctIds")
+  }
+
   test("PII scrub is idempotent and leaves clean text untouched") {
     val spark = TestSpark.spark
     import spark.implicits._
