@@ -2593,8 +2593,23 @@ object Extras {
     // x49 lesson: three consumers re-ran the expensive sub-frame)
     val m0 = kmeansAssign(s, dir).select($"vec_id", $"cell")
       .join(e, Seq("vec_id"))
-    val groupsRaw = m0.groupBy($"cell", $"v", $"n1")
-      .agg(min($"vec_id").as("rep"), collect_list($"vec_id").as("members"))
+    // The group key is a row-local md5 over the exact decimal string
+    // of each coordinate, not the array itself — the same 16-bytes-
+    // through-the-shuffle identity discipline as the text side
+    // (TextFns.setIdentity; coordinates cannot contain the ','
+    // separator, so plain joining is injective here). Measured cost
+    // of the whole compression at sf0.1 (a duplicate-free corpus):
+    // ~+1 s of fixed stage overhead on top of the ~2.1 s kmeans
+    // assignment — the insurance premium; at sf10 it already nets
+    // ~-20%, and on a re-crawl-heavy corpus the pair stage shrinks
+    // k²-fold.
+    val groupsRaw = m0
+      .withColumn("hv", md5(concat_ws(",",
+        expr("transform(v, x -> CAST(x AS STRING))"))))
+      .groupBy($"cell", $"hv")
+      .agg(min($"vec_id").as("rep"), collect_list($"vec_id").as("members"),
+        first($"v").as("v"), first($"n1").as("n1"))
+      .drop("hv")
     // Identical-vector compression BEFORE the quadratic stage (the
     // sf10 rehearsal's x62 watch item — re-crawled corpora carry
     // byte-identical embeddings, and within-cell pair volume grows
