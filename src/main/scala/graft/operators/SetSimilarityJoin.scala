@@ -297,8 +297,13 @@ object SetSimilarityJoin {
     * caller's first terminal action — no cached blocks leak into a
     * shared session (SCALE.md "Unpersist discipline").
     */
-  def prefixJaccardSelfJoin(items: DataFrame, threshold: Double): DataFrame = {
-    graft.expressions.SortedIntersectCount.register(items.sparkSession)
+  def prefixJaccardSelfJoin(items0: DataFrame, threshold: Double): DataFrame = {
+    graft.expressions.SortedIntersectCount.register(items0.sparkSession)
+    // the item index is consumed twice (the global frequency table and
+    // the per-doc grouped pass) — without the persist, both branches
+    // re-derive it from the source (for x04: a full explode+distinct
+    // over the corpus, twice)
+    graft.Caching.withPersisted(items0) { items =>
     val freq = items.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
     val perDoc = items.join(freq, Seq("tok"))
       .groupBy(col("doc_id"))
@@ -374,6 +379,7 @@ object SetSimilarityJoin {
         .filter(col("a") < col("b"))
         .select(col("a").as("d1"), col("b").as("d2"), lit(1.0).as("jaccard"))
       cross.unionByName(within)
+    }
     }
   }
 
