@@ -313,6 +313,17 @@ object PlanAudit {
       "decimal_dot kernel scores the probe (not interpreted HOF)" ->
         (_.contains("decimal_dot")),
       "no cartesian product" -> (p => !p.contains("CartesianProduct")))
+    // x65c: the maintenance lifecycle — the final probe runs against
+    // the REFRESHED centroid set and must keep the same serving-path
+    // shape (static partition pruning + decimal kernel); optimize's
+    // own member scan prunes to the split cells driver-side before
+    // the plan is built, so the plan-level claims are the probe's
+    audit("x65c_ann_optimize")(
+      "post-optimize probe prunes by partition filter" ->
+        (p => p.contains("PartitionFilters: [") && p.contains("cell#")),
+      "decimal_dot kernel scores the probe (not interpreted HOF)" ->
+        (_.contains("decimal_dot")),
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")))
 
     // Direct snapshot-log checks — the scale properties a plan string
     // can't show: file pruning happens driver-side BEFORE the plan is
