@@ -124,7 +124,9 @@ object SparkEntry {
     "x64_multi_txn" -> (X.x64MultiTxn _),
     "x65_ann_index" -> (X.x65AnnIndex _),
     "x65b_ann_append" -> (X.x65bAnnAppend _),
-    "x65c_ann_optimize" -> (X.x65cAnnOptimize _)
+    "x65c_ann_optimize" -> (X.x65cAnnOptimize _),
+    "x66_frame_sample" -> (X.x66FrameSample _),
+    "x67_resize" -> (X.x67Resize _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

@@ -46,6 +46,55 @@ object Multimodal {
         java.lang.Long.parseLong(h.substring(4, 8), 16) % 480 + 1)
     }
 
+  /** One sampled frame of a "video" asset (stub decode). */
+  case class FrameSample(doc_id: Long, frame_idx: Long, ts_ms: Long,
+      frame_hash: String)
+
+  /** Aspect-fit resize result (stub transform). */
+  case class ResizedAsset(doc_id: Long, fake_width: Long, fake_height: Long,
+      out_w: Long, out_h: Long, thumb_hash: String)
+
+  /** Frame-sampling stub: the payload is treated as a fixed-rate
+    * "video" whose frame count derives deterministically from its
+    * size (1 frame per 40 bytes + 1, i.e. 25 fps of 1-byte-per-ms
+    * footage), and a uniform stride keeps at most `maxFrames` frames
+    * per asset — the standard bounded-fan-out contract of a training
+    * frame sampler: the 1-to-N explosion is capped per asset, so
+    * stage output volume is ≤ maxFrames × assets regardless of clip
+    * length. Each sampled frame carries its index, timestamp, and a
+    * deterministic content-derived hash (a real decoder would emit
+    * pixel tensors here). Iterator-to-iterator, so a production codec
+    * context initializes once per PARTITION, not per asset.
+    */
+  def frameSampleStub(maxFrames: Int)(
+      rows: Iterator[AssetRow]): Iterator[FrameSample] =
+    rows.flatMap { r =>
+      val h = md5hex(r.content)
+      val nFrames = r.content.length.toLong / 40L + 1L
+      val stride = (nFrames + maxFrames - 1) / maxFrames
+      (0L until nFrames by stride).iterator.map { i =>
+        FrameSample(r.doc_id, i, i * 40L,
+          md5hex(s"$h:$i".getBytes("UTF-8")))
+      }
+    }
+
+  /** Aspect-fit resize stub: fit (fake_width, fake_height) into a
+    * `box`×`box` square preserving aspect ratio, all in integer
+    * arithmetic (floor division, floor ≥ 1) so the oracle recomputes
+    * it exactly; the "resized payload" is a deterministic hash of
+    * (content hash, output geometry). Row-local — a real resize is
+    * too, so the stage stays narrow (no shuffle) at any scale.
+    */
+  def resizeStub(box: Long)(
+      rows: Iterator[AssetFeatures]): Iterator[ResizedAsset] =
+    rows.map { f =>
+      val m = math.max(f.fake_width, f.fake_height)
+      val ow = math.max(1L, f.fake_width * box / m)
+      val oh = math.max(1L, f.fake_height * box / m)
+      ResizedAsset(f.doc_id, f.fake_width, f.fake_height, ow, oh,
+        md5hex(s"${f.content_hash}:${ow}x$oh".getBytes("UTF-8")))
+    }
+
   /** documents(text) -> asset table with a binary payload column. */
   def assetsFromDocuments(docs: DataFrame): Dataset[AssetRow] = {
     val s = docs.sparkSession

@@ -1563,6 +1563,39 @@ object Extras {
       .orderBy($"doc_id")
   }
 
+  /** x66 — frame sampling over the binary asset column (the video leg
+    * of the multimodal surface): each payload decodes (stub) to a
+    * deterministic frame count and a uniform stride keeps ≤ 8 frames
+    * per asset — the bounded 1-to-N fan-out a clip sampler must
+    * guarantee so stage output stays ≤ 8 × assets at any clip length.
+    * Runs as a typed `mapPartitions` (codec context per PARTITION);
+    * the oracle replays count/stride/hash integer-exactly.
+    */
+  def x66FrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Multimodal.assetsFromDocuments(t(s, dir, "documents"))
+      .mapPartitions(Multimodal.frameSampleStub(8))
+      .toDF()
+      .select($"doc_id", $"frame_idx", $"ts_ms", $"frame_hash")
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  /** x67 — aspect-fit resize over decoded asset features (the image
+    * leg): integer-exact fit of the stub dimensions into 224×224, the
+    * training-resolution normalize step. Chains decode → resize as two
+    * partition-mapped typed stages with no shuffle between them (both
+    * are row-local; only the output ORDER BY exchanges).
+    */
+  def x67Resize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Multimodal.extractFeatures(t(s, dir, "documents"))
+      .mapPartitions(Multimodal.resizeStub(224L))
+      .toDF()
+      .select($"doc_id", $"fake_width", $"fake_height",
+        $"out_w", $"out_h", $"thumb_hash")
+      .orderBy($"doc_id")
+  }
+
   // ---------------------------------------------------------------- corpus curation & analytics
 
   /** x38 — C4/Gopher-style quality filter cascade: every document gets

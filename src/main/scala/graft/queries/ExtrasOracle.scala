@@ -1331,6 +1331,40 @@ object ExtrasOracle {
         |  (CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 480) + 1 AS fake_height
         |FROM documents WHERE doc_id <= 200 ORDER BY doc_id""".stripMargin,
 
+    // frame count = bytes // 40 + 1; stride = ceil(n/8). DuckDB's
+    // generate_series takes constants only (no lateral column bounds),
+    // but the sampled indices are exactly k·stride for k = 0..7 with
+    // k·stride < n — the ≤-8-frames cap makes the constant 0..7 series
+    // replay Scala's `0L until n by stride` index set precisely
+    "x66_frame_sample" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS h,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) // 40 + 1 AS n_frames
+        |  FROM documents),
+        |s AS (SELECT doc_id, h, n_frames, (n_frames + 7) // 8 AS stride FROM a)
+        |SELECT s.doc_id, k.k * s.stride AS frame_idx,
+        |  k.k * s.stride * 40 AS ts_ms,
+        |  md5(s.h || ':' || CAST(k.k * s.stride AS VARCHAR)) AS frame_hash
+        |FROM s JOIN generate_series(0, 7) k(k) ON k.k * s.stride < s.n_frames
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // aspect-fit into 224×224 with floor division, floor >= 1 — the
+    // exact integer arithmetic of Multimodal.resizeStub
+    "x67_resize" ->
+      """WITH f AS (SELECT doc_id, md5(text) AS h,
+        |    (CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 640) + 1 AS fake_width,
+        |    (CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 480) + 1 AS fake_height
+        |  FROM documents),
+        |r AS (SELECT doc_id, h, fake_width, fake_height,
+        |    GREATEST(CAST(1 AS BIGINT),
+        |      fake_width * 224 // GREATEST(fake_width, fake_height)) AS out_w,
+        |    GREATEST(CAST(1 AS BIGINT),
+        |      fake_height * 224 // GREATEST(fake_width, fake_height)) AS out_h
+        |  FROM f)
+        |SELECT doc_id, fake_width, fake_height, out_w, out_h,
+        |  md5(h || ':' || CAST(out_w AS VARCHAR) || 'x' ||
+        |    CAST(out_h AS VARCHAR)) AS thumb_hash
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     // bits replays Extras.lshBitsFor integer-exactly: smallest b in
     // [8,24] with (1<<b)*16 >= count(*) — occupancy-constant buckets.
     // COALESCE mirrors the Scala getOrElse(24) fallback: above

@@ -44,6 +44,34 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("frame sampler caps fan-out at maxFrames and covers frame 0") {
+    check(Prop.forAll(Gen.alphaStr, Gen.chooseNum(1, 16)) { (s, cap) =>
+      val row = Multimodal.AssetRow(7L, "video/mp4", s.getBytes("UTF-8"))
+      val frames = Multimodal.frameSampleStub(cap)(Iterator(row)).toList
+      val nFrames = s.getBytes("UTF-8").length.toLong / 40L + 1L
+      frames.nonEmpty && frames.size <= cap &&
+        frames.head.frame_idx == 0L &&
+        frames.forall(f => f.frame_idx < nFrames && f.ts_ms == f.frame_idx * 40L) &&
+        // uniform stride: consecutive sampled indices differ by ceil(n/cap)
+        frames.sliding(2).forall {
+          case List(a, b) => b.frame_idx - a.frame_idx == (nFrames + cap - 1) / cap
+          case _ => true
+        }
+    })
+  }
+
+  test("aspect-fit resize stays in the box, floors at 1, keeps orientation") {
+    check(Prop.forAll(Gen.chooseNum(1L, 640L), Gen.chooseNum(1L, 480L)) { (w, h) =>
+      val f = Multimodal.AssetFeatures(1L, "image/png", 10L, "d41d8cd9", w, h)
+      val r = Multimodal.resizeStub(224L)(Iterator(f)).next()
+      r.out_w >= 1 && r.out_w <= 224 && r.out_h >= 1 && r.out_h <= 224 &&
+        // the longer input side maps to the longer (or equal) output side
+        (w >= h) == (r.out_w >= r.out_h) &&
+        // the longest side fills the box exactly
+        math.max(r.out_w, r.out_h) == 224
+    })
+  }
+
   test("centroid merge is associative (within fp tolerance)") {
     val a = graft.functions.VectorFns.CentroidAgg
     val vGen = Gen.listOfN(4, Gen.chooseNum(-10f, 10f)).map(_.toArray)
