@@ -231,6 +231,26 @@ object PlanAudit {
         (_.contains("binaryFile")),
       "decode runs at the typed mapPartitions boundary" ->
         (p => p.contains("SerializeFromObject") || p.contains("MapPartitions")))
+    // x66/x67: the multimodal stages must stay NARROW — decode,
+    // sample, and resize are row-local object stages, so the only
+    // exchange in either plan is the contract's output ORDER BY
+    // (a range partitioning); any other exchange means a shuffle
+    // crept between decode and transform
+    // node-count claims use the detail-section headers "(n) Op" so a
+    // node is counted once, not once per tree line + detail block
+    audit("x66_frame_sample")(
+      "sampler runs at a typed mapPartitions boundary" ->
+        (p => p.contains("MapPartitions")),
+      "single exchange: the output sort only" ->
+        (p => "\\(\\d+\\) Exchange".r.findAllIn(p).size == 1 &&
+          p.contains("rangepartitioning")),
+      "no join anywhere" -> (p => !p.contains("Join")))
+    audit("x67_resize")(
+      "decode→resize chains two object stages with no shuffle between" ->
+        (p => "\\(\\d+\\) MapPartitions".r.findAllIn(p).size == 2 &&
+          "\\(\\d+\\) Exchange".r.findAllIn(p).size == 1 &&
+          p.contains("rangepartitioning")),
+      "no join anywhere" -> (p => !p.contains("Join")))
     audit("x52_time_travel")(
       "version digests are plain aggregates over snapshot file scans" ->
         (p => p.contains("HashAggregate") && !p.contains("CartesianProduct")))
