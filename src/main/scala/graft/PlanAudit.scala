@@ -251,6 +251,13 @@ object PlanAudit {
           "\\(\\d+\\) Exchange".r.findAllIn(p).size == 1 &&
           p.contains("rangepartitioning")),
       "no join anywhere" -> (p => !p.contains("Join")))
+    audit("x68_audio_features")(
+      "windowed VAD rollup stays inside the object stage (one row per " +
+        "clip, no explode/join/regroup)" ->
+        (p => p.contains("MapPartitions") &&
+          "\\(\\d+\\) Exchange".r.findAllIn(p).size == 1 &&
+          p.contains("rangepartitioning") && !p.contains("Join") &&
+          !p.contains("Generate")))
     audit("x52_time_travel")(
       "version digests are plain aggregates over snapshot file scans" ->
         (p => p.contains("HashAggregate") && !p.contains("CartesianProduct")))

@@ -95,6 +95,47 @@ object Multimodal {
         md5hex(s"${f.content_hash}:${ow}x$oh".getBytes("UTF-8")))
     }
 
+  /** Doc-level audio features (stub decode): sample/duration/resample
+    * geometry plus windowed silence counts.
+    */
+  case class AudioFeatures(doc_id: Long, n_samples: Long, duration_ms: Long,
+      n_rs: Long, rs_hash: String, n_windows: Long, n_silent: Long)
+
+  /** Audio stub: the payload is treated as 8-bit PCM at 8 kHz (one
+    * byte = one sample). Three operations a speech-data pipeline runs
+    * per clip, all integer-exact so the oracle replays them:
+    *
+    *  - **duration**: n_samples · 1000 / 8000 (floor);
+    *  - **resample** 8 kHz → 2 kHz: keep every 4th sample —
+    *    n_rs = ceil(n/4); the resampled payload is represented by a
+    *    deterministic hash of (content hash, n_rs), where a real
+    *    resampler would emit the sample array;
+    *  - **silence windows**: 100-sample (12.5 ms) windows; each
+    *    window's stub RMS level is the first 4 hex digits of
+    *    md5(hash:w{idx}) mod 100, and a window is silent below 10 —
+    *    the VAD-shaped per-window classify that segmenting/filtering
+    *    speech corpora needs, rolled up per clip.
+    *
+    * The window sweep is a per-row loop over ceil(n/100) windows —
+    * output stays ONE row per clip (the rollup), so stage output is
+    * sized by input rows; only CPU grows with clip length, exactly
+    * like a real VAD pass. Iterator-to-iterator: decoder/VAD state
+    * initializes once per partition.
+    */
+  def audioFeatureStub(rows: Iterator[AssetRow]): Iterator[AudioFeatures] =
+    rows.map { r =>
+      val h = md5hex(r.content)
+      val n = r.content.length.toLong
+      val nRs = (n + 3L) / 4L
+      val nWin = (n + 99L) / 100L
+      val nSilent = (0L until nWin).count { w =>
+        java.lang.Long.parseLong(
+          md5hex(s"$h:w$w".getBytes("UTF-8")).substring(0, 4), 16) % 100 < 10
+      }.toLong
+      AudioFeatures(r.doc_id, n, n * 1000L / 8000L, nRs,
+        md5hex(s"$h:rs:$nRs".getBytes("UTF-8")), nWin, nSilent)
+    }
+
   /** documents(text) -> asset table with a binary payload column. */
   def assetsFromDocuments(docs: DataFrame): Dataset[AssetRow] = {
     val s = docs.sparkSession

@@ -1596,6 +1596,24 @@ object Extras {
       .orderBy($"doc_id")
   }
 
+  /** x68 — audio features over the binary asset column (the audio leg,
+    * completing image/audio/video): duration, 4:1 resample geometry,
+    * and a VAD-shaped windowed silence rollup, one row per clip.
+    * Unlike x66's bounded 1-to-N explosion, the window sweep stays
+    * INSIDE the row (only CPU grows with clip length; output is sized
+    * by input rows) — the two shapes bracket how multimodal stages
+    * scale. Typed mapPartitions; integer-exact oracle replay.
+    */
+  def x68AudioFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Multimodal.assetsFromDocuments(t(s, dir, "documents"))
+      .mapPartitions(Multimodal.audioFeatureStub)
+      .toDF()
+      .select($"doc_id", $"n_samples", $"duration_ms", $"n_rs", $"rs_hash",
+        $"n_windows", $"n_silent")
+      .orderBy($"doc_id")
+  }
+
   // ---------------------------------------------------------------- corpus curation & analytics
 
   /** x38 — C4/Gopher-style quality filter cascade: every document gets

@@ -1347,6 +1347,29 @@ object ExtrasOracle {
         |FROM s JOIN generate_series(0, 7) k(k) ON k.k * s.stride < s.n_frames
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
+    // audio stub replay: windows = ceil(bytes/100); the constant 0..63
+    // series bounds clips to 6.4 KB — driver docs max ~600 bytes and
+    // ScaleUp replicas preserve text length, so the bound holds at
+    // every rehearsal scale (a doc beyond it would undercount silence
+    // and hash-mismatch loudly, not silently pass)
+    "x68_audio_features" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS h,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n
+        |  FROM documents),
+        |w AS (SELECT a.doc_id,
+        |    CAST(SUM(CASE WHEN (CAST(('0x' || substr(md5(a.h || ':w' ||
+        |      CAST(k.k AS VARCHAR)), 1, 4)) AS BIGINT) % 100) < 10
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_silent
+        |  FROM a JOIN generate_series(0, 63) k(k)
+        |    ON k.k < (a.n + 99) // 100
+        |  GROUP BY a.doc_id)
+        |SELECT a.doc_id, a.n AS n_samples, a.n * 1000 // 8000 AS duration_ms,
+        |  (a.n + 3) // 4 AS n_rs,
+        |  md5(a.h || ':rs:' || CAST((a.n + 3) // 4 AS VARCHAR)) AS rs_hash,
+        |  (a.n + 99) // 100 AS n_windows, COALESCE(w.n_silent, 0) AS n_silent
+        |FROM a LEFT JOIN w ON a.doc_id = w.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
+
     // aspect-fit into 224×224 with floor division, floor >= 1 — the
     // exact integer arithmetic of Multimodal.resizeStub
     "x67_resize" ->

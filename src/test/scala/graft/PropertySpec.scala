@@ -72,6 +72,21 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("audio rollup geometry is exact and silence is bounded by windows") {
+    check(Prop.forAll(Gen.alphaNumStr) { s =>
+      val row = Multimodal.AssetRow(3L, "audio/pcm", s.getBytes("UTF-8"))
+      val a1 = Multimodal.audioFeatureStub(Iterator(row)).next()
+      val a2 = Multimodal.audioFeatureStub(Iterator(row)).next()
+      val n = s.getBytes("UTF-8").length.toLong
+      a1 == a2 &&
+        a1.n_samples == n &&
+        a1.duration_ms == n * 1000 / 8000 &&
+        a1.n_rs == (n + 3) / 4 &&
+        a1.n_windows == (n + 99) / 100 &&
+        a1.n_silent >= 0 && a1.n_silent <= a1.n_windows
+    })
+  }
+
   test("centroid merge is associative (within fp tolerance)") {
     val a = graft.functions.VectorFns.CentroidAgg
     val vGen = Gen.listOfN(4, Gen.chooseNum(-10f, 10f)).map(_.toArray)
