@@ -99,6 +99,15 @@ object Bench {
     // that volume. The driver's per-round run leaves this unset, so
     // the round artifact stays the full contract surface.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    // fail fast on typos: a silently-empty subset would still overwrite
+    // BENCH_LAST.json and append a bogus total=0 line to the committed
+    // append-only history
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
     val loadStart = loadavg()
     var failedRuns = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -11,6 +11,12 @@ import org.apache.spark.sql.SparkSession
   * with [[Bench]]'s exact per-rep hygiene (noop sink + clearCache) —
   * the tool for reproducing sweep-order interactions (e.g. "is x01
   * slower when q28's streaming teardown precedes it?").
+  *
+  * `SPARK_GRAFT_EXPLAIN=1` dumps each plan first;
+  * `SPARK_GRAFT_ROWS=1` swaps the noop sink for a `count()` and prints
+  * rows alongside seconds — pair queries on dup-heavy corpora are
+  * output-bound (SCALE.md sf5 rehearsal), so a scaling investigation
+  * needs rows to tell plan cost from result growth.
   */
 object Profile {
   def main(args: Array[String]): Unit = {
@@ -37,9 +43,13 @@ object Profile {
       }
       (1 to reps).foreach { i =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        println(f"[profile] $name rep$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val rows =
+          if (sys.env.contains("SPARK_GRAFT_ROWS")) Some(df.count())
+          else { df.write.format("noop").mode("overwrite").save(); None }
+        val secs = f"${(System.nanoTime() - t0) / 1e9}%.2f s"
+        println(s"[profile] $name rep$i $secs" +
+          rows.fold("")(n => s" rows=$n"))
         spark.catalog.clearCache()
       }
     }

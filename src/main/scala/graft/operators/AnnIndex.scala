@@ -81,10 +81,18 @@ object AnnIndex {
     *    centroid set is bit-reproducible across engines (the same
     *    property that makes x65 oracle-able); one Lloyd sweep could
     *    refine them at the cost of that determinism.
-    *  - **Reassignment is local**: each member joins the child whose
-    *    seed scores higher (tie → the best-aligned child), the
-    *    standard IVF split — no global re-argmax, so only the split
-    *    cells' rows move.
+    *  - **Reassignment is local and NEAREST-SEED**: each member joins
+    *    the child whose seed is closer in L2 — argmax(2·x·s − |s|²),
+    *    the inner-product form of argmin |x − s|²; ties (and null
+    *    scores) → the best-aligned child. A raw inner-product compare
+    *    (x·sb > x·sa) would be norm-biased: one long seed vector can
+    *    capture EVERY member including the other seed, leaving the
+    *    kept cell empty with a phantom centroid and occupancy
+    *    unreduced (code-review r11). Under the L2 rule each seed
+    *    strictly prefers itself whenever the seeds differ, so both
+    *    children are provably non-empty and the split always reduces
+    *    the hot cell. No global re-argmax — only the split cells'
+    *    rows move.
     *  - **Child ids**: the best-aligned child keeps the old cell id
     *    (its directory is rewritten in place); the other child gets
     *    `max cid + rank(split cid)` — deterministic and collision-free.
@@ -138,12 +146,19 @@ object AnnIndex {
       .join(broadcast(childBDf), Seq("cell"))
       .select(col("cell"), col("sa.v").as("va"), col("sb.v").as("vb"),
         col("bcid"))
+      // seed self-dots for the nearest-seed rule, decimal-exact like
+      // every other score so the oracle replays them bit-identically
+      .withColumn("na2", dot("va", "va"))
+      .withColumn("nb2", dot("vb", "vb"))
+    // nearest-seed in L2 via 2·x·s − |s|²; doubles on both engines run
+    // the same IEEE multiply/subtract on bit-equal inputs, and a null
+    // anywhere makes the comparison null → otherwise → kept child
     val reassigned = members.join(broadcast(seeds), Seq("cell"))
       .withColumn("da", dot("v", "va"))
       .withColumn("db", dot("v", "vb"))
       .select(col("vec_id"), col("v"),
-        when(coalesce(col("db"), lit(Double.MinValue)) >
-            coalesce(col("da"), lit(Double.MinValue)),
+        when(lit(2d) * col("db") - col("nb2") >
+            lit(2d) * col("da") - col("na2"),
           col("bcid")).otherwise(col("cell")).cast(LongType).as("cell"))
     // Stage-then-rename (SnapshotLog.stage's machinery): Spark refuses
     // to overwrite a path it is also reading, so the reassigned rows

@@ -1349,12 +1349,15 @@ object ExtrasOracle {
 
     // audio stub replay: windows = ceil(bytes/100); the constant 0..63
     // series bounds clips to 6.4 KB — driver docs max ~600 bytes and
-    // ScaleUp replicas preserve text length, so the bound holds at
-    // every rehearsal scale (a doc beyond it would undercount silence
-    // and hash-mismatch loudly, not silently pass)
+    // ScaleUp replicas preserve text length. The bound is ASSERTED in
+    // the oracle itself (error() on any larger clip), so outgrowing it
+    // fails with a named message instead of a mysterious silence
+    // undercount (code-review r11)
     "x68_audio_features" ->
       """WITH a AS (SELECT doc_id, md5(text) AS h,
-        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n
+        |    CASE WHEN octet_length(CAST(text AS BLOB)) > 6400
+        |      THEN error('x68 oracle window-series bound (64 windows = 6400 bytes) exceeded')
+        |      ELSE CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) END AS n
         |  FROM documents),
         |w AS (SELECT a.doc_id,
         |    CAST(SUM(CASE WHEN (CAST(('0x' || substr(md5(a.h || ':w' ||
@@ -1506,7 +1509,7 @@ object ExtrasOracle {
     // x65c: the full maintenance lifecycle — assignment over the 16
     // seeds, mean-occupancy threshold (⌊n/16⌋), hot cells split into
     // (best-aligned keeps cid, worst-aligned gets 16 + rank(cell)),
-    // LOCAL reassignment by seed-vector dots, probe over the REFRESHED
+    // LOCAL nearest-seed (L2: 2·x·s − |s|²) reassignment, probe over the REFRESHED
     // centroid set, plus the layout digest (n_cells / max_occ /
     // n_rows) on every row. Mirrors AnnIndex.optimize exactly: every
     // dot decimal-exact, every tie broken on (score, vec_id).
@@ -1536,7 +1539,9 @@ object ExtrasOracle {
          |      ORDER BY d ASC, vec_id) AS rn FROM md) WHERE rn = 1),
          |rd AS (SELECT m.vec_id, m.cell,
          |    ${dot("e.embedding", "ea.embedding")} AS da,
-         |    ${dot("e.embedding", "eb.embedding")} AS db
+         |    ${dot("e.embedding", "eb.embedding")} AS db,
+         |    ${dot("ea.embedding", "ea.embedding")} AS na2,
+         |    ${dot("eb.embedding", "eb.embedding")} AS nb2
          |  FROM md m
          |    JOIN embeddings e ON e.vec_id = m.vec_id
          |    JOIN sa ON sa.cell = m.cell
@@ -1546,7 +1551,8 @@ object ExtrasOracle {
          |    generate_series(1, 64) t(i)
          |  GROUP BY m.vec_id, m.cell),
          |na AS (SELECT a.vec_id,
-         |    COALESCE(CASE WHEN rd.db > rd.da THEN h.bcid ELSE rd.cell END,
+         |    COALESCE(CASE WHEN 2 * rd.db - rd.nb2 > 2 * rd.da - rd.na2
+         |        THEN h.bcid ELSE rd.cell END,
          |      a.cell) AS cell
          |  FROM assign a LEFT JOIN rd ON rd.vec_id = a.vec_id
          |    LEFT JOIN hot h ON h.cell = rd.cell),

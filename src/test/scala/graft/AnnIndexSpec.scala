@@ -206,4 +206,32 @@ class AnnIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(ivf == brute, "full-coverage probe must be exact")
   }
+
+  test("optimize's nearest-seed rule keeps both children non-empty on " +
+      "norm-skewed cells") {
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("graft-annindex-skew").toString
+    val cents = Seq((1L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("cid", "c")
+    // seed A = id 10 (best aligned, tie on d=1.0 broken to the smaller
+    // id); seed B = id 11 (worst aligned) carries a DOMINATING norm:
+    // under a raw inner-product compare (x·sb > x·sa) all three
+    // members — including seed A itself — score higher against B, so
+    // the kept cell would end up an empty directory with a phantom
+    // centroid and occupancy unreduced (code-review r11). Nearest-seed
+    // (2·x·s − |s|²) keeps each seed home whenever the seeds differ.
+    val vecs = Seq(
+      (10L, Seq(1.0, 1.0, 0.0, 0.0)),
+      (11L, Seq(0.99, 10.0, 0.0, 0.0)),
+      (12L, Seq(1.0, 9.0, 0.0, 0.0))).toDF("vec_id", "v")
+    AnnIndex.build(vecs, cents, p)
+    val refreshed = AnnIndex.optimize(spark, p, cents, maxOccupancy = 2L)
+    val occ = spark.read.parquet(p)
+      .groupBy(col("cell").cast("long").as("cell")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(occ == Map(1L -> 1L, 2L -> 2L),
+      s"nearest-seed split must keep seed A home and reduce the cell: $occ")
+    val cids = refreshed.select(col("cid").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    assert(cids == occ.keySet, "refreshed centroids name exactly the live cells")
+  }
 }
