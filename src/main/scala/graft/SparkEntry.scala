@@ -127,7 +127,8 @@ object SparkEntry {
     "x65c_ann_optimize" -> (X.x65cAnnOptimize _),
     "x66_frame_sample" -> (X.x66FrameSample _),
     "x67_resize" -> (X.x67Resize _),
-    "x68_audio_features" -> (X.x68AudioFeatures _)
+    "x68_audio_features" -> (X.x68AudioFeatures _),
+    "x69_asset_stream" -> (X.x69AssetStream _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

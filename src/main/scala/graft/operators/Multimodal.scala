@@ -205,4 +205,35 @@ object Multimodal {
     import s.implicits._
     assetsFromBinaryFiles(s, dir).mapPartitions(decodeStub)
   }
+
+  /** STREAMING leg of the asset surface: the same `binaryFile` listing
+    * as [[assetsFromBinaryFiles]], as an unbounded `readStream` — new
+    * asset files arriving in the directory decode incrementally
+    * through the SAME per-partition stub the batch path uses (the
+    * decode is stateless, so batch and stream share the operator by
+    * construction). `maxFilesPerTrigger` is the rate-control analog of
+    * the reference's page pacing (main_extractor.py pause loop); the
+    * file source's seen-path tracking gives exactly-once per asset.
+    * File streams require an explicit schema — binaryFile's is fixed.
+    */
+  def streamAssetFeatures(s: org.apache.spark.sql.SparkSession, dir: String,
+      maxFilesPerTrigger: Int): Dataset[AssetFeatures] = {
+    import s.implicits._
+    val schema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    s.readStream.format("binaryFile").schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "asset-([0-9]+)\\.", 1)
+          .cast(LongType).as("doc_id"),
+        when(col("path").endsWith(".bin"), lit("application/octet-stream"))
+          .otherwise(lit("text/plain")).as("mime"),
+        col("content"))
+      .as[AssetRow]
+      .mapPartitions(decodeStub)
+  }
 }

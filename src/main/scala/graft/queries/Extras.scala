@@ -1596,6 +1596,32 @@ object Extras {
       .orderBy($"doc_id")
   }
 
+  /** x69 — STREAMING asset ingest (multimodal × H): the x11b fixture
+    * is consumed as an unbounded `binaryFile` readStream decoding
+    * through the SAME partition-mapped stub as the batch path, 64
+    * files per trigger (so the 200-file fixture takes 4 micro-batches
+    * — the incremental path is actually exercised, not a single-batch
+    * degenerate). Q28's run-to-completion pattern makes it
+    * oracle-gated: the decode is stateless and per-file, so the
+    * drained stream must equal the batch decode row-for-row — the
+    * oracle is x11b's SQL verbatim. StreamingSpec additionally pins
+    * true INCREMENTAL arrival (files appearing between triggers,
+    * seen-path exactly-once).
+    */
+  def x69AssetStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fixture = scratchDir(s, "x69", dir)
+    Multimodal.writeAssetFiles(t(s, dir, "documents"), fixture)
+    val name = "x69_sink_" + System.nanoTime()
+    val q = Multimodal.streamAssetFeatures(s, fixture, maxFilesPerTrigger = 64)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    s.table(name)
+      .select($"doc_id", $"mime", $"byte_len", $"content_hash",
+        $"fake_width", $"fake_height")
+      .orderBy($"doc_id")
+  }
+
   /** x68 — audio features over the binary asset column (the audio leg,
     * completing image/audio/video): duration, 4:1 resample geometry,
     * and a VAD-shaped windowed silence rollup, one row per clip.

@@ -1321,15 +1321,12 @@ object ExtrasOracle {
 
     // x11's digest restricted to the fixture cap, with the parity-based
     // mime the file extensions encode.
-    "x11b_binary_assets" ->
-      """SELECT doc_id,
-        |  CASE WHEN doc_id % 2 = 0 THEN 'application/octet-stream'
-        |       ELSE 'text/plain' END AS mime,
-        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
-        |  md5(text) AS content_hash,
-        |  (CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 640) + 1 AS fake_width,
-        |  (CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 480) + 1 AS fake_height
-        |FROM documents WHERE doc_id <= 200 ORDER BY doc_id""".stripMargin,
+    "x11b_binary_assets" -> binaryAssetSql,
+
+    // x69 drains the SAME fixture through the binaryFile readStream:
+    // the decode is stateless and per-file, so the completed stream
+    // must equal the batch decode — the oracle is x11b's verbatim
+    "x69_asset_stream" -> binaryAssetSql,
 
     // frame count = bytes // 40 + 1; stride = ceil(n/8). DuckDB's
     // generate_series takes constants only (no lateral column bounds),
@@ -1587,6 +1584,20 @@ object ExtrasOracle {
   /** The IVF probe oracle shared by x65 (full build) and x65b
     * (build + incremental append of the same vector set).
     */
+  /** Shared by x11b (batch binaryFile decode) and x69 (the same
+    * fixture drained through the binaryFile readStream): the decode is
+    * stateless and per-file, so both paths must produce this digest.
+    */
+  private lazy val binaryAssetSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'application/octet-stream'
+      |       ELSE 'text/plain' END AS mime,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+      |  md5(text) AS content_hash,
+      |  (CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 640) + 1 AS fake_width,
+      |  (CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 480) + 1 AS fake_height
+      |FROM documents WHERE doc_id <= 200 ORDER BY doc_id""".stripMargin
+
   private lazy val annProbeSql: String =
       s"""WITH seeds AS (SELECT vec_id AS cid, embedding AS c FROM embeddings
          |  WHERE vec_id BETWEEN 1 AND 16),

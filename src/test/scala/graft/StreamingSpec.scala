@@ -282,4 +282,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(SnapshotLog.appendTxn(replay, tbl, Nil, "snapshot-sink", 2L) == head + 1)
     assert(SnapshotLog.read(spark, tbl).count() == 4)
   }
+
+  test("streaming asset decode sees incremental file arrivals exactly once") {
+    import graft.operators.Multimodal
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-assets-inc").toString
+    Multimodal.writeAssetFiles(docs, dir, maxDocs = 30)
+    val q = Multimodal.streamAssetFeatures(spark, dir, maxFilesPerTrigger = 7)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("asset_inc").start()
+    try {
+      q.processAllAvailable()
+      val n1 = spark.table("asset_inc").count()
+      // second wave: ids 31..60 are NEW paths; 0..30 are rewritten with
+      // identical bytes — the file source's seen-path tracking must not
+      // re-emit them (exactly-once per asset)
+      Multimodal.writeAssetFiles(docs, dir, maxDocs = 60)
+      q.processAllAvailable()
+      val streamed = spark.table("asset_inc")
+      assert(streamed.count() > n1, "second wave must arrive")
+      assert(streamed.select("doc_id").distinct().count() == streamed.count(),
+        "no asset may be decoded twice across waves")
+      // the drained stream equals the batch decode over the final dir
+      val batch = Multimodal.extractFeaturesFromFiles(spark, dir)
+      assert(streamed.select("doc_id", "mime", "byte_len", "content_hash",
+          "fake_width", "fake_height").collect().toSet ==
+        batch.toDF().select("doc_id", "mime", "byte_len", "content_hash",
+          "fake_width", "fake_height").collect().toSet,
+        "stream == batch over the same fixture")
+    } finally q.stop()
+  }
 }
