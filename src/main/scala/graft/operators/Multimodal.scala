@@ -174,8 +174,19 @@ object Multimodal {
       .foreach { r =>
         val id = r.getLong(0)
         val ext = if (id % 2 == 0) "bin" else "txt"
-        val out = f.create(new Path(base, s"asset-$id.$ext"), true)
+        // Write-then-rename so each asset appears ATOMICALLY: a
+        // concurrent binaryFile readStream (x69) lists the directory
+        // between triggers, and a file observed mid-write would be
+        // decoded truncated ONCE and then pinned by seen-path
+        // tracking, never re-read. The dot prefix keeps the temp name
+        // invisible to Hadoop listings (hiddenFileFilter) until the
+        // rename flips it in complete.
+        val dest = new Path(base, s"asset-$id.$ext")
+        val tmp = new Path(base, s".asset-$id.$ext.tmp")
+        val out = f.create(tmp, true)
         try out.write(r.getString(1).getBytes("UTF-8")) finally out.close()
+        f.delete(dest, false)
+        require(f.rename(tmp, dest), s"asset fixture rename failed: $dest")
       }
   }
 
@@ -187,10 +198,16 @@ object Multimodal {
     * `pathGlobFilter` restricts the listing without reading payloads.
     */
   def assetsFromBinaryFiles(s: org.apache.spark.sql.SparkSession,
-      dir: String): Dataset[AssetRow] = {
+      dir: String): Dataset[AssetRow] = assetRows(s.read.format("binaryFile").load(dir))
+
+  /** The ONE path-to-(doc_id, mime, content) mapping — shared by the
+    * batch and streaming readers so the two decode contracts (and the
+    * oracle both hash against) cannot drift.
+    */
+  private def assetRows(listing: DataFrame): Dataset[AssetRow] = {
+    val s = listing.sparkSession
     import s.implicits._
-    s.read.format("binaryFile").load(dir)
-      .select(
+    listing.select(
         regexp_extract(col("path"), "asset-([0-9]+)\\.", 1)
           .cast(LongType).as("doc_id"),
         when(col("path").endsWith(".bin"), lit("application/octet-stream"))
@@ -224,16 +241,9 @@ object Multimodal {
       StructField("modificationTime", TimestampType),
       StructField("length", LongType),
       StructField("content", BinaryType)))
-    s.readStream.format("binaryFile").schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .load(dir)
-      .select(
-        regexp_extract(col("path"), "asset-([0-9]+)\\.", 1)
-          .cast(LongType).as("doc_id"),
-        when(col("path").endsWith(".bin"), lit("application/octet-stream"))
-          .otherwise(lit("text/plain")).as("mime"),
-        col("content"))
-      .as[AssetRow]
+    assetRows(s.readStream.format("binaryFile").schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .load(dir))
       .mapPartitions(decodeStub)
   }
 }

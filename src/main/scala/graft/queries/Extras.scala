@@ -1616,7 +1616,15 @@ object Extras {
     val q = Multimodal.streamAssetFeatures(s, fixture, maxFilesPerTrigger = 64)
       .writeStream.outputMode("append").format("memory").queryName(name).start()
     try { q.processAllAvailable() } finally { q.stop() }
-    s.table(name)
+    // copy the drained sink out and DROP the uniquely-named temp view —
+    // otherwise every invocation (Bench runs each key 4x per sweep)
+    // leaks a catalog entry + MemorySink for the session's lifetime.
+    // The copy is harness-sized (one row per fixture asset, cap 200).
+    val drained = s.table(name)
+    val local = s.createDataFrame(
+      java.util.Arrays.asList(drained.collect(): _*), drained.schema)
+    s.catalog.dropTempView(name)
+    local
       .select($"doc_id", $"mime", $"byte_len", $"content_hash",
         $"fake_width", $"fake_height")
       .orderBy($"doc_id")

@@ -1581,9 +1581,6 @@ object ExtrasOracle {
          |ORDER BY p_id, rank""".stripMargin
   )
 
-  /** The IVF probe oracle shared by x65 (full build) and x65b
-    * (build + incremental append of the same vector set).
-    */
   /** Shared by x11b (batch binaryFile decode) and x69 (the same
     * fixture drained through the binaryFile readStream): the decode is
     * stateless and per-file, so both paths must produce this digest.
@@ -1598,6 +1595,9 @@ object ExtrasOracle {
       |  (CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 480) + 1 AS fake_height
       |FROM documents WHERE doc_id <= 200 ORDER BY doc_id""".stripMargin
 
+  /** The IVF probe oracle shared by x65 (full build) and x65b
+    * (build + incremental append of the same vector set).
+    */
   private lazy val annProbeSql: String =
       s"""WITH seeds AS (SELECT vec_id AS cid, embedding AS c FROM embeddings
          |  WHERE vec_id BETWEEN 1 AND 16),

@@ -615,7 +615,14 @@ object Inventory {
       .agg(cnt.as("n"), sum($"value".cast(DecimalType(18, 6))).as("sv"))
     val q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
     try { q.processAllAvailable() } finally { q.stop() }
-    s.table(name)
+    // copy out + drop the per-invocation temp view (same discipline as
+    // x69: Bench re-invokes each key, and leaked MemorySinks live for
+    // the whole session); the copy is one row per (day, event_type)
+    val drained = s.table(name)
+    val local = s.createDataFrame(
+      java.util.Arrays.asList(drained.collect(): _*), drained.schema)
+    s.catalog.dropTempView(name)
+    local
       .select($"w.start".cast(DateType).as("day"), $"event_type", $"n",
         $"sv".cast(DoubleType).as("sum_value"))
       .orderBy($"day", $"event_type")
