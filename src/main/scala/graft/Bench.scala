@@ -34,31 +34,39 @@ import org.apache.spark.sql.SparkSession
   * per-query maps diagnosable after BENCH_LAST is overwritten and
   * the driver's 2000-char log tail truncates them (VERDICT r10 #6).
   *
-  * Contention evidence (BENCH_r05 post-mortem): the shared VM can be
-  * loaded by other tenants mid-run — r5's driver bench reported 213 s
-  * where the identical commit measures 58 s on an idle box, with
-  * uniform ~1x q-queries and 3-22x inflation concentrated in whichever
-  * queries ran during the load spike. Two fields make that failure
-  * mode self-evident in the artifact: `queries_min` / `total_min`
-  * (the minimum of the runs — a far better estimator of inherent plan
-  * cost under transient external load, since a query's floor cannot be
-  * faked by noise) and `loadavg_start`/`loadavg_end` (the 1-minute
-  * /proc/loadavg, which on a quiet 32-cpu box stays near the bench's
-  * own parallelism). A median >> min spread plus an elevated loadavg
-  * reads as "machine was busy", not "plan got slower".
+  * Driver-parseable tail (VERDICT r11 #6): the full artifact line for
+  * a 106-key sweep is ~8 kB, so any fixed-size log tail cuts it and
+  * `BENCH_rN.json.parsed` lands null. The LAST stdout line is now a
+  * compact (< 2 kB) summary — total/total_min/sf/runs/spreads plus the
+  * ten slowest per-query minima and a pointer to the full artifact —
+  * so a consumer that parses the final line of output always gets
+  * valid JSON with the headline numbers.
   *
-  * Variance bounds (VERDICT r08 #2 — r8's 19% "regression" was
-  * indistinguishable from host noise): each query now runs one
-  * UNTIMED warm-up rep before its timed runs (absorbing the per-plan
-  * codegen compile + page-cache fill that r8 charged to whichever rep
-  * came first), the artifact carries `queries_spread` (per-query
-  * mean/min over the timed runs), `queries_load` (1-min loadavg
-  * sampled at each query's start), `max_spread`, and `noisy_queries`
-  * (spread > 1.5 — the threshold above which a number should not be
-  * trusted as a plan cost). A noisy query warns on stderr; set
-  * `SPARK_GRAFT_BENCH_STRICT=1` to turn that into a nonzero exit
-  * (not the default: the per-round artifact must still land when the
-  * shared host is busy — the spread fields mark it untrustworthy).
+  * Subset self-description (ADVICE r11): a `SPARK_GRAFT_BENCH_ONLY`
+  * run stamps `"only":[...]` and every artifact carries `"n_queries"`,
+  * so a 5-key sweep's total can never be misread as a full-sweep
+  * total in the append-only history.
+  *
+  * Scale sweep (VERDICT r11 #2): `SPARK_GRAFT_BENCH_SWEEP` — a
+  * comma-separated list of sf dirs — runs the (optionally
+  * subsetted) key set against EACH dir in one invocation and emits
+  * ONE commit-stamped artifact with the per-dir maps
+  * (`"metric":"sweep"`), written to `BENCH_SWEEP_LAST.json` and
+  * appended to BENCH_HISTORY.jsonl. One command, one commit, every
+  * scale — so scaling claims always cite a single reproducible
+  * measurement instead of numbers scattered across rounds
+  * (r11's x62 evidence gap).
+  *
+  * Contention evidence (BENCH_r05 post-mortem): the shared VM can be
+  * loaded by other tenants mid-run — `queries_min`/`total_min` (the
+  * minimum of the runs — a floor cannot be faked by noise) and
+  * `loadavg_*` fields make a busy-host run self-evident.
+  *
+  * Variance bounds (VERDICT r08 #2): one UNTIMED warm-up rep per
+  * query absorbs codegen compile + page-cache fill; the artifact
+  * carries `queries_spread`, `queries_load`, `max_spread`, and
+  * `noisy_queries` (spread > 1.5 — numbers not to be trusted as plan
+  * cost). `SPARK_GRAFT_BENCH_STRICT=1` turns noisy into nonzero exit.
   */
 object Bench {
   /** Median of a non-empty sample; even sizes average the middle two. */
@@ -74,45 +82,23 @@ object Bench {
       java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").split(" ").head
     catch { case _: Throwable => "n/a" }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    Logs.quietNoise()
-    // Warm the JVM/codegen/IO paths once so the first measured query
-    // doesn't absorb session bootstrap cost.
-    spark.range(1000000L).selectExpr("sum(id)").write.format("noop")
-      .mode("overwrite").save()
-    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
-    // Optional subset sweep (comma-separated keys): scale rehearsals
-    // target one operator family (VERDICT r10 #4 runs the dedup/pair
-    // family at factor 100) without paying the full 101-query sweep at
-    // that volume. The driver's per-round run leaves this unset, so
-    // the round artifact stays the full contract surface.
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
-    // fail fast on typos: a silently-empty subset would still overwrite
-    // BENCH_LAST.json and append a bogus total=0 line to the committed
-    // append-only history
-    only.foreach { names =>
-      val unknown = names -- SparkEntry.queries.keySet
-      require(unknown.isEmpty,
-        s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: " +
-          unknown.toSeq.sorted.mkString(", "))
-    }
-    val loadStart = loadavg()
+  private def spreadOf(good: Seq[Double]): Double =
+    if (good.isEmpty || good.min <= 0) 1.0
+    else (good.sum / good.size) / good.min
+
+  private def gitCommit(): String =
+    try scala.sys.process.Process(
+      Seq("git", "rev-parse", "--short", "HEAD")).!!.trim
+    catch { case _: Throwable => "unknown" }
+
+  /** One timed sweep of `names` against `sfDir`: per-query successful
+    * run times + the loadavg sampled at each query's start.
+    */
+  private def measure(spark: SparkSession, sfDir: String, runs: Int,
+      names: Seq[String]): (Seq[(String, Seq[Double], String)], Int) = {
     var failedRuns = 0
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
       val qLoad = loadavg()
       // one untimed warm-up rep: absorbs the per-plan codegen compile
       // and page-cache fill so the timed runs measure steady-state plan
@@ -138,29 +124,31 @@ object Bench {
       failedRuns += samples.count(s => !s._2)
       (name, good, qLoad)
     }
+    (results, failedRuns)
+  }
+
+  /** JSON object bodies for one measured sweep (shared by the
+    * single-dir and sweep artifacts).
+    */
+  private def sweepJson(results: Seq[(String, Seq[Double], String)],
+      failedRuns: Int, sfDir: String): (String, Double, Double, Seq[String]) = {
     def obj(f: Seq[Double] => Double): String = results.map { case (k, good, _) =>
       "\"" + k + "\":" + (if (good.nonEmpty) f(good).toString else "null")
     }.mkString("{", ",", "}")
-    def spreadOf(good: Seq[Double]): Double =
-      if (good.isEmpty || good.min <= 0) 1.0
-      else (good.sum / good.size) / good.min
-    val medians = obj(median)
-    val mins = obj(_.min)
-    val spreads = obj(g => math.rint(spreadOf(g) * 100) / 100)
     val qLoads = results.map { case (k, _, l) => "\"" + k + "\":\"" + l + "\"" }
       .mkString("{", ",", "}")
     val maxSpread = results.map(r => spreadOf(r._2)).maxOption.getOrElse(1.0)
     val noisy = results.filter(r => spreadOf(r._2) > 1.5).map(_._1)
-    noisy.foreach(n => System.err.println(
-      s"[bench] $n spread > 1.5x (mean/min) — number untrustworthy under load"))
     val total = results.collect { case (_, g, _) if g.nonEmpty => median(g) }.sum
     val totalMin = results.collect { case (_, g, _) if g.nonEmpty => g.min }.sum
-    val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$medians,"queries_min":$mins,"queries_spread":$spreads,"queries_load":$qLoads,"max_spread":${math.rint(maxSpread * 100) / 100},"noisy_queries":$noisyJson,"warmup":1,"total_min":$totalMin,"sf":"$sfDir","runs":$runs,"failed_runs":$failedRuns,"max_heap_mb":$heapMb,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}"}"""
-    println(line)
-    (sys.env.get("BENCH_OUT").toSeq :+ "BENCH_LAST.json").foreach { p =>
+    val body =
+      s""""value":$total,"unit":"sec","queries":${obj(median)},"queries_min":${obj(_.min)},"queries_spread":${obj(g => math.rint(spreadOf(g) * 100) / 100)},"queries_load":$qLoads,"max_spread":${math.rint(maxSpread * 100) / 100},"noisy_queries":$noisyJson,"warmup":1,"total_min":$totalMin,"sf":"$sfDir","n_queries":${results.size},"failed_runs":$failedRuns"""
+    (body, total, totalMin, noisy)
+  }
+
+  private def writeArtifact(line: String, defaultFile: String): Unit = {
+    (sys.env.get("BENCH_OUT").toSeq :+ defaultFile).foreach { p =>
       try java.nio.file.Files.write(java.nio.file.Paths.get(p),
         (line + "\n").getBytes("UTF-8"))
       catch { case e: Throwable =>
@@ -169,17 +157,12 @@ object Bench {
     }
     // Append-only history (VERDICT r10 #6): BENCH_LAST.json is
     // overwritten by every run and the driver's per-round tail
-    // truncates the per-query maps, so regressions lost their history
-    // once a new baseline landed. Every run now also appends its full
+    // truncates the per-query maps, so every run also appends its full
     // artifact — stamped with commit + wall time — to
     // BENCH_HISTORY.jsonl, which is committed and never rewritten.
     try {
-      val commit =
-        try scala.sys.process.Process(
-          Seq("git", "rev-parse", "--short", "HEAD")).!!.trim
-        catch { case _: Throwable => "unknown" }
       val stamped =
-        s"""{"ts":"${java.time.Instant.now()}","commit":"$commit",""" +
+        s"""{"ts":"${java.time.Instant.now()}","commit":"${gitCommit()}",""" +
           line.stripPrefix("{")
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
         (stamped + "\n").getBytes("UTF-8"),
@@ -188,9 +171,93 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not append history: ${e.getMessage}")
     }
-    if (sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1") && noisy.nonEmpty) {
-      spark.stop()
-      sys.exit(2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Logs.quietNoise()
+    // Warm the JVM/codegen/IO paths once so the first measured query
+    // doesn't absorb session bootstrap cost.
+    spark.range(1000000L).selectExpr("sum(id)").write.format("noop")
+      .mode("overwrite").save()
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    // Optional subset (comma-separated keys): scale rehearsals target
+    // one operator family without paying the full sweep at that
+    // volume. The driver's per-round run leaves this unset, so the
+    // round artifact stays the full contract surface.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    // fail fast on typos: a silently-empty subset would still overwrite
+    // BENCH_LAST.json and append a bogus total=0 line to the committed
+    // append-only history
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val onlyField = only match {
+      case Some(_) =>
+        s""""only":${names.map("\"" + _ + "\"").mkString("[", ",", "]")},"""
+      case None => ""
+    }
+    val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+    val loadStart = loadavg()
+
+    sys.env.get("SPARK_GRAFT_BENCH_SWEEP") match {
+      case Some(dirs) =>
+        // multi-scale sweep: every dir measured in this one JVM at this
+        // one commit → one self-contained artifact for scaling claims
+        val perDir = dirs.split(',').toSeq.map { d =>
+          require(new java.io.File(d).isDirectory, s"sweep dir missing: $d")
+          System.err.println(s"[bench] sweep: $d")
+          val (results, failed) = measure(spark, d, runs, names)
+          val (body, total, totalMin, noisy) = sweepJson(results, failed, d)
+          noisy.foreach(n => System.err.println(
+            s"[bench] $d $n spread > 1.5x — number untrustworthy under load"))
+          (d, "{" + body + "}", total, totalMin)
+        }
+        val sfsJson = perDir.map { case (d, o, _, _) => "\"" + d + "\":" + o }
+          .mkString("{", ",", "}")
+        val totalsMin = perDir.map { case (d, _, _, tm) =>
+          "\"" + d + "\":" + tm }.mkString("{", ",", "}")
+        val line =
+          s"""{"metric":"sweep","commit":"${gitCommit()}",$onlyField"n_queries":${names.size},"runs":$runs,"max_heap_mb":$heapMb,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","totals_min":$totalsMin,"sfs":$sfsJson}"""
+        println(line)
+        writeArtifact(line, "BENCH_SWEEP_LAST.json")
+      case None =>
+        val (results, failedRuns) = measure(spark, sfDir, runs, names)
+        val (body, total, totalMin, noisy) = sweepJson(results, failedRuns, sfDir)
+        noisy.foreach(n => System.err.println(
+          s"[bench] $n spread > 1.5x (mean/min) — number untrustworthy under load"))
+        val line =
+          s"""{"metric":"total",$onlyField$body,"runs":$runs,"max_heap_mb":$heapMb,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}"}"""
+        println(line)
+        writeArtifact(line, "BENCH_LAST.json")
+        // compact LAST line (< 2 kB): survives any fixed-size log tail
+        val slowest = results
+          .collect { case (k, g, _) if g.nonEmpty => (k, g.min) }
+          .sortBy(-_._2).take(10)
+          .map { case (k, v) => "\"" + k + "\":" + math.rint(v * 100) / 100 }
+          .mkString("{", ",", "}")
+        println(
+          s"""{"metric":"total","value":$total,"unit":"sec",$onlyField"n_queries":${names.size},"total_min":$totalMin,"sf":"$sfDir","runs":$runs,"failed_runs":$failedRuns,"noisy_count":${noisy.size},"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","slowest_min":$slowest,"full_artifact":"BENCH_LAST.json"}""")
+        if (sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1") && noisy.nonEmpty) {
+          spark.stop()
+          sys.exit(2)
+        }
     }
     spark.stop()
   }
