@@ -61,11 +61,86 @@ object AnnIndex {
     * affected cell directories only, so a refresh touches
     * O(new vectors) data and probes see the additions with no rebuild.
     * Pair with [[Compaction]] when many small refreshes fragment a
-    * cell.
+    * cell. Completes any crashed [[optimize]] swap first so the append
+    * never lands inside a half-swapped layout.
     */
-  def append(embeddings: DataFrame, centroids: DataFrame, path: String): Unit =
+  def append(embeddings: DataFrame, centroids: DataFrame, path: String): Unit = {
+    recover(embeddings.sparkSession, path)
     assign(embeddings, centroids)
       .write.mode("append").partitionBy("cell").parquet(path)
+  }
+
+  /** The optimize swap's commit marker: an underscore-prefixed FILE in
+    * the table root (invisible to parquet readers) whose content is
+    * the staging directory name. Its atomic create-then-rename
+    * publication is the commit point — present means "a swap is (or
+    * was) in flight and MUST roll forward"; absent means the layout
+    * is consistent as-is.
+    */
+  private val CommitMarker = "_optimize_commit"
+
+  /** Complete a pending [[optimize]] swap left behind by a crash
+    * (roll-forward recovery): if the commit marker exists, every
+    * staged cell directory still in the staging dir is swapped in
+    * (delete-then-rename per cell, idempotent — already-renamed cells
+    * are simply absent from staging), then marker and staging are
+    * cleaned up. Returns the refreshed centroid table the crashed
+    * optimize had staged, so the caller can resume probing with the
+    * centroid set that names the post-split cells; None when no swap
+    * was pending. [[probe]], [[append]] and [[optimize]] call this on
+    * entry, so an AnnIndex reader can only ever observe the
+    * pre-publish layout (marker never committed) or the post-swap
+    * layout — never a half-swapped tree.
+    */
+  def recover(spark: SparkSession, path: String): Option[DataFrame] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val f = root.getFileSystem(hconf)
+    val marker = new org.apache.hadoop.fs.Path(root, CommitMarker)
+    if (!f.exists(marker)) return None
+    val in = f.open(marker)
+    val stagingName =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    val staging = new org.apache.hadoop.fs.Path(root, stagingName)
+    // pull the staged refreshed centroids out BEFORE deleting staging
+    val cdf = spark.read.parquet(
+      new org.apache.hadoop.fs.Path(staging, "centroids").toString)
+    val rows = cdf.collect().toSeq
+    val local = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), cdf.schema)
+    completeSwap(f, root, staging, Int.MaxValue)
+    f.delete(marker, false)
+    f.delete(staging, true)
+    Some(local)
+  }
+
+  /** Swap every staged cell directory into the live tree, one cell at
+    * a time (delete the old dir, immediately rename its replacement
+    * in — the exposure window for raw non-AnnIndex readers is one
+    * cell, and [[recover]] closes even that). Idempotent: a staged dir
+    * that was already renamed by a previous attempt is gone from
+    * staging, so replays skip it. `failAfter` is a test-only failpoint
+    * (throws after that many completed renames) proving the
+    * marker-recovery contract under a mid-swap crash.
+    */
+  private def completeSwap(f: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, staging: org.apache.hadoop.fs.Path,
+      failAfter: Int): Unit = {
+    var done = 0
+    f.listStatus(staging)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .sortBy(_.getPath.getName)
+      .foreach { st =>
+        if (done >= failAfter)
+          throw new java.io.IOException(
+            s"injected FS failure after $done swaps (test failpoint)")
+        val dest = new org.apache.hadoop.fs.Path(root, st.getPath.getName)
+        f.delete(dest, true) // old hot-cell data (kept child) / defensive
+        require(f.rename(st.getPath, dest), s"optimize: rename failed for $dest")
+        done += 1
+      }
+  }
 
   /** Rebalance over-occupied cells (VERDICT r10 #8): after many
     * appends a hot cell degrades probe cost toward a full scan of that
@@ -96,25 +171,49 @@ object AnnIndex {
     *  - **Child ids**: the best-aligned child keeps the old cell id
     *    (its directory is rewritten in place); the other child gets
     *    `max cid + rank(split cid)` — deterministic and collision-free.
-    *  - **Layout rewrite touches only split cells**: the reassigned
-    *    rows are staged to an underscore-prefixed dir and swapped in
-    *    with driver-side renames (SnapshotLog.stage's write-then-
-    *    rename machinery — Spark refuses to overwrite a path it also
-    *    reads), so untouched cells' files are left byte-identical
-    *    (the spec pins the file-level claim). A degenerate cell of identical vectors
-    *    splits into itself (every member ties to the kept child) —
-    *    occupancy then stays above the threshold, which is correct:
-    *    no layout can thin identical points.
+    *  - **Layout rewrite touches only split cells, crash-atomically**
+    *    (VERDICT r11 #3): the reassigned rows land in an
+    *    underscore-prefixed staging dir (invisible to parquet readers
+    *    — Spark also refuses to overwrite a path it reads), the
+    *    refreshed centroids are staged beside them, and THEN the
+    *    commit marker is published with an atomic create-then-rename.
+    *    Only after that commit point are the split cells' directories
+    *    — and ONLY those — swapped in, one delete+rename per cell. A
+    *    crash before the marker leaves the live tree byte-identical;
+    *    a crash after it leaves the marker pointing at the staging
+    *    dir, and [[recover]] (run on entry by every AnnIndex
+    *    operation) rolls the swap forward — so index readers observe
+    *    the pre-split or post-split layout, never a tree missing
+    *    cells. Untouched cells' files stay byte-identical (the spec
+    *    pins the file-level claim). A degenerate cell of identical
+    *    vectors splits into itself (every member ties to the kept
+    *    child); its never-written child-B directory is detected from
+    *    the staging listing and the child-B centroid is NOT emitted,
+    *    so refreshed centroids always name exactly the live cells
+    *    (ADVICE r11). Occupancy then stays above the threshold, which
+    *    is correct: no layout can thin identical points.
     *
     * Returns the refreshed centroid table (cid, c) the caller must
-    * use for subsequent [[probe]]/[[append]] calls. Cost is
-    * O(split-cell rows) data + one scheduler-sized aggregate over
+    * use for subsequent [[probe]]/[[append]] calls (after a crash,
+    * [[recover]] returns the same table from the staged copy). Cost
+    * is O(split-cell rows) data + one scheduler-sized aggregate over
     * cell counts — the same O(delta) shape as [[append]].
     */
   def optimize(spark: SparkSession, path: String, centroids: DataFrame,
-      maxOccupancy: Long): DataFrame = {
+      maxOccupancy: Long): DataFrame =
+    optimizeImpl(spark, path, centroids, maxOccupancy, Int.MaxValue)
+
+  /** [[optimize]] with a test-only failpoint: `failAfterSwaps` = n ≥ 0
+    * throws after n completed cell renames (post-commit crash, see
+    * [[completeSwap]]); -1 throws just before the marker publish
+    * (pre-commit crash). AnnIndexSpec injects both and proves readers
+    * see pre- or post-split, never half.
+    */
+  private[graft] def optimizeImpl(spark: SparkSession, path: String,
+      centroids: DataFrame, maxOccupancy: Long, failAfterSwaps: Int): DataFrame = {
     import org.apache.spark.sql.types.LongType
     graft.expressions.DecimalDot.register(spark)
+    recover(spark, path) // roll forward any crashed predecessor's swap
     val index = spark.read.parquet(path)
     val counts = index.groupBy(col("cell")).agg(count(lit(1)).as("n"))
     // partition discovery types `cell=` dirs as INT when the ids are
@@ -160,15 +259,31 @@ object AnnIndex {
         when(lit(2d) * col("db") - col("nb2") >
             lit(2d) * col("da") - col("na2"),
           col("bcid")).otherwise(col("cell")).cast(LongType).as("cell"))
-    // Stage-then-rename (SnapshotLog.stage's machinery): Spark refuses
-    // to overwrite a path it is also reading, so the reassigned rows
-    // land in an underscore-prefixed staging dir (invisible to parquet
-    // readers of `path`), then the split cells' directories — and ONLY
-    // those — are swapped in with driver-side renames. All other
-    // cells' files are left byte-for-byte untouched.
-    val staging = s"$path/_optimize-${java.util.UUID.randomUUID()}"
+    // Stage everything, then commit, then swap (the crash-atomicity
+    // story in the scaladoc): reassigned rows land in an
+    // underscore-prefixed staging dir — invisible to parquet readers
+    // of `path`, and Spark refuses to overwrite a path it is also
+    // reading. All non-split cells' files are left byte-for-byte
+    // untouched throughout.
+    val stagingName = s"_optimize-${java.util.UUID.randomUUID()}"
+    val staging = s"$path/$stagingName"
     reassigned.write.mode("overwrite").partitionBy("cell").parquet(staging)
-    // Materialize the refreshed centroid set BEFORE the renames: its
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val f = root.getFileSystem(hconf)
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    // Cells that actually materialized: a degenerate hot cell of
+    // identical vectors routes every member to the kept child, so its
+    // child-B directory is never written — emitting that centroid
+    // anyway would leave a permanent phantom naming no cell and waste
+    // an nprobe slot forever (ADVICE r11). The kept child always
+    // materializes (seed A strictly prefers itself when seeds differ,
+    // and takes the tie when they don't).
+    val stagedCells = f.listStatus(stagingPath)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .map(_.getPath.getName.stripPrefix("cell=").toLong).toSet
+    val liveB = stagedCells.diff(hotCells.toSet).toSeq.sorted
+    // Materialize the refreshed centroid set BEFORE the swap: its
     // lineage reads the PRE-optimize file listing (seeds come from the
     // split cells' current files), so a lazy return would chase
     // deleted paths on first use. One (cid, 64-double) row per cell —
@@ -176,24 +291,29 @@ object AnnIndex {
     val kept = centroids.filter(!col("cid").isin(hotCells: _*))
     val refreshed = kept
       .unionByName(seeds.select(col("cell").as("cid"), col("va").as("c")))
-      .unionByName(seeds.select(col("bcid").as("cid"), col("vb").as("c")))
+      .unionByName(seeds.filter(col("bcid").isin(liveB: _*))
+        .select(col("bcid").as("cid"), col("vb").as("c")))
     val refreshedRows = refreshed.collect().toSeq
     val refreshedDf = spark.createDataFrame(
       spark.sparkContext.parallelize(refreshedRows, 1), refreshed.schema)
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val fsPath = new org.apache.hadoop.fs.Path(path)
-    val f = fsPath.getFileSystem(hconf)
-    hotCells.foreach { c =>
-      f.delete(new org.apache.hadoop.fs.Path(path, s"cell=$c"), true)
-    }
-    f.listStatus(new org.apache.hadoop.fs.Path(staging))
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
-      .foreach { st =>
-        val dest = new org.apache.hadoop.fs.Path(path, st.getPath.getName)
-        f.delete(dest, true) // a child-B id can never pre-exist; defensive
-        require(f.rename(st.getPath, dest), s"optimize: rename failed for $dest")
-      }
-    f.delete(new org.apache.hadoop.fs.Path(staging), true)
+    // Stage the refreshed centroids beside the data (recovery needs
+    // them to hand the post-split centroid set back to a crashed
+    // caller), then publish the commit marker ATOMICALLY (temp file +
+    // rename). Before the marker exists the live tree is untouched;
+    // once it exists the swap always rolls forward ([[recover]]).
+    refreshedDf.coalesce(1).write.parquet(s"$staging/centroids")
+    if (failAfterSwaps == -1)
+      throw new java.io.IOException(
+        "injected FS failure before commit-marker publish (test failpoint)")
+    val marker = new org.apache.hadoop.fs.Path(root, CommitMarker)
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s"$CommitMarker.tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(stagingName.getBytes("UTF-8")) finally out.close()
+    require(f.rename(tmp, marker), "optimize: commit-marker publish failed")
+    completeSwap(f, root, stagingPath, failAfterSwaps)
+    f.delete(marker, false)
+    f.delete(stagingPath, true)
     refreshedDf
   }
 
@@ -207,6 +327,8 @@ object AnnIndex {
   def probe(spark: SparkSession, path: String, probes: DataFrame,
       centroids: DataFrame, nprobe: Int, k: Int): DataFrame = {
     graft.expressions.DecimalDot.register(spark)
+    recover(spark, path) // never read a half-swapped layout
+
     val rk = row_number().over(
       Window.partitionBy(col("p_id")).orderBy(col("d").desc, col("cid")))
     val wanted = probes.crossJoin(broadcast(centroids))

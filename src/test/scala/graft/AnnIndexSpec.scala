@@ -207,6 +207,132 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(ivf == brute, "full-coverage probe must be exact")
   }
 
+  /** Shared skewed fixture for the crash tests: one cold cell, one hot
+    * bimodal cell that optimize will split (same shape as the split
+    * test above, rebuilt fresh per call so crash states don't leak
+    * between tests).
+    */
+  private def buildSkewed(p: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val cents = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("cid", "c")
+    val hot = (0 until 12).map(i => (10L + i, Seq(0.0, 1.0 + 0.002 * i, 1.0 + 0.01 * i, 0.0))) ++
+      (0 until 12).map(i => (30L + i, Seq(0.0, 1.0 + 0.002 * i + 0.001, -(1.0 + 0.01 * i), 0.0)))
+    val cold = (0 until 8).map(i => (50L + i, Seq(1.0 + 0.01 * i, 0.0, 0.0, 0.0)))
+    AnnIndex.build((hot ++ cold).toDF("vec_id", "v"), cents, p)
+    cents
+  }
+
+  private def occOf(p: String): Map[Long, Long] = spark.read.parquet(p)
+    .groupBy(col("cell").cast("long").as("cell")).count()
+    .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("a crash BEFORE the commit-marker publish leaves the live tree " +
+      "byte-identical (pre-split view)") {
+    val p = java.nio.file.Files.createTempDirectory("graft-ann-precrash").toString
+    val cents = buildSkewed(p)
+    val rowsBefore = spark.read.parquet(p)
+      .select(col("vec_id").cast("long"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ex = intercept[java.io.IOException] {
+      AnnIndex.optimizeImpl(spark, p, cents, maxOccupancy = 16L,
+        failAfterSwaps = -1)
+    }
+    assert(ex.getMessage.contains("before commit-marker"))
+    // no marker, so nothing to recover; readers see the pre-split view
+    assert(AnnIndex.recover(spark, p).isEmpty)
+    val rowsAfter = spark.read.parquet(p)
+      .select(col("vec_id").cast("long"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rowsAfter == rowsBefore, "pre-commit crash must not move a row")
+  }
+
+  test("a crash MID-SWAP rolls forward: readers see the post-split " +
+      "layout, never a half-swapped tree") {
+    import spark.implicits._
+    // clean reference run on an identical copy
+    val pRef = java.nio.file.Files.createTempDirectory("graft-ann-ref").toString
+    val cents = buildSkewed(pRef)
+    val refCents = AnnIndex.optimize(spark, pRef, cents, maxOccupancy = 16L)
+    val refOcc = occOf(pRef)
+    // crashed run: marker published, then the FS dies after one of the
+    // two cell renames — the worst state: one split cell live, the
+    // other DELETED with its replacement still in staging
+    val p = java.nio.file.Files.createTempDirectory("graft-ann-midcrash").toString
+    buildSkewed(p)
+    intercept[java.io.IOException] {
+      AnnIndex.optimizeImpl(spark, p, cents, maxOccupancy = 16L,
+        failAfterSwaps = 1)
+    }
+    val marker = new java.io.File(p, "_optimize_commit")
+    assert(marker.exists, "the commit marker must survive the crash")
+    // prove the raw tree really is half-swapped (the injection bit):
+    // the un-renamed split cell's rows are missing from a raw read
+    assert(occOf(p).values.sum < refOcc.values.sum,
+      "the injected crash must leave rows only in staging")
+    // probe() runs recovery on entry: the result equals a probe over
+    // the cleanly optimized copy, and the layout converges to it
+    val probes = Seq((10L, Seq(0.0, 1.0, 1.0, 0.0))).toDF("p_id", "p")
+    val got = AnnIndex.probe(spark, p, probes, refCents, nprobe = 3, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = AnnIndex.probe(spark, pRef, probes, refCents, nprobe = 3, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, "post-recovery probe must equal the clean run")
+    assert(occOf(p) == refOcc, "recovery must converge to the clean layout")
+    assert(!marker.exists && !new java.io.File(p).listFiles()
+      .exists(_.getName.startsWith("_optimize-")),
+      "recovery must clean up marker and staging")
+  }
+
+  test("recover() hands a crashed caller the staged post-split centroids") {
+    val pRef = java.nio.file.Files.createTempDirectory("graft-ann-ref2").toString
+    val cents = buildSkewed(pRef)
+    val refCents = AnnIndex.optimize(spark, pRef, cents, maxOccupancy = 16L)
+    val p = java.nio.file.Files.createTempDirectory("graft-ann-recover").toString
+    buildSkewed(p)
+    intercept[java.io.IOException] {
+      AnnIndex.optimizeImpl(spark, p, cents, maxOccupancy = 16L,
+        failAfterSwaps = 0)
+    }
+    val recovered = AnnIndex.recover(spark, p)
+    assert(recovered.nonEmpty, "a pending swap must be recoverable")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("cid").cast("long"), col("c"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSet
+    assert(key(recovered.get) == key(refCents),
+      "recovered centroids must equal the clean run's refreshed set")
+    assert(occOf(p) == occOf(pRef))
+    // second recover is a no-op
+    assert(AnnIndex.recover(spark, p).isEmpty)
+  }
+
+  test("a degenerate identical-vector hot cell emits no phantom child-B " +
+      "centroid") {
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("graft-ann-ident").toString
+    val cents = Seq((1L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("cid", "c")
+    // every member identical: sa == sb, every member ties to the kept
+    // child, the child-B directory is never written
+    val vecs = (0 until 6).map(i => (10L + i, Seq(1.0, 2.0, 0.0, 0.0)))
+      .toDF("vec_id", "v")
+    AnnIndex.build(vecs, cents, p)
+    val refreshed = AnnIndex.optimize(spark, p, cents, maxOccupancy = 4L)
+    val occ = occOf(p)
+    assert(occ == Map(1L -> 6L),
+      s"identical points cannot be thinned; they stay in the kept cell: $occ")
+    val cids = refreshed.select(col("cid").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    assert(cids == occ.keySet,
+      s"no phantom centroid for the never-written child: $cids vs ${occ.keySet}")
+    // probing with the refreshed set must not throw on the phantom-free
+    // layout and must see every member
+    val probes = Seq((99L, Seq(1.0, 2.0, 0.0, 0.0))).toDF("p_id", "p")
+    val hits = AnnIndex.probe(spark, p, probes, refreshed, nprobe = 1, k = 10)
+      .collect()
+    assert(hits.length == 6)
+  }
+
   test("optimize's nearest-seed rule keeps both children non-empty on " +
       "norm-skewed cells") {
     import spark.implicits._
