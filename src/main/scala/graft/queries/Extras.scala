@@ -2673,6 +2673,51 @@ object Extras {
   def x62SemanticDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = emb(s, dir).withColumn("n1", VectorFns.dotDec("v", "v"))
+    // Gate the identical-vector compression on whether it CAN pay
+    // (VERDICT r11 #4): one cheap scan-and-aggregate over 16-byte
+    // row-local hashes decides if any two embeddings are identical.
+    // On a duplicate-free corpus (every driver sf dir) the group-build
+    // is pure overhead — r11 measured its premium at +57% of the key
+    // (1.90 → 2.98 s at sf0.1) — so the pair scan runs on the vectors
+    // directly; the output is identical because on such a corpus every
+    // group is a singleton with rep == vec_id. The check is exact, not
+    // sampled: it shuffles only hashes (16 bytes/row, vs the
+    // group-build's 64-double arrays), and a false "dup-free" is
+    // impossible — the compressed path can never be skipped when it
+    // would shrink the quadratic stage.
+    val hvOf = md5(concat_ws(",",
+      expr("transform(v, x -> CAST(x AS STRING))")))
+    val dupCheck = e.agg(count(lit(1)).as("n"),
+      countDistinct(hvOf).as("nd")).head()
+    val hasDups = dupCheck.getLong(0) != dupCheck.getLong(1)
+    if (!hasDups) {
+      // the assignment lineage feeds BOTH sides of the pair join and
+      // the final verdict join — persist it for the one action (the r6
+      // x49 lesson: three consumers re-ran the expensive sub-frame)
+      val m0 = kmeansAssign(s, dir).select($"vec_id", $"cell")
+        .join(e, Seq("vec_id"))
+      return graft.Caching.withPersisted(m0) { m =>
+        // zero-norm vectors: null cosine never drops and is never
+        // dropped — excluded from the pair scan on both sides
+        val nz = m.filter($"n1" > 0d).select($"vec_id", $"cell", $"v", $"n1")
+        // bloom-route pattern: cheap double dot pre-filters, the
+        // exact-decimal cosine alone decides (same as the rep scan)
+        val dropped = nz.as("x").join(nz.as("y"),
+            $"x.cell" === $"y.cell" && $"x.vec_id" < $"y.vec_id")
+          .filter(VectorFns.dotFast("x.v", "y.v") /
+            (sqrt($"x.n1") * sqrt($"y.n1")) >= SemanticDupCosThreshold - 1e-9)
+          .withColumn("cp", VectorFns.dotDec("x.v", "y.v") /
+            (sqrt($"x.n1") * sqrt($"y.n1")))
+          .filter($"cp" >= SemanticDupCosThreshold)
+          .select($"y.vec_id".as("vec_id")).distinct()
+          .withColumn("is_dropped", lit(1L))
+        m.join(dropped, Seq("vec_id"), "left")
+          .select($"vec_id", $"cell",
+            when($"n1" <= 0d, 1L)
+              .when($"is_dropped".isNull, 1L).otherwise(0L).as("keep"))
+          .orderBy($"vec_id")
+      }
+    }
     // the two-sweep Lloyd lineage feeds BOTH sides of the pair join and
     // the final verdict join — persist it for the one action (the r6
     // x49 lesson: three consumers re-ran the expensive sub-frame)

@@ -96,6 +96,44 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(keepOf(40L) === 1L, "isolated vector kept")
   }
 
+  test("the duplicate-free fast path matches the declared pairwise rule " +
+      "(compression skipped when it cannot pay)") {
+    // same planted structure minus every byte-identical copy: the
+    // dup-check gate (count == countDistinct of the vector hash) sends
+    // this corpus down the direct pair scan — the path every driver sf
+    // dir takes — and the verdicts must still match the declared rule
+    val dupFree = fixture.groupBy(_._2).values.map(_.minBy(_._1)).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-semdedup-df").toString
+    dupFree.toDF("vec_id", "embedding")
+      .withColumn("label", lit("spec"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Extras.x62SemanticDedup(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    val cellOf = out.map(r => r._1 -> r._2).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Option[Double] = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) None else Some(d / (na * nb))
+    }
+    val expected = dupFree.map { case (y, vy) =>
+      val dropped = dupFree.exists { case (x, vx) =>
+        x < y && cellOf(x) == cellOf(y) &&
+          cos(vx, vy).exists(_ >= Extras.SemanticDupCosThreshold)
+      }
+      y -> (if (dropped) 0L else 1L)
+    }.toMap
+    assert(out.size === dupFree.size)
+    out.foreach { case (id, _, keep) =>
+      assert(keep === expected(id), s"vec $id keep mismatch (fast path)")
+    }
+    // the fixture still exercises both verdicts and the zero-norm rule
+    val keepOf = out.map(r => r._1 -> r._3).toMap
+    assert(keepOf(21L) === 0L, "near-duplicate drops on the fast path")
+    assert(keepOf(25L) === 1L, "zero vector kept on the fast path")
+    assert(keepOf(40L) === 1L, "isolated vector kept on the fast path")
+  }
+
   test("identical copies always share a cell (compression's grouping premise)") {
     val byVec = fixture.groupBy(_._2).values.filter(_.size > 1)
     val cellOf = output.map(r => r._1 -> r._2).toMap
