@@ -128,7 +128,8 @@ object SparkEntry {
     "x66_frame_sample" -> (X.x66FrameSample _),
     "x67_resize" -> (X.x67Resize _),
     "x68_audio_features" -> (X.x68AudioFeatures _),
-    "x69_asset_stream" -> (X.x69AssetStream _)
+    "x69_asset_stream" -> (X.x69AssetStream _),
+    "x70_ann_index_stream" -> (X.x70AnnIndexStream _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

@@ -2986,6 +2986,44 @@ object Extras {
     res.crossJoin(broadcast(digest)).orderBy($"p_id", $"rank")
   }
 
+  /** x70 — STREAMING index maintenance (ANN × H, VERDICT r11 #7):
+    * x65b's refresh batch arrives as an unbounded parquet stream (four
+    * slice files, one micro-batch each via maxFilesPerTrigger=1)
+    * landing through [[graft.operators.AnnIndex.appendStream]] — the
+    * same assignment append behind a batch-id ledger, so replays are
+    * idempotent. Q28's run-to-completion pattern makes it
+    * oracle-gated: the drained stream's index must equal the
+    * batch-built one cell-for-cell, so the probe hash-matches x65b's
+    * oracle verbatim — a dropped, duplicated, or mis-routed micro-batch
+    * diverges it. StreamingSpec additionally pins the replay-skip
+    * (ledger) claim batch by batch.
+    */
+  def x70AnnIndexStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val cents = e.filter($"vec_id".between(1, 16))
+      .select($"vec_id".as("cid"), $"v".as("c"))
+    val scratch = scratchDir(s, "x70", dir)
+    val path = scratch + "/index"
+    graft.operators.AnnIndex.build(
+      e.filter($"vec_id" =!= 0 && $"vec_id" % 5 =!= 4), cents, path)
+    // the refresh batch becomes a file stream: 4 range-sliced parquet
+    // files so the incremental path is actually exercised (4
+    // micro-batches), not a single-batch degenerate
+    val feed = scratch + "/feed"
+    val slice = e.filter($"vec_id" =!= 0 && $"vec_id" % 5 === 4)
+    slice.repartitionByRange(4, $"vec_id")
+      .write.mode("overwrite").parquet(feed)
+    val stream = s.readStream.schema(slice.schema)
+      .option("maxFilesPerTrigger", 1).parquet(feed)
+    val q = graft.operators.AnnIndex.appendStream(
+      stream, cents, path, scratch + "/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val probes = e.filter($"vec_id" === 0)
+      .select($"vec_id".as("p_id"), $"v".as("p"))
+    graft.operators.AnnIndex.probe(s, path, probes, cents, nprobe = 2, k = 5)
+  }
+
   /** q26 Aggregator twin — typed [[VectorFns.CentroidAgg]] centroid.
     * Float-sum order makes the raw values partition-order-dependent in
     * the last ulps, so the driver-checkable output carries the BOUND:

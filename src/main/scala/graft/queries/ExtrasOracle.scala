@@ -1503,6 +1503,12 @@ object ExtrasOracle {
     // dropped, duplicated, or mis-assigned appended vector diverges
     "x65b_ann_append" -> annProbeSql,
 
+    // x70: the refresh batch arrives as a stream of micro-batches
+    // through the ledgered foreachBatch append — batching is
+    // layout-irrelevant (x65b's argument), so the drained index probes
+    // identically to the batch-built one: the SAME oracle again
+    "x70_ann_index_stream" -> annProbeSql,
+
     // x65c: the full maintenance lifecycle — assignment over the 16
     // seeds, mean-occupancy threshold (⌊n/16⌋), hot cells split into
     // (best-aligned keeps cid, worst-aligned gets 16 + rank(cell)),

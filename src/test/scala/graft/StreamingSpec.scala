@@ -283,6 +283,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(SnapshotLog.read(spark, tbl).count() == 4)
   }
 
+  test("AnnIndex.appendStream keeps the index fresh per micro-batch; the " +
+      "batch-id ledger skips replays") {
+    import graft.operators.AnnIndex
+    val vectors = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val cents = vectors.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+    val root = java.nio.file.Files.createTempDirectory("graft-annstream").toString
+    val path = root + "/index"
+    val base = vectors.filter(col("vec_id") % 5 =!= 4)
+    val inc = vectors.filter(col("vec_id") % 5 === 4)
+    AnnIndex.build(base, cents, path)
+    val feed = root + "/feed"
+    new java.io.File(feed).mkdirs()
+    val q = AnnIndex.appendStream(
+      spark.readStream.schema(vectors.schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed),
+      cents, path, root + "/ckpt")
+    try {
+      // wave 1: two files -> batches 0 and 1, each appended once
+      inc.filter(col("vec_id") < 200).coalesce(1)
+        .write.mode("append").parquet(feed)
+      inc.filter(col("vec_id").between(200, 299)).coalesce(1)
+        .write.mode("append").parquet(feed)
+      q.processAllAvailable()
+      val n1 = spark.read.parquet(path).count()
+      assert(n1 == base.count() + inc.filter(col("vec_id") < 300).count(),
+        "each micro-batch lands exactly once")
+      assert(new java.io.File(path, "_stream_ledger/batch-0").exists &&
+        new java.io.File(path, "_stream_ledger/batch-1").exists,
+        "ledger markers written after the data")
+      // replay simulation: batch id 2 is already marked in the ledger
+      // (as after a crash between marker write and checkpoint commit),
+      // so the next delivered micro-batch must SKIP instead of
+      // duplicating its vectors
+      new java.io.File(path, "_stream_ledger/batch-2").createNewFile()
+      inc.filter(col("vec_id").between(300, 399)).coalesce(1)
+        .write.mode("append").parquet(feed)
+      q.processAllAvailable()
+      assert(spark.read.parquet(path).count() == n1,
+        "a ledger-marked batch id must not append again")
+      // the following batch (id 3) is unmarked and lands normally
+      inc.filter(col("vec_id") >= 400).coalesce(1)
+        .write.mode("append").parquet(feed)
+      q.processAllAvailable()
+      val index = spark.read.parquet(path)
+      val expected = vectors.filter(
+        col("vec_id") % 5 =!= 4 || col("vec_id") < 300 || col("vec_id") >= 400)
+      assert(index.count() == expected.count())
+      assert(index.select("vec_id").distinct().count() == index.count(),
+        "no vector duplicated across the stream lifecycle")
+      // stream-maintained assignment == batch build, cell for cell
+      val pBatch = root + "/batch"
+      AnnIndex.build(expected, cents, pBatch)
+      def cells(p: String) = spark.read.parquet(p)
+        .select(col("vec_id").cast("long"), col("cell").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(cells(path) == cells(pBatch),
+        "streaming maintenance must converge to the batch layout")
+    } finally q.stop()
+  }
+
   test("streaming asset decode sees incremental file arrivals exactly once") {
     import graft.operators.Multimodal
     val docs = spark.read.parquet(s"$sf/documents.parquet")
