@@ -29,28 +29,47 @@ import Inventory.{t, cnt, dsum, events, F6}
 object Extras {
 
   /** MinHash permutations: (j, a, b) for h_j(x) = (a*x + b) mod P.
-    * 16 hashes banded 4×4 → candidate recall ~ 1-(1-J^4)^4.
+    * 128 are defined; [[minhashSchemeFor]] picks how many a corpus
+    * uses (16 banded 4×4 at the gate scales → candidate recall
+    * ~ 1-(1-J^4)^4).
     */
   val Perms: Seq[(Int, Long, Long)] =
-    Seq.tabulate(16)(j => (j, 1000003L + 97L * j, 271L + 7919L * j))
+    Seq.tabulate(128)(j => (j, 1000003L + 97L * j, 271L + 7919L * j))
 
   val MinhashJaccardThreshold = 0.7
 
-  /** Occupancy-scaled LSH band count for x02 (16 min-hashes total):
-    * 4 bands of 4 rows up to 100k docs (the classic S-curve for the
-    * 0.7 threshold; covers every driver correctness scale
-    * bit-unchanged), 2 bands of 8 rows up to 2^24 docs, then a single
-    * 16-row band — each step steepens the candidate S-curve so
-    * moderate-J pair volume, which grows quadratically with
-    * duplication on dup-heavy corpora, cannot make the operator
-    * output-bound. Integer-exact so the DuckDB oracle derives the
-    * same value from COUNT(documents).
+  /** Corpus-scaled LSH scheme for x02: (total min-hashes, band count).
+    * The published large-corpus recipe (ADVICE r11): GROW the hash
+    * count with corpus size, keeping the S-curve threshold
+    * (1/b)^(1/r) pinned at ~0.71 — the banding gets steeper (b and r
+    * both rise), so moderate-J false-candidate volume (which grows
+    * quadratically with duplication on dup-heavy corpora) collapses
+    * while recall at the declared J=0.7 contract stays ≥ ~61% at
+    * EVERY scale:
+    *
+    *   regime        b×r     threshold   recall@0.7   cand@0.3
+    *   ≤ 100k docs   4×4     0.707       66.7%        3.2%
+    *   ≤ 2^24        8×6     0.707       63.3%        0.58%
+    *   beyond        16×8    0.707       61.3%        0.10%
+    *
+    * (r11's previous scheme shrank band count at FIXED 16 hashes —
+    * 2×8 then 1×16 — which silently collapsed recall@0.7 to 39% then
+    * 0.33%: the operator's contract changed with corpus size. The
+    * regime steps are now smooth: 66.7 → 63.3 → 61.3%, and
+    * MinhashBandScalingSpec pins the schedule analytically.)
+    * The ≤100k regime is bit-unchanged from every earlier round, so
+    * all driver correctness scales (sf0.01–sf1, ≤ 64k docs) keep
+    * their hashes. Integer-exact so the DuckDB oracle derives the
+    * same scheme from COUNT(documents).
     */
-  def minhashBandsFor(nDocs: Long): Int =
-    if (nDocs <= 100000L) 4 else if (nDocs <= (1L << 24)) 2 else 1
+  def minhashSchemeFor(nDocs: Long): (Int, Int) =
+    if (nDocs <= 100000L) (16, 4)
+    else if (nDocs <= (1L << 24)) (48, 8)
+    else (128, 16)
 
   /** Candidate pairs from a per-doc min-hash signature frame
-    * (doc_id, mh0..mh15) banded as `nBands` slices of 16/nBands rows.
+    * (doc_id, mh0..mh{nHashes-1}) banded as `nBands` slices of
+    * nHashes/nBands rows.
     * Lossless pack: each min-hash is in [0, P) with P < 2^30, so two
     * fit in one long (mh_a·P + mh_b) — band signatures are structs of
     * longs, and the candidate join hashes/compares longs, not
@@ -58,14 +77,14 @@ object Extras {
     * colliding in several bands is kept only at its FIRST colliding
     * band — an in-join filter replacing the full distinct() shuffle
     * of the duplicated candidate stream. Package-visible so the spec
-    * can pin the generalized first-match logic for every band count
+    * can pin the generalized first-match logic for every scheme
     * against a brute-force reference.
     */
   private[graft] def minhashBandCandidates(sig: DataFrame,
-      nBands: Int): DataFrame = {
-    require(16 % nBands == 0 && (16 / nBands) % 2 == 0,
-      s"nBands must divide 16 into even slices, got $nBands")
-    val rowsPer = 16 / nBands
+      nHashes: Int, nBands: Int): DataFrame = {
+    require(nHashes % nBands == 0 && (nHashes / nBands) % 2 == 0,
+      s"nBands must divide $nHashes into even slices, got $nBands")
+    val rowsPer = nHashes / nBands
     def bandStruct(b: Int) = struct((0 until rowsPer / 2).map { l =>
       (col(s"mh${rowsPer * b + 2 * l}") * lit(P) +
         col(s"mh${rowsPer * b + 2 * l + 1}")).as(s"w$l")
@@ -158,10 +177,12 @@ object Extras {
       .orderBy($"h")
   }
 
-  /** x02 — MinHash + LSH banded near-dup: token hash → 16 min-hashes →
-    * 4 band signatures → bucket-join for candidates → exact Jaccard
-    * verify ≥ 0.7. The scale path for Q27: candidate volume is bounded
-    * by band collisions, never |docs|².
+  /** x02 — MinHash + LSH banded near-dup: token hash → corpus-scaled
+    * min-hash signature ([[minhashSchemeFor]]: 16 hashes banded 4×4 at
+    * the gate scales, growing to 48/8 then 128/16 with the S-curve
+    * threshold pinned at ~0.71) → bucket-join for candidates → exact
+    * Jaccard verify ≥ 0.7. The scale path for Q27: candidate volume is
+    * bounded by band collisions, never |docs|².
     */
   def x02DedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -169,10 +190,15 @@ object Extras {
     // persisted for exactly one terminal action (SCALE.md "Unpersist
     // discipline")
     graft.Caching.withPersisted(tokIndex(s, dir)) { toks =>
-    // The 16 permutations are compile-time constants, so all 16
-    // min-hashes come out of ONE hash aggregate (no ×16 row explode, no
+    // The scheme (total hashes, band count) is corpus-scaled with the
+    // S-curve threshold pinned at ~0.71 — see minhashSchemeFor. The
+    // count is one driver-side scalar the DuckDB oracle re-derives.
+    val nDocs = t(s, dir, "documents").count()
+    val (nHashes, nBands) = minhashSchemeFor(nDocs)
+    // The permutations are compile-time constants, so all nHashes
+    // min-hashes come out of ONE hash aggregate (no ×k row explode, no
     // second shuffle — the doc_id shuffle is the only one).
-    val mhCols = Perms.map { case (j, a, b) =>
+    val mhCols = Perms.take(nHashes).map { case (j, a, b) =>
       min((lit(a) * $"th" + lit(b)) % P).as(s"mh$j")
     }
     // Band candidates from a per-doc signature frame. Lossless pack:
@@ -183,31 +209,14 @@ object Extras {
     // bands is kept only at its FIRST colliding band — an in-join
     // filter replacing the full distinct() shuffle of the duplicated
     // candidate stream.
-    //
-    // The band COUNT is occupancy-scaled (the x12 lshBitsFor
-    // precedent, VERDICT r10 #2): the 16 min-hashes band as 4×4 up to
-    // 100k docs — the published S-curve for the 0.7 threshold, and
-    // the regime every driver correctness scale (sf0.01–sf1 ≤ 64k
-    // docs) runs in, so their outputs are bit-unchanged — then 2×8,
-    // then 1×16. Rationale: on a dup-heavy corpus the moderate-J pair
-    // VOLUME grows quadratically in duplication factor (the sf5
-    // rehearsal measured 437M result rows), so a fixed S-curve makes
-    // the operator output-bound; steepening it with corpus size keeps
-    // the reported pairs the high-confidence ones and the volume
-    // near-linear, which is the published large-scale MinHash recipe
-    // (band count chosen per corpus, not per sample). The DuckDB
-    // oracle derives the same band count from COUNT(documents), so
-    // every scale stays hash-checkable.
-    val nDocs = t(s, dir, "documents").count()
-    val nBands = minhashBandsFor(nDocs)
     def bandCandidates(sig: DataFrame): DataFrame =
-      minhashBandCandidates(sig, nBands)
+      minhashBandCandidates(sig, nHashes, nBands)
     // short-circuit strategy probe — see verifyJaccard; 1024 is the
     // same MaxMaskBits cap as SetSimilarityJoin's mask strategies
     val vocab = toks.select($"tok").distinct()
     val vCount = vocab.limit(1025).count()
     if (vCount <= 64) {
-      // Tiny vocabulary: ONE per-doc aggregate computes the 16
+      // Tiny vocabulary: ONE per-doc aggregate computes the nHashes
       // min-hashes AND a single-long set mask (= exact set identity).
       // Kept as its own strategy below the multi-word path: the plain
       // long groups/joins/bit_counts measurably beat the 1-element
@@ -220,7 +229,7 @@ object Extras {
           sum(expr(
             "shiftleft(CAST(1 AS BIGINT), CAST(array_position(varr, tok) - 1 AS INT))"))
             .as("mask")): _*)
-      val gCols = (0 until 16).map(j => min(col(s"mh$j")).as(s"mh$j")) ++ Seq(
+      val gCols = (0 until nHashes).map(j => min(col(s"mh$j")).as(s"mh$j")) ++ Seq(
         min($"doc_id").as("doc_id"), collect_list($"doc_id").as("members"))
       val groupsRaw = per.groupBy($"mask").agg(gCols.head, gCols.tail: _*)
       // groups feeds FOUR subtrees (band join + both verify sides +
@@ -247,7 +256,7 @@ object Extras {
       }
     } else if (vCount <= 1024) {
       // Mask-width vocabulary (64 < V ≤ 1024 ⇒ 2..16 longs per set):
-      // ONE per-doc aggregate computes the 16 min-hashes AND the
+      // ONE per-doc aggregate computes the nHashes min-hashes AND the
       // multi-word bit mask (= exact set identity). The bit index is a
       // broadcast (rank, tok) table from one sorted-vocab aggregate
       // row — a hash-join lookup per item row, not an O(V)
@@ -274,7 +283,7 @@ object Extras {
       // The sf1 rehearsal measured why this compression must not be
       // skipped on a dense corpus: the per-doc open-vocab path banded
       // 64k docs from a 310-token vocabulary into 65M candidate pairs.
-      val gCols = (0 until 16).map(j => min(col(s"mh$j")).as(s"mh$j")) ++ Seq(
+      val gCols = (0 until nHashes).map(j => min(col(s"mh$j")).as(s"mh$j")) ++ Seq(
         min($"doc_id").as("doc_id"), collect_list($"doc_id").as("members"))
       val groupsRaw = per.groupBy($"mask").agg(gCols.head, gCols.tail: _*)
       // groups feeds FOUR subtrees of the returned plan (band join +
@@ -357,6 +366,43 @@ object Extras {
       }
     }
     }
+  }
+
+  /** x02 candidate accounting (VERDICT r11 #1: the sf10 step was
+    * undiagnosable because the banded candidate-pair count was never
+    * logged): per-corpus driver-side scalars — docs, scheme, distinct
+    * token sets, representative-level band candidates, and final
+    * result rows. Candidates count at the REPRESENTATIVE level
+    * (identical-set compression applied, as the operator runs), so the
+    * table separates plan-bound cost (signatures + candidates + verify)
+    * from output-bound cost (the member-expanded pair dump).
+    * Driven by [[graft.MinhashDiag]]; each value is one count scalar.
+    */
+  def x02Diag(s: SparkSession, dir: String): Seq[(String, Long)] = {
+    import s.implicits._
+    // multi-action diagnostic (several counts), so a plain persist
+    // scope rather than withPersisted's one-action contract
+    val toks = tokIndex(s, dir).persist()
+    try {
+      val nDocs = t(s, dir, "documents").count()
+      val (nHashes, nBands) = minhashSchemeFor(nDocs)
+      val arrs = toks.groupBy($"doc_id")
+        .agg(sort_array(collect_list($"tok")).as("arr"))
+        .withColumn("h", TextFns.setIdentity($"arr"))
+      val reps = arrs.groupBy($"h").agg(min($"doc_id").as("doc_id"))
+      val nSets = reps.count()
+      val mhCols = Perms.take(nHashes).map { case (j, a, b) =>
+        min((lit(a) * $"th" + lit(b)) % P).as(s"mh$j")
+      }
+      val sig = toks.join(reps.select($"doc_id"), Seq("doc_id"), "left_semi")
+        .withColumn("th", TextFns.tokHash($"tok"))
+        .groupBy($"doc_id").agg(mhCols.head, mhCols.tail: _*)
+      val nCand = minhashBandCandidates(sig, nHashes, nBands).count()
+      val nRes = x02DedupMinhashLsh(s, dir).count()
+      Seq("n_docs" -> nDocs, "n_hashes" -> nHashes.toLong,
+        "n_bands" -> nBands.toLong, "n_distinct_sets" -> nSets,
+        "n_band_candidates" -> nCand, "n_result_rows" -> nRes)
+    } finally toks.unpersist()
   }
 
   /** Per-doc SimHash signature frame (doc_id, simhash) — shared by x03

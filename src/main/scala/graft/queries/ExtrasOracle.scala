@@ -743,11 +743,13 @@ object ExtrasOracle {
          |  FROM documents),
          |th AS (SELECT doc_id, $TH AS th FROM toks),
          |perms(j, a, b) AS (VALUES $permsValues),
-         |mh AS (SELECT doc_id, j, MIN((a*th + b) % $P) AS mh
-         |  FROM th, perms GROUP BY doc_id, j),
          |nb AS (SELECT CASE WHEN COUNT(*) <= 100000 THEN 4
-         |         WHEN COUNT(*) <= 16777216 THEN 8 ELSE 16 END AS r
+         |         WHEN COUNT(*) <= 16777216 THEN 6 ELSE 8 END AS r,
+         |       CASE WHEN COUNT(*) <= 100000 THEN 16
+         |         WHEN COUNT(*) <= 16777216 THEN 48 ELSE 128 END AS nh
          |  FROM documents),
+         |mh AS (SELECT doc_id, j, MIN((a*th + b) % $P) AS mh
+         |  FROM th, perms, nb WHERE j < nb.nh GROUP BY doc_id, j),
          |sigs AS (SELECT doc_id, j // r AS band,
          |    string_agg(CAST(mh AS VARCHAR), '-' ORDER BY j) AS sig
          |  FROM mh, nb GROUP BY doc_id, band),
