@@ -351,6 +351,17 @@ object PlanAudit {
       "decimal_dot kernel scores the probe (not interpreted HOF)" ->
         (_.contains("decimal_dot")),
       "no cartesian product" -> (p => !p.contains("CartesianProduct")))
+    // x71: the signature-store probe must never shuffle the store —
+    // the bands scan is DPP-pruned on bkt and every join builds the
+    // batch side (broadcast); an SMJ anywhere means a store-sized
+    // exchange crept in. (The audited plan is the round-2 probe, the
+    // one that runs against the grown store.)
+    audit("x71_incremental_minhash")(
+      "store bands scan armed with dynamic partition pruning" ->
+        (_.contains("dynamicpruning")),
+      "store side never shuffles (no sort-merge join)" ->
+        (p => !p.contains("SortMergeJoin")),
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")))
 
     // Direct snapshot-log checks — the scale properties a plan string
     // can't show: file pruning happens driver-side BEFORE the plan is

@@ -129,7 +129,8 @@ object SparkEntry {
     "x67_resize" -> (X.x67Resize _),
     "x68_audio_features" -> (X.x68AudioFeatures _),
     "x69_asset_stream" -> (X.x69AssetStream _),
-    "x70_ann_index_stream" -> (X.x70AnnIndexStream _)
+    "x70_ann_index_stream" -> (X.x70AnnIndexStream _),
+    "x71_incremental_minhash" -> (X.x71IncrementalMinhash _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

@@ -1,0 +1,243 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.TextFns
+
+/** Cross-run incremental NEAR-dup dedup: a persisted MinHash signature
+  * store that lets each new ingest batch be near-deduplicated against
+  * the full historical corpus WITHOUT recomputing history signatures
+  * or re-running the history×history quadratic — the continuously-
+  * ingesting companion to [[BloomIncrementalDedup]] (which is exact-key
+  * only: byte-identical content). Reference semantics: the lake's
+  * "only ingest new objects" upsert rule (src/main_extractor.py:400-436)
+  * lifted from exact ids to the x02 near-dup contract (Jaccard ≥ t on
+  * the token set).
+  *
+  * Store layout at `storeDir`:
+  *  - `_scheme` — `"nHashes,nBands"`, pinned at [[build]] time. LSH
+  *    band keys are only comparable under ONE scheme, so the store
+  *    fixes it for its lifetime; growing the corpus into the next
+  *    occupancy regime (x02's `minhashSchemeFor`) is a REBUILD, not an
+  *    append — the moment to re-band is a compaction decision, exactly
+  *    like re-bucketing a bucketed table.
+  *  - `docs/` — (doc_id, arr: sorted distinct tokens, sz): the exact-
+  *    verify side. The store is O(corpus token sets) on disk; what the
+  *    signature store buys is not storage, it is RUN cost — per batch,
+  *    history contributes one column-pruned scan and zero shuffle.
+  *  - `bands/` — (band, sig: array<long>, doc_id) partitioned by
+  *    `bkt = hash(band, sig) mod 64`: the candidate side. Partitioning
+  *    by a key-derived bucket makes the probe's band join dynamic-
+  *    partition-prunable: a small batch touches few buckets, and the
+  *    store scan skips the rest (the [[AnnIndex.probe]] precedent,
+  *    with DPP instead of a driver-collected static filter since the
+  *    pruning key is simply part of the equi-join key).
+  *
+  * Probe dataflow ([[dedupAgainst]]) — the store side is NEVER
+  * shuffled, the 100 TB invariant:
+  *  1. incoming signatures/bands: one batch-sized aggregate.
+  *  2. candidates = store bands ⋈ broadcast(incoming bands) on
+  *     (bkt, band, sig) — broadcast hash join, store streams, DPP
+  *     prunes buckets — plus the batch-internal self-join (d1 < d2).
+  *     Multi-band collisions dedup via `distinct` on the pair (the
+  *     candidate sliver, not the store, pays that exchange).
+  *  3. exact verify: store docs scanned once behind a broadcast
+  *     LEFT SEMI on candidate d1 ids (sliver fetch, no store shuffle),
+  *     then sliver⋈sliver joins compute exact Jaccard via the
+  *     codegen'd sorted-merge intersect ([[graft.expressions.SortedIntersectCount]]).
+  *  4. verdict per incoming doc: keep ⇔ no match ≥ threshold in
+  *     history ∪ earlier-in-batch (smaller doc_id — deterministic and
+  *     order-free, so the batch rule is replayable in SQL).
+  *
+  * [[append]] adds a batch (the caller passes its KEPT docs) as new
+  * files under the same layout — O(batch) work, history untouched.
+  * Doc ids must be unique across the store's lifetime (the lake's own
+  * id contract); a doc re-appended under its own id is additionally
+  * guarded by the d1 ≠ d2 filter, so re-probing an already-ingested
+  * batch is idempotent rather than self-matching. Torn-append note:
+  * the two table writes are separate jobs, each atomic at the job
+  * level via the parquet committer (_temporary staging), but a crash
+  * BETWEEN them leaves the batch's bands without docs rows (or vice
+  * versa); the verify inner join drops such orphans, so the failure
+  * mode is under-dedup of that one batch until it is re-appended —
+  * never a wrong pair. A deployment that needs multi-file commit
+  * atomicity routes these writes through [[SnapshotLog]].
+  */
+object MinhashSignatureStore {
+
+  /** Bucket fan-out of the bands table. 64 keeps the local layout
+    * small-file-sane; a real deployment sizes it like bucketed-table
+    * bucket counts (thousands), since probe cost scales with the
+    * buckets a batch touches, not with history.
+    */
+  val BandBuckets = 64
+
+  private def fs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def schemePath(storeDir: String) =
+    new org.apache.hadoop.fs.Path(storeDir, "_scheme")
+
+  /** (nHashes, nBands) pinned at build time. */
+  def readScheme(spark: SparkSession, storeDir: String): (Int, Int) = {
+    val in = fs(spark, storeDir).open(schemePath(storeDir))
+    val txt = try scala.io.Source.fromInputStream(in).mkString.trim
+    finally in.close()
+    val Array(nh, nb) = txt.split(",").map(_.toInt)
+    (nh, nb)
+  }
+
+  /** (doc_id, arr, sz): sorted distinct token sets — x02's exact-verify
+    * representation (tokenize → distinct → sort), so the Jaccard this
+    * store enforces is bit-identical to the in-corpus operator's.
+    */
+  private def tokenSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(TextFns.tokenize(col("text"))).as("tok"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("tok"))).as("arr"),
+        count(lit(1)).as("sz"))
+
+  private val P = TextFns.HashMod
+
+  /** Per-doc signature (doc_id, mh0..mh{n-1}) from cached token sets:
+    * all n min-hashes come out of ONE hash aggregate over the exploded
+    * set (the x02 shape — no ×n row explode).
+    */
+  private def signatures(arrs: DataFrame, nHashes: Int,
+      perms: Seq[(Int, Long, Long)]): DataFrame = {
+    val mhCols = perms.take(nHashes).map { case (j, a, b) =>
+      min((lit(a) * col("th") + lit(b)) % P).as(s"mh$j")
+    }
+    arrs.select(col("doc_id"), explode(col("arr")).as("tok"))
+      .withColumn("th", TextFns.tokHash(col("tok")))
+      .groupBy(col("doc_id"))
+      .agg(mhCols.head, mhCols.tail: _*)
+  }
+
+  /** Exploded band rows (doc_id, band, sig, bkt) with x02's lossless
+    * two-per-long pack (each min-hash < P < 2^30).
+    */
+  private def bandRows(sig: DataFrame, nHashes: Int, nBands: Int): DataFrame = {
+    require(nHashes % nBands == 0 && (nHashes / nBands) % 2 == 0,
+      s"nBands must divide $nHashes into even slices, got $nBands")
+    val rowsPer = nHashes / nBands
+    def bandSig(b: Int): Column = array((0 until rowsPer / 2).map { l =>
+      col(s"mh${rowsPer * b + 2 * l}") * lit(P) + col(s"mh${rowsPer * b + 2 * l + 1}")
+    }: _*)
+    val structs = (0 until nBands).map(b =>
+      struct(lit(b).as("band"), bandSig(b).as("sig")))
+    sig.select(col("doc_id"), explode(array(structs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .withColumn("bkt", pmod(hash(col("band"), col("sig")), lit(BandBuckets)))
+  }
+
+  private def writeBatch(spark: SparkSession, docs: DataFrame,
+      storeDir: String, nHashes: Int, nBands: Int,
+      perms: Seq[(Int, Long, Long)]): Unit = {
+    val arrs = tokenSets(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // bands first: a crash between the writes leaves band rows whose
+      // verify join finds no docs row — dropped, i.e. under-dedup, the
+      // fail-safe direction (see the torn-append note above)
+      bandRows(signatures(arrs, nHashes, perms), nHashes, nBands)
+        .write.mode("append").partitionBy("bkt")
+        .parquet(s"$storeDir/bands")
+      arrs.write.mode("append").parquet(s"$storeDir/docs")
+    } finally arrs.unpersist(blocking = false)
+  }
+
+  /** Create the store from the historical corpus, pinning the scheme.
+    * The caller picks (nHashes, nBands) for the corpus it expects to
+    * grow into (x02's `minhashSchemeFor` policy) and supplies the
+    * library's fixed permutation constants.
+    */
+  def build(spark: SparkSession, docs: DataFrame, storeDir: String,
+      nHashes: Int, nBands: Int, perms: Seq[(Int, Long, Long)]): Unit = {
+    val f = fs(spark, storeDir)
+    f.delete(new org.apache.hadoop.fs.Path(storeDir), true)
+    writeBatch(spark, docs, storeDir, nHashes, nBands, perms)
+    // scheme file last, written atomically (tmp + rename): its absence
+    // marks a half-built store, which readScheme turns into a loud
+    // failure instead of a silently scheme-mismatched probe
+    val tmp = new org.apache.hadoop.fs.Path(storeDir, "_scheme.tmp")
+    val out = f.create(tmp, true)
+    try out.write(s"$nHashes,$nBands".getBytes("UTF-8")) finally out.close()
+    f.rename(tmp, schemePath(storeDir))
+  }
+
+  /** Append a batch (the caller's kept docs) under the pinned scheme. */
+  def append(spark: SparkSession, docs: DataFrame, storeDir: String,
+      perms: Seq[(Int, Long, Long)]): Unit = {
+    val (nHashes, nBands) = readScheme(spark, storeDir)
+    writeBatch(spark, docs, storeDir, nHashes, nBands, perms)
+  }
+
+  /** Near-dup verdicts for an incoming batch against history ∪
+    * earlier-in-batch: (doc_id, keep, n_dups, max_jaccard) — keep ⇔ no
+    * token-set Jaccard ≥ `threshold` against any store doc or any
+    * smaller-id batch doc; n_dups counts the matches the banding
+    * surfaced, max_jaccard their maximum (0.0 when kept).
+    */
+  def dedupAgainst(spark: SparkSession, incoming: DataFrame,
+      storeDir: String, perms: Seq[(Int, Long, Long)],
+      threshold: Double): DataFrame = {
+    val (nHashes, nBands) = readScheme(spark, storeDir)
+    val storeBands = spark.read.parquet(s"$storeDir/bands")
+    val storeDocs = spark.read.parquet(s"$storeDir/docs")
+    graft.expressions.SortedIntersectCount.register(spark)
+    // one batch-sized cached frame; signatures, both band-join sides,
+    // the verify d2 side and the verdict base all derive from it
+    graft.Caching.withPersisted(tokenSets(incoming)) { arrs =>
+      val inc = bandRows(signatures(arrs, nHashes, perms), nHashes, nBands)
+      // store candidates: store side streams through a broadcast hash
+      // join (never shuffles); bkt in the join key arms DPP on the
+      // store scan. d1 ≠ d2 makes re-probing an ingested batch
+      // idempotent instead of self-matching.
+      val fromStore = storeBands.as("s").join(broadcast(inc).as("i"),
+          col("s.bkt") === col("i.bkt") && col("s.band") === col("i.band") &&
+            col("s.sig") === col("i.sig") && col("s.doc_id") =!= col("i.doc_id"))
+        .select(col("s.doc_id").as("d1"), col("i.doc_id").as("d2"))
+      // earlier-in-batch candidates: batch-sized broadcast self-join
+      val inBatch = inc.as("x").join(broadcast(inc).as("y"),
+          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      // multi-band collisions: the candidate sliver pays the distinct,
+      // not the store (store-side rows never reach an exchange)
+      val cand = fromStore.unionByName(inBatch).distinct()
+      // verify-side fetch: prune the store scan with a broadcast semi
+      // on candidate ids, then sliver⋈sliver. d1 may be a store doc or
+      // an earlier batch doc — one union'd reference frame serves both.
+      val d1Ids = cand.select(col("d1").as("doc_id")).distinct()
+      val refArrs = storeDocs.join(broadcast(d1Ids), Seq("doc_id"), "left_semi")
+        .unionByName(arrs)
+      val matches = cand
+        .join(refArrs.select(col("doc_id").as("d1"), col("arr").as("a1"),
+          col("sz").as("sz1")), Seq("d1"))
+        .join(arrs.select(col("doc_id").as("d2"), col("arr").as("a2"),
+          col("sz").as("sz2")), Seq("d2"))
+        .withColumn("inter",
+          graft.expressions.SortedIntersectCount.sortedIntersectCount(
+            col("a1"), col("a2")))
+        .withColumn("jaccard",
+          col("inter").cast(DoubleType) / (col("sz1") + col("sz2") - col("inter")))
+        .filter(col("jaccard") >= threshold)
+      val perDoc = matches.groupBy(col("d2").as("doc_id"))
+        .agg(count(lit(1)).as("n_dups"), max(col("jaccard")).as("max_jaccard"))
+      // perDoc ≤ batch-sized, like everything broadcast here: the
+      // operator's standing assumption is a broadcastable batch (split
+      // a giant crawl drop into sub-batches before probing)
+      incoming.select(col("doc_id"))
+        .join(broadcast(perDoc), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          col("n_dups").isNull.as("keep"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+          coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"))
+    }
+  }
+}

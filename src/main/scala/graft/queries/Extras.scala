@@ -3096,4 +3096,52 @@ object Extras {
           .as("agg_close"))
       .orderBy($"label", $"dim")
   }
+
+  /** x71 — CROSS-RUN incremental near-dup dedup (the x02 contract
+    * lifted to continuous ingestion): build a persisted MinHash
+    * signature store ([[graft.operators.MinhashSignatureStore]]) from
+    * the historical half of the corpus (even doc_id), then land two
+    * ingest batches (doc_id ≡ 1 and ≡ 3 mod 4) through the full
+    * lifecycle — dedup batch 1 against history ∪ earlier-in-batch,
+    * APPEND its keepers to the store, dedup batch 2 against the grown
+    * store. Per-batch cost is O(batch + matched slivers): history is
+    * never re-signatured, never shuffled (broadcast band probe + DPP
+    * bucket pruning + broadcast semi verify fetch — the operator's
+    * Scaladoc walks the plan). x20 is this shape for EXACT keys; x71
+    * is the near-dup analog every recurring crawl needs. Note the
+    * store-semantics subtlety the oracle replays: batch 2 is checked
+    * against history and batch 1's KEPT docs only — a doc matching
+    * only a DROPPED batch-1 doc survives, because dropped docs never
+    * enter the store (their content is represented by whatever they
+    * matched). The scheme is pinned at build from the HISTORY size
+    * ([[minhashSchemeFor]]), so the oracle re-derives it from the
+    * even-id count. Ref: the lake's only-ingest-new-objects rule,
+    * src/main_extractor.py:400-436, composed with x02's near-dup
+    * contract.
+    */
+  def x71IncrementalMinhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mss = graft.operators.MinhashSignatureStore
+    val docs = t(s, dir, "documents").select($"doc_id", $"text")
+    val hist = docs.filter($"doc_id" % 2 === 0)
+    val b1 = docs.filter($"doc_id" % 4 === 1)
+    val b2 = docs.filter($"doc_id" % 4 === 3)
+    val root = scratchDir(s, "x71", dir)
+    val store = root + "/store"
+    val (nh, nb) = minhashSchemeFor(hist.count())
+    mss.build(s, hist, store, nh, nb, Perms)
+    // batch 1 verdicts MATERIALIZE before the append mutates the store:
+    // the returned plan is lazy, and a re-computation after append
+    // would re-probe a store that now contains batch 1 itself
+    mss.dedupAgainst(s, b1, store, Perms, MinhashJaccardThreshold)
+      .write.parquet(root + "/v1")
+    val v1 = s.read.parquet(root + "/v1")
+    mss.append(s, b1.join(v1.filter($"keep"), Seq("doc_id"), "left_semi"),
+      store, Perms)
+    val v2 = mss.dedupAgainst(s, b2, store, Perms, MinhashJaccardThreshold)
+    v1.withColumn("batch", lit("b1"))
+      .unionByName(v2.withColumn("batch", lit("b2")))
+      .select($"doc_id", $"batch", $"keep", $"n_dups", $"max_jaccard")
+      .orderBy($"doc_id")
+  }
 }

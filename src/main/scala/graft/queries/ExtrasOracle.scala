@@ -1511,6 +1511,71 @@ object ExtrasOracle {
     // identically to the batch-built one: the SAME oracle again
     "x70_ann_index_stream" -> annProbeSql,
 
+    // x71: the signature-store lifecycle replayed declaratively. The
+    // scheme derives from the EVEN-id (history) count — the store pins
+    // it at build. Round 1: batch (id ≡ 1 mod 4) vs history ∪
+    // earlier-in-batch; round 2: batch (≡ 3) vs history ∪ round-1
+    // KEEPERS ∪ earlier-in-batch — dropped round-1 docs never entered
+    // the store, the semantics the Spark side's materialize-then-append
+    // ordering enforces. Verify is exact set Jaccard on band-collision
+    // candidates, x02's machinery verbatim.
+    "x71_incremental_minhash" ->
+      s"""WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |th AS (SELECT doc_id, $TH AS th FROM toks),
+         |perms(j, a, b) AS (VALUES $permsValues),
+         |nb AS (SELECT CASE WHEN COUNT(*) <= 100000 THEN 4
+         |         WHEN COUNT(*) <= 16777216 THEN 6 ELSE 8 END AS r,
+         |       CASE WHEN COUNT(*) <= 100000 THEN 16
+         |         WHEN COUNT(*) <= 16777216 THEN 48 ELSE 128 END AS nh
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |mh AS (SELECT doc_id, j, MIN((a*th + b) % $P) AS mh
+         |  FROM th, perms, nb WHERE j < nb.nh GROUP BY doc_id, j),
+         |sigs AS (SELECT doc_id, j // r AS band,
+         |    string_agg(CAST(mh AS VARCHAR), '-' ORDER BY j) AS sig
+         |  FROM mh, nb GROUP BY doc_id, band),
+         |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM toks GROUP BY 1),
+         |cand1 AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM sigs x JOIN sigs y ON x.band = y.band AND x.sig = y.sig
+         |  WHERE y.doc_id % 4 = 1
+         |    AND (x.doc_id % 2 = 0 OR (x.doc_id % 4 = 1 AND x.doc_id < y.doc_id))),
+         |m1 AS (SELECT d2 AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+         |    MAX(CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter)) AS mx
+         |  FROM (SELECT d1, d2, CAST(COUNT(*) AS BIGINT) AS inter
+         |      FROM cand1 JOIN toks ta ON ta.doc_id = d1
+         |                 JOIN toks tb ON tb.doc_id = d2 AND ta.tok = tb.tok
+         |      GROUP BY d1, d2) i
+         |    JOIN sz sa ON sa.doc_id = i.d1 JOIN sz sb ON sb.doc_id = i.d2
+         |  WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= ${Extras.MinhashJaccardThreshold}
+         |  GROUP BY d2),
+         |kept1 AS (SELECT d.doc_id FROM documents d
+         |  WHERE d.doc_id % 4 = 1 AND d.doc_id NOT IN (SELECT doc_id FROM m1)),
+         |cand2 AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM sigs x JOIN sigs y ON x.band = y.band AND x.sig = y.sig
+         |  WHERE y.doc_id % 4 = 3
+         |    AND (x.doc_id % 2 = 0
+         |      OR x.doc_id IN (SELECT doc_id FROM kept1)
+         |      OR (x.doc_id % 4 = 3 AND x.doc_id < y.doc_id))),
+         |m2 AS (SELECT d2 AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+         |    MAX(CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter)) AS mx
+         |  FROM (SELECT d1, d2, CAST(COUNT(*) AS BIGINT) AS inter
+         |      FROM cand2 JOIN toks ta ON ta.doc_id = d1
+         |                 JOIN toks tb ON tb.doc_id = d2 AND ta.tok = tb.tok
+         |      GROUP BY d1, d2) i
+         |    JOIN sz sa ON sa.doc_id = i.d1 JOIN sz sb ON sb.doc_id = i.d2
+         |  WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= ${Extras.MinhashJaccardThreshold}
+         |  GROUP BY d2)
+         |SELECT d.doc_id, 'b1' AS batch, m.doc_id IS NULL AS keep,
+         |  coalesce(m.n_dups, 0) AS n_dups, coalesce(m.mx, 0.0) AS max_jaccard
+         |FROM documents d LEFT JOIN m1 m ON d.doc_id = m.doc_id
+         |WHERE d.doc_id % 4 = 1
+         |UNION ALL
+         |SELECT d.doc_id, 'b2' AS batch, m.doc_id IS NULL AS keep,
+         |  coalesce(m.n_dups, 0) AS n_dups, coalesce(m.mx, 0.0) AS max_jaccard
+         |FROM documents d LEFT JOIN m2 m ON d.doc_id = m.doc_id
+         |WHERE d.doc_id % 4 = 3
+         |ORDER BY doc_id""".stripMargin,
+
     // x65c: the full maintenance lifecycle — assignment over the 16
     // seeds, mean-occupancy threshold (⌊n/16⌋), hot cells split into
     // (best-aligned keeps cid, worst-aligned gets 16 + rank(cell)),
