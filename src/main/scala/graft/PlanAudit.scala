@@ -363,6 +363,22 @@ object PlanAudit {
         (p => !p.contains("SortMergeJoin")),
       "no cartesian product" -> (p => !p.contains("CartesianProduct")))
 
+    // x73: the two-phase prefix sum must join the 4096-row bucket
+    // offsets by BROADCAST (a shuffled join here re-shuffles the whole
+    // corpus on the bucket key a second time)
+    audit("x73_shard_pack")(
+      "bucket offsets broadcast into the corpus" ->
+        (_.contains("BroadcastHashJoin")),
+      "no sort-merge join" -> (p => !p.contains("SortMergeJoin")))
+    // x74: the trained weight table (≤ buckets×langs rows) must build
+    // the broadcast side of the scoring join — the corpus-sized
+    // per-doc bucket counts never shuffle against it
+    audit("x74_lang_classifier")(
+      "weights broadcast into the scoring join" ->
+        (_.contains("BroadcastHashJoin")),
+      "argmax window partitioned by doc_id (never a global sort)" ->
+        (_.contains("Window")))
+
     // Direct snapshot-log checks — the scale properties a plan string
     // can't show: file pruning happens driver-side BEFORE the plan is
     // built, and the DV fast path is a plan SHAPE (which files join).

@@ -130,7 +130,11 @@ object SparkEntry {
     "x68_audio_features" -> (X.x68AudioFeatures _),
     "x69_asset_stream" -> (X.x69AssetStream _),
     "x70_ann_index_stream" -> (X.x70AnnIndexStream _),
-    "x71_incremental_minhash" -> (X.x71IncrementalMinhash _)
+    "x71_incremental_minhash" -> (X.x71IncrementalMinhash _),
+    "x72_bpe_encode" -> (X.x72BpeEncode _),
+    "x73_shard_pack" -> (X.x73ShardPack _),
+    "x74_lang_classifier" -> (X.x74LangClassifier _),
+    "x75_stream_dedup" -> (X.x75StreamDedup _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

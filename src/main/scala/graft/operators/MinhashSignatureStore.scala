@@ -177,6 +177,52 @@ object MinhashSignatureStore {
     writeBatch(spark, docs, storeDir, nHashes, nBands, perms)
   }
 
+  /** Streaming ingest dedup: every micro-batch is near-deduplicated
+    * against the store (history ∪ all earlier batches), its verdicts
+    * land in `verdictDir/batch-<id>`, and its KEPT docs append — the
+    * [[dedupAgainst]]/[[append]] lifecycle driven by Structured
+    * Streaming through a batch-id-ledgered foreachBatch (the
+    * [[AnnIndex.appendStream]] idempotence pattern).
+    *
+    * Replay semantics, step by step: the ledger marker commits LAST,
+    * so a crash replays the whole batch. The verdict write is a
+    * per-batch overwrite (idempotent), and re-PROBING is verdict-
+    * identical even after a completed append — kept docs are pairwise
+    * below threshold, so the only new store candidates a replay sees
+    * verify below t, and self-pairs die on the d1 ≠ d2 guard. The one
+    * non-idempotent step is a re-APPEND (duplicate store rows for that
+    * batch): verdicts stay exact regardless — candidates are distinct
+    * pairs and n_dups counts distinct d1 — so the cost is dead bytes
+    * until the next rebuild, never a wrong keep/drop. A deployment
+    * that wants the append transactional routes the two table writes
+    * through [[SnapshotLog]] (the torn-append note above).
+    */
+  def dedupStream(stream: DataFrame, storeDir: String, verdictDir: String,
+      perms: Seq[(Int, Long, Long)], threshold: Double,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val f = fs(spark, storeDir)
+        val marker = new org.apache.hadoop.fs.Path(storeDir,
+          s"_stream_ledger/batch-$batchId")
+        if (!f.exists(marker)) {
+          val out = s"$verdictDir/batch-$batchId"
+          // materialize verdicts BEFORE the append mutates the store
+          // (the x71 ordering rule): the verdict frame is lazy
+          dedupAgainst(spark, batch, storeDir, perms, threshold)
+            .write.mode("overwrite").parquet(out)
+          val kept = spark.read.parquet(out).filter(col("keep"))
+          append(spark, batch.join(kept, Seq("doc_id"), "left_semi"),
+            storeDir, perms)
+          f.mkdirs(marker.getParent)
+          f.createNewFile(marker)
+        }
+        ()
+      }
+      .start()
+
   /** Near-dup verdicts for an incoming batch against history ∪
     * earlier-in-batch: (doc_id, keep, n_dups, max_jaccard) — keep ⇔ no
     * token-set Jaccard ≥ `threshold` against any store doc or any
@@ -227,8 +273,13 @@ object MinhashSignatureStore {
         .withColumn("jaccard",
           col("inter").cast(DoubleType) / (col("sz1") + col("sz2") - col("inter")))
         .filter(col("jaccard") >= threshold)
+      // countDistinct(d1), not count(*): identical when the store is
+      // clean (candidate pairs are already distinct), but immune to a
+      // doc row duplicated by a replayed crash-window append
+      // ([[dedupStream]]) — a match is a matching DOC, not a row
       val perDoc = matches.groupBy(col("d2").as("doc_id"))
-        .agg(count(lit(1)).as("n_dups"), max(col("jaccard")).as("max_jaccard"))
+        .agg(countDistinct(col("d1")).as("n_dups"),
+          max(col("jaccard")).as("max_jaccard"))
       // perDoc ≤ batch-sized, like everything broadcast here: the
       // operator's standing assumption is a broadcastable batch (split
       // a giant crawl drop into sub-batches before probing)

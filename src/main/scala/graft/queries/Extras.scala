@@ -2567,6 +2567,21 @@ object Extras {
     */
   def x60BpeTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val (picks, _) = bpeTrainRounds(s, dir, withCounts = true)
+    picks.toDF("round", "pair", "n", "corpus_tokens_after")
+      .orderBy($"round")
+  }
+
+  /** The x60/x72 BPE training core: three merge rounds over the
+    * documents corpus, returning the per-round picks and the final
+    * merged (doc_id, text) frame. `withCounts = false` skips the
+    * per-round corpus-total action (x72 needs the encoded frame, not
+    * the training telemetry — per-round totals come back as 0 and the
+    * caller must not read them).
+    */
+  private def bpeTrainRounds(s: SparkSession, dir: String,
+      withCounts: Boolean): (Seq[(Long, String, Long, Long)], DataFrame) = {
+    import s.implicits._
     var cur = t(s, dir, "documents").select($"doc_id", $"text")
     val picks = Seq.newBuilder[(Long, String, Long, Long)]
     (1L to 3L).foreach { round =>
@@ -2591,13 +2606,47 @@ object Extras {
               expr("array_join(split(text, ' '), '  ')"), lit(" ")),
             lit(s" $a  $b "), lit(s" ${a}_$b ")),
           lit("  "), lit(" "))))
-      val tokensAfter = cur
+      val tokensAfter = if (withCounts) cur
         .select(sum(size(TextFns.tokenize($"text"))).cast(LongType))
         .as[Long].head()
+      else 0L
       picks += ((round, pair, n, tokensAfter))
     }
-    picks.result().toDF("round", "pair", "n", "corpus_tokens_after")
-      .orderBy($"round")
+    (picks.result(), cur)
+  }
+
+  /** x72 — tokenizer APPLICATION, closing x60's train → encode loop:
+    * the corpus is re-encoded with the three merges x60's recipe
+    * learns, and every document reports its token count before and
+    * after, the number of merge events it absorbed, and an md5
+    * fingerprint of its first 8 encoded tokens (the x10 idiom — the
+    * hash gate pins the actual encoded STRINGS, not just counts, so a
+    * merge applied at the wrong boundary fails loudly).
+    *
+    * Scale shape: training is x60's loop (three aggregate+argmax
+    * rounds, one collected row each); the encode itself is what a
+    * production tokenizer shard does — a ROW-LOCAL map with the merge
+    * table as broadcast state (here three literal replaces folded
+    * into the plan), one linear pass, no shuffle until the
+    * contractual ORDER BY. At 100 TB the encode pass is
+    * embarrassingly parallel; the train loop would run on a sample
+    * (the Sennrich recipe trains on a slice, encodes everything).
+    */
+  def x72BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, encoded) = bpeTrainRounds(s, dir, withCounts = false)
+    val before = t(s, dir, "documents")
+      .select($"doc_id",
+        size(TextFns.tokenize($"text")).cast(LongType).as("n_before"))
+    val after = encoded.select($"doc_id",
+      TextFns.tokenize($"text").as("toks"))
+      .select($"doc_id",
+        size($"toks").cast(LongType).as("n_after"),
+        md5(concat_ws(" ", slice($"toks", 1, 8))).as("enc_fp"))
+    before.join(after, Seq("doc_id"))
+      .select($"doc_id", $"n_before", $"n_after",
+        ($"n_before" - $"n_after").as("n_merged"), $"enc_fp")
+      .orderBy($"doc_id")
   }
 
   /** Shared 2-iteration Lloyd k-means assignment behind x61/x62:
@@ -3139,6 +3188,169 @@ object Extras {
     mss.append(s, b1.join(v1.filter($"keep"), Seq("doc_id"), "left_semi"),
       store, Perms)
     val v2 = mss.dedupAgainst(s, b2, store, Perms, MinhashJaccardThreshold)
+    v1.withColumn("batch", lit("b1"))
+      .unionByName(v2.withColumn("batch", lit("b2")))
+      .select($"doc_id", $"batch", $"keep", $"n_dups", $"max_jaccard")
+      .orderBy($"doc_id")
+  }
+
+  /** x73's per-shard token budget: small enough that sf0.01's ~27k
+    * tokens span several shards, so the boundary logic is exercised at
+    * every driver gate scale.
+    */
+  val ShardBudget = 4096L
+
+  /** x73 — training-shard assignment: the pipeline-finishing step that
+    * turns a curated corpus into the shuffled, token-balanced shards a
+    * training run streams. Order is a DETERMINISTIC global shuffle
+    * (md5 of doc_id — the epoch-shuffle key idiom x41 uses), docs are
+    * packed whole into [[ShardBudget]]-token shards greedily in that
+    * order (a doc belongs to the shard where its span starts; docs are
+    * never split — sequences get packed inside a shard by x31's
+    * machinery).
+    *
+    * Scale shape is x31's two-phase distributed prefix sum re-keyed to
+    * the shuffle order: the md5 key's 3-hex-char prefix gives 4096
+    * order-preserving buckets (a string prefix sorts exactly like the
+    * full key), local running sums window per bucket in parallel, and
+    * the bucket-offset rollup is one 4096-row ordered pass — no global
+    * sort, no single-partition window over the corpus. At 100 TB the
+    * shard count is corpus_tokens / budget; the final write would
+    * `repartitionByRange($"shard")` so each shard lands as one file.
+    */
+  def x73ShardPack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents")
+      .select($"doc_id",
+        size(TextFns.tokenize($"text")).cast(LongType).as("n_toks"),
+        md5($"doc_id".cast(StringType)).as("sk"))
+      .withColumn("bucket", substring($"sk", 1, 3))
+    graft.Caching.withPersisted(d) { dd =>
+      val localW = Window.partitionBy($"bucket").orderBy($"sk", $"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offW = Window.partitionBy(pmod(hash($"bucket"), lit(1)))
+        .orderBy($"bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = dd.groupBy($"bucket").agg(sum($"n_toks").as("btoks"))
+        .withColumn("off", coalesce(sum($"btoks").over(offW), lit(0L)))
+        .select($"bucket", $"off")
+      dd.withColumn("local_cum", sum($"n_toks").over(localW))
+        .join(broadcast(offsets), Seq("bucket"))
+        .withColumn("start_off", $"local_cum" + $"off" - $"n_toks")
+        .select($"doc_id", $"n_toks",
+          expr(s"start_off DIV $ShardBudget").as("shard"))
+        .orderBy($"doc_id")
+    }
+  }
+
+  /** x74's feature space: tokens hash into this many buckets, so the
+    * weight table is at most buckets × languages rows — broadcast-sized
+    * at ANY corpus size (the hashing-trick dimensionality bound).
+    */
+  val LangBuckets = 1024L
+
+  /** x74 — TRAINED bag-of-tokens language classifier (the
+    * fastText-shaped complement to x07's rule heuristic): train on the
+    * even-doc_id half (per-bucket per-language token counts → integer
+    * posterior weights w = cnt_bl·10⁶ DIV cnt_b), score every doc as
+    * Σ_buckets n_db·w(b,lang), predict the argmax (ties broken by
+    * language asc, the deterministic rule both engines share). Output
+    * carries the held-out split flag so accuracy is auditable per side.
+    *
+    * All arithmetic is BIGINT-exact (counts and integer division —
+    * no log-likelihood floats whose libm last-ulps differ across
+    * engines), which is what lets a TRAINED model hash-gate against
+    * DuckDB. Scale shape: one explode pass over the corpus feeding two
+    * hash aggregates (train counts, per-doc bucket counts); the weight
+    * table is ≤ [[LangBuckets]]×|langs| rows, BROADCAST into the
+    * scoring join; the argmax is a row_number window partitioned by
+    * doc_id (|langs| rows per partition — embarrassingly parallel,
+    * never a global sort). Docs whose buckets were all unseen in
+    * training predict 'und' via the left join. At 100 TB: training
+    * would sample, inference is the same broadcast-join scan.
+    *
+    * Honesty note: the driver's synthetic corpus draws every language
+    * from ONE shared 31-word vocabulary, so no classifier can beat the
+    * majority-class rate here — the oracle gate pins the TRAIN +
+    * INFER mechanism exactly (weights, scores, tie rule), not a
+    * meaningless accuracy number.
+    */
+  def x74LangClassifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents").select($"doc_id", $"lang", $"text")
+    val tb = d.select($"doc_id", $"lang", explode(TextFns.tokenize($"text")).as("tok"))
+      .select($"doc_id", $"lang",
+        (TextFns.tokHash($"tok") % LangBuckets).as("b"))
+    graft.Caching.withPersisted(tb) { t2 =>
+      val tr = t2.filter($"doc_id" % 2 === 0)
+        .groupBy($"b", $"lang").agg(cnt.as("cbl"))
+      val tot = tr.groupBy($"b").agg(sum($"cbl").as("cb"))
+      val wts = tr.join(tot, Seq("b"))
+        .select($"b", $"lang".as("plang"),
+          expr("cbl * 1000000 DIV cb").as("w"))
+      val dc = t2.groupBy($"doc_id", $"b").agg(cnt.as("n"))
+      val sc = dc.join(broadcast(wts), Seq("b"))
+        .groupBy($"doc_id", $"plang").agg(sum($"n" * $"w").as("score"))
+      val rn = Window.partitionBy($"doc_id")
+        .orderBy($"score".desc, $"plang".asc)
+      val pick = sc.withColumn("rn", row_number().over(rn))
+        .filter($"rn" === 1).select($"doc_id", $"plang")
+      d.select($"doc_id", $"lang").join(pick, Seq("doc_id"), "left")
+        .select($"doc_id", $"lang",
+          coalesce($"plang", lit("und")).as("pred_lang"),
+          ($"doc_id" % 2 === 0).as("is_train"),
+          (coalesce($"plang", lit("")) === $"lang").as("correct"))
+        .orderBy($"doc_id")
+    }
+  }
+
+  /** x75 — STREAMING ingest near-dup dedup: x71's signature-store
+    * lifecycle driven by Structured Streaming. The two ingest batches
+    * arrive as parquet files in a watched feed directory (tmp+rename
+    * atomic against the source's concurrent listing, the x69 rule),
+    * and [[graft.operators.MinhashSignatureStore.dedupStream]]'s
+    * ledgered foreachBatch probes each micro-batch against history ∪
+    * earlier batches, persists its verdicts, and appends its kept
+    * docs. Batching is semantics-identical to the batch lifecycle
+    * (the x70 ≡ x65b argument, here for dedup), so the oracle is
+    * x71's SQL verbatim; StreamingSpec additionally pins stream ≡
+    * batch row-for-row and the ledger's replay skip.
+    */
+  def x75StreamDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mss = graft.operators.MinhashSignatureStore
+    val docs = t(s, dir, "documents").select($"doc_id", $"text")
+    val hist = docs.filter($"doc_id" % 2 === 0)
+    val root = scratchDir(s, "x75", dir)
+    val store = root + "/store"
+    val (nh, nb) = minhashSchemeFor(hist.count())
+    mss.build(s, hist, store, nh, nb, Perms)
+    val feedP = new org.apache.hadoop.fs.Path(root + "/feed")
+    val ffs = feedP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    ffs.mkdirs(feedP)
+    // one-file batch arrival: stage the parquet elsewhere, rename the
+    // finished part file into the watched dir (rename is the atomicity
+    // boundary the file source's listing needs)
+    def arrive(batch: DataFrame, name: String): Unit = {
+      val stage = new org.apache.hadoop.fs.Path(root + s"/stage_$name")
+      batch.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = ffs.listStatus(stage).map(_.getPath)
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"x75: no part file staged for $name"))
+      ffs.rename(part, new org.apache.hadoop.fs.Path(feedP, s"$name.parquet"))
+    }
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(feedP.toString)
+    val q = mss.dedupStream(stream, store, root + "/verdicts", Perms,
+      MinhashJaccardThreshold, root + "/ckpt")
+    try {
+      arrive(docs.filter($"doc_id" % 4 === 1), "b1")
+      q.processAllAvailable()
+      arrive(docs.filter($"doc_id" % 4 === 3), "b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val v1 = s.read.parquet(root + "/verdicts/batch-0")
+    val v2 = s.read.parquet(root + "/verdicts/batch-1")
     v1.withColumn("batch", lit("b1"))
       .unionByName(v2.withColumn("batch", lit("b2")))
       .select($"doc_id", $"batch", $"keep", $"n_dups", $"max_jaccard")

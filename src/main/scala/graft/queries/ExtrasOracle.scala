@@ -1519,62 +1519,91 @@ object ExtrasOracle {
     // the store, the semantics the Spark side's materialize-then-append
     // ordering enforces. Verify is exact set Jaccard on band-collision
     // candidates, x02's machinery verbatim.
-    "x71_incremental_minhash" ->
-      s"""WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-         |  FROM documents),
-         |th AS (SELECT doc_id, $TH AS th FROM toks),
-         |perms(j, a, b) AS (VALUES $permsValues),
-         |nb AS (SELECT CASE WHEN COUNT(*) <= 100000 THEN 4
-         |         WHEN COUNT(*) <= 16777216 THEN 6 ELSE 8 END AS r,
-         |       CASE WHEN COUNT(*) <= 100000 THEN 16
-         |         WHEN COUNT(*) <= 16777216 THEN 48 ELSE 128 END AS nh
-         |  FROM documents WHERE doc_id % 2 = 0),
-         |mh AS (SELECT doc_id, j, MIN((a*th + b) % $P) AS mh
-         |  FROM th, perms, nb WHERE j < nb.nh GROUP BY doc_id, j),
-         |sigs AS (SELECT doc_id, j // r AS band,
-         |    string_agg(CAST(mh AS VARCHAR), '-' ORDER BY j) AS sig
-         |  FROM mh, nb GROUP BY doc_id, band),
-         |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM toks GROUP BY 1),
-         |cand1 AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-         |  FROM sigs x JOIN sigs y ON x.band = y.band AND x.sig = y.sig
-         |  WHERE y.doc_id % 4 = 1
-         |    AND (x.doc_id % 2 = 0 OR (x.doc_id % 4 = 1 AND x.doc_id < y.doc_id))),
-         |m1 AS (SELECT d2 AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
-         |    MAX(CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter)) AS mx
-         |  FROM (SELECT d1, d2, CAST(COUNT(*) AS BIGINT) AS inter
-         |      FROM cand1 JOIN toks ta ON ta.doc_id = d1
-         |                 JOIN toks tb ON tb.doc_id = d2 AND ta.tok = tb.tok
-         |      GROUP BY d1, d2) i
-         |    JOIN sz sa ON sa.doc_id = i.d1 JOIN sz sb ON sb.doc_id = i.d2
-         |  WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= ${Extras.MinhashJaccardThreshold}
-         |  GROUP BY d2),
-         |kept1 AS (SELECT d.doc_id FROM documents d
-         |  WHERE d.doc_id % 4 = 1 AND d.doc_id NOT IN (SELECT doc_id FROM m1)),
-         |cand2 AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-         |  FROM sigs x JOIN sigs y ON x.band = y.band AND x.sig = y.sig
-         |  WHERE y.doc_id % 4 = 3
-         |    AND (x.doc_id % 2 = 0
-         |      OR x.doc_id IN (SELECT doc_id FROM kept1)
-         |      OR (x.doc_id % 4 = 3 AND x.doc_id < y.doc_id))),
-         |m2 AS (SELECT d2 AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
-         |    MAX(CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter)) AS mx
-         |  FROM (SELECT d1, d2, CAST(COUNT(*) AS BIGINT) AS inter
-         |      FROM cand2 JOIN toks ta ON ta.doc_id = d1
-         |                 JOIN toks tb ON tb.doc_id = d2 AND ta.tok = tb.tok
-         |      GROUP BY d1, d2) i
-         |    JOIN sz sa ON sa.doc_id = i.d1 JOIN sz sb ON sb.doc_id = i.d2
-         |  WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= ${Extras.MinhashJaccardThreshold}
-         |  GROUP BY d2)
-         |SELECT d.doc_id, 'b1' AS batch, m.doc_id IS NULL AS keep,
-         |  coalesce(m.n_dups, 0) AS n_dups, coalesce(m.mx, 0.0) AS max_jaccard
-         |FROM documents d LEFT JOIN m1 m ON d.doc_id = m.doc_id
-         |WHERE d.doc_id % 4 = 1
-         |UNION ALL
-         |SELECT d.doc_id, 'b2' AS batch, m.doc_id IS NULL AS keep,
-         |  coalesce(m.n_dups, 0) AS n_dups, coalesce(m.mx, 0.0) AS max_jaccard
-         |FROM documents d LEFT JOIN m2 m ON d.doc_id = m.doc_id
-         |WHERE d.doc_id % 4 = 3
-         |ORDER BY doc_id""".stripMargin,
+    "x71_incremental_minhash" -> incrementalMinhashSql,
+
+    // x75: the SAME lifecycle driven through Structured Streaming —
+    // batching is semantics-irrelevant (each micro-batch probes
+    // history ∪ earlier kept batches, exactly the x71 rule), so the
+    // drained stream's verdicts replay against the identical SQL
+    "x75_stream_dedup" -> incrementalMinhashSql,
+
+
+    // x72: the x60 training chain replayed (same CTE algebra) up to the
+    // fully merged corpus d3, then per-doc before/after stats plus the
+    // x10-idiom fingerprint of the first 8 ENCODED tokens
+    "x72_bpe_encode" -> {
+      def cnts(i: Int, src: String) =
+        s"c$i AS (SELECT concat_ws(' ', toks[j], toks[j+1]) AS pair, " +
+        "CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS j " +
+        s"FROM (SELECT string_split(text, ' ') AS toks FROM $src) " +
+        "WHERE len(toks) >= 2) GROUP BY 1)"
+      def pick(i: Int) =
+        s"p$i AS (SELECT pair, n FROM c$i ORDER BY n DESC, pair LIMIT 1)"
+      def merge(i: Int, src: String) =
+        s"d$i AS (SELECT doc_id, trim(replace(replace(" +
+        "' ' || array_to_string(string_split(text, ' '), '  ') || ' ', " +
+        s"' ' || split_part((SELECT pair FROM p$i), ' ', 1) || '  ' || " +
+        s"split_part((SELECT pair FROM p$i), ' ', 2) || ' ', " +
+        s"' ' || split_part((SELECT pair FROM p$i), ' ', 1) || '_' || " +
+        s"split_part((SELECT pair FROM p$i), ' ', 2) || ' '), " +
+        s"'  ', ' ')) AS text FROM $src)"
+      "WITH d0 AS (SELECT doc_id, text FROM documents), " +
+        (1 to 3).map(i =>
+          Seq(cnts(i, s"d${i - 1}"), pick(i), merge(i, s"d${i - 1}"))
+            .mkString(", ")).mkString(", ") +
+        """ SELECT a.doc_id AS doc_id,
+          |  CAST(len(string_split(a.text, ' ')) AS BIGINT) AS n_before,
+          |  CAST(len(string_split(b.text, ' ')) AS BIGINT) AS n_after,
+          |  CAST(len(string_split(a.text, ' '))
+          |    - len(string_split(b.text, ' ')) AS BIGINT) AS n_merged,
+          |  md5(array_to_string((string_split(b.text, ' '))[1:8], ' '))
+          |    AS enc_fp
+          |FROM d0 a JOIN d3 b ON a.doc_id = b.doc_id
+          |ORDER BY doc_id""".stripMargin
+    },
+
+    // x73: the deterministic-shuffle prefix sum is declarative in
+    // DuckDB (one ordered window); the Spark side's bucketed two-phase
+    // sum must produce the identical cumulative offsets
+    "x73_shard_pack" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         |    md5(CAST(doc_id AS VARCHAR)) AS sk FROM documents),
+         |c AS (SELECT doc_id, n_toks,
+         |    CAST(SUM(n_toks) OVER (ORDER BY sk, doc_id) AS BIGINT) AS cum
+         |  FROM d)
+         |SELECT doc_id, n_toks,
+         |  CAST((cum - n_toks) // ${Extras.ShardBudget} AS BIGINT) AS shard
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // x74: train on even ids (bucket×lang counts → integer posterior
+    // weights), score everything, argmax with the shared (score DESC,
+    // lang ASC) tie rule — all-BIGINT arithmetic so the trained model
+    // replays exactly
+    "x74_lang_classifier" ->
+      s"""WITH tok AS (SELECT doc_id, lang,
+         |    unnest(string_split(text, ' ')) AS tok FROM documents),
+         |tb AS (SELECT doc_id, lang, ($TH) % ${Extras.LangBuckets} AS b
+         |  FROM tok),
+         |tr AS (SELECT b, lang, CAST(COUNT(*) AS BIGINT) AS cbl
+         |  FROM tb WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+         |tot AS (SELECT b, CAST(SUM(cbl) AS BIGINT) AS cb FROM tr GROUP BY 1),
+         |w AS (SELECT tr.b, tr.lang AS plang,
+         |    CAST(cbl * 1000000 // cb AS BIGINT) AS w
+         |  FROM tr JOIN tot ON tr.b = tot.b),
+         |dc AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM tb GROUP BY 1, 2),
+         |sc AS (SELECT doc_id, plang, CAST(SUM(n * w) AS BIGINT) AS score
+         |  FROM dc JOIN w ON dc.b = w.b GROUP BY 1, 2),
+         |pick AS (SELECT doc_id, plang FROM (
+         |    SELECT doc_id, plang, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, plang ASC) AS rn FROM sc) WHERE rn = 1)
+         |SELECT d.doc_id, d.lang, coalesce(p.plang, 'und') AS pred_lang,
+         |  d.doc_id % 2 = 0 AS is_train,
+         |  coalesce(p.plang, '') = d.lang AS correct
+         |FROM documents d LEFT JOIN pick p ON d.doc_id = p.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // x65c: the full maintenance lifecycle — assignment over the 16
     // seeds, mean-occupancy threshold (⌊n/16⌋), hot cells split into
@@ -1667,6 +1696,69 @@ object ExtrasOracle {
       |  (CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 640) + 1 AS fake_width,
       |  (CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 480) + 1 AS fake_height
       |FROM documents WHERE doc_id <= 200 ORDER BY doc_id""".stripMargin
+
+  /** The incremental near-dup lifecycle oracle shared by x71 (batch)
+    * and x75 (streaming): scheme from the even-id history count, round
+    * 1 probes history ∪ earlier-in-batch, round 2 additionally sees
+    * round 1's keepers; verify is exact set Jaccard on band-collision
+    * candidates, x02's machinery verbatim.
+    */
+  private lazy val incrementalMinhashSql: String =
+    s"""WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |th AS (SELECT doc_id, $TH AS th FROM toks),
+         |perms(j, a, b) AS (VALUES $permsValues),
+         |nb AS (SELECT CASE WHEN COUNT(*) <= 100000 THEN 4
+         |         WHEN COUNT(*) <= 16777216 THEN 6 ELSE 8 END AS r,
+         |       CASE WHEN COUNT(*) <= 100000 THEN 16
+         |         WHEN COUNT(*) <= 16777216 THEN 48 ELSE 128 END AS nh
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |mh AS (SELECT doc_id, j, MIN((a*th + b) % $P) AS mh
+         |  FROM th, perms, nb WHERE j < nb.nh GROUP BY doc_id, j),
+         |sigs AS (SELECT doc_id, j // r AS band,
+         |    string_agg(CAST(mh AS VARCHAR), '-' ORDER BY j) AS sig
+         |  FROM mh, nb GROUP BY doc_id, band),
+         |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM toks GROUP BY 1),
+         |cand1 AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM sigs x JOIN sigs y ON x.band = y.band AND x.sig = y.sig
+         |  WHERE y.doc_id % 4 = 1
+         |    AND (x.doc_id % 2 = 0 OR (x.doc_id % 4 = 1 AND x.doc_id < y.doc_id))),
+         |m1 AS (SELECT d2 AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+         |    MAX(CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter)) AS mx
+         |  FROM (SELECT d1, d2, CAST(COUNT(*) AS BIGINT) AS inter
+         |      FROM cand1 JOIN toks ta ON ta.doc_id = d1
+         |                 JOIN toks tb ON tb.doc_id = d2 AND ta.tok = tb.tok
+         |      GROUP BY d1, d2) i
+         |    JOIN sz sa ON sa.doc_id = i.d1 JOIN sz sb ON sb.doc_id = i.d2
+         |  WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= ${Extras.MinhashJaccardThreshold}
+         |  GROUP BY d2),
+         |kept1 AS (SELECT d.doc_id FROM documents d
+         |  WHERE d.doc_id % 4 = 1 AND d.doc_id NOT IN (SELECT doc_id FROM m1)),
+         |cand2 AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM sigs x JOIN sigs y ON x.band = y.band AND x.sig = y.sig
+         |  WHERE y.doc_id % 4 = 3
+         |    AND (x.doc_id % 2 = 0
+         |      OR x.doc_id IN (SELECT doc_id FROM kept1)
+         |      OR (x.doc_id % 4 = 3 AND x.doc_id < y.doc_id))),
+         |m2 AS (SELECT d2 AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+         |    MAX(CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter)) AS mx
+         |  FROM (SELECT d1, d2, CAST(COUNT(*) AS BIGINT) AS inter
+         |      FROM cand2 JOIN toks ta ON ta.doc_id = d1
+         |                 JOIN toks tb ON tb.doc_id = d2 AND ta.tok = tb.tok
+         |      GROUP BY d1, d2) i
+         |    JOIN sz sa ON sa.doc_id = i.d1 JOIN sz sb ON sb.doc_id = i.d2
+         |  WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= ${Extras.MinhashJaccardThreshold}
+         |  GROUP BY d2)
+         |SELECT d.doc_id, 'b1' AS batch, m.doc_id IS NULL AS keep,
+         |  coalesce(m.n_dups, 0) AS n_dups, coalesce(m.mx, 0.0) AS max_jaccard
+         |FROM documents d LEFT JOIN m1 m ON d.doc_id = m.doc_id
+         |WHERE d.doc_id % 4 = 1
+         |UNION ALL
+         |SELECT d.doc_id, 'b2' AS batch, m.doc_id IS NULL AS keep,
+         |  coalesce(m.n_dups, 0) AS n_dups, coalesce(m.mx, 0.0) AS max_jaccard
+         |FROM documents d LEFT JOIN m2 m ON d.doc_id = m.doc_id
+         |WHERE d.doc_id % 4 = 3
+         |ORDER BY doc_id""".stripMargin
 
   /** The IVF probe oracle shared by x65 (full build) and x65b
     * (build + incremental append of the same vector set).

@@ -668,4 +668,117 @@ class QueriesSpec extends AnyFunSuite {
       if (b < 24) assert((1L << b) * 16 >= n, s"occupancy bound at n=$n")
     }
   }
+
+  // The naive greedy BPE corpus after `rounds` merges — the x60 test's
+  // reference trainer, shared by the x72 encode test.
+  private def naiveBpeCorpus(rounds: Int): Map[Long, Vector[String]] = {
+    var corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toVector).toMap
+    (1 to rounds).foreach { _ =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      corpus.values.foreach { toks =>
+        if (toks.size >= 2) toks.sliding(2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + 1
+        }
+      }
+      val ((a, b), _) = counts.toSeq
+        .minBy { case ((x, y), c) => (-c, s"$x $y") }
+      corpus = corpus.map { case (id, toks) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < toks.size) {
+          if (i + 1 < toks.size && toks(i) == a && toks(i + 1) == b) {
+            out += s"${a}_$b"; i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        id -> out.result()
+      }
+    }
+    corpus
+  }
+
+  test("x72 encode equals the naive greedy BPE corpus after 3 merges") {
+    val naive = naiveBpeCorpus(3)
+    val before = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").length.toLong).toMap
+    val got = Extras.x72BpeEncode(spark, sf).collect()
+    assert(got.length == naive.size)
+    got.foreach { r =>
+      val (id, nb, na, nm, fp) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))
+      val enc = naive(id)
+      assert(nb == before(id), s"doc $id n_before")
+      assert(na == enc.size.toLong, s"doc $id n_after")
+      assert(nm == nb - na, s"doc $id n_merged")
+      assert(fp == graft.Hashing.md5hex(enc.take(8).mkString(" ")),
+        s"doc $id enc_fp: encoded prefix diverges from naive greedy")
+    }
+    // the merges actually fired somewhere: the corpus shrank
+    assert(got.map(_.getLong(3)).sum > 0)
+  }
+
+  test("x73 shard assignment equals the naive shuffled prefix sum") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").length.toLong))
+    // naive: global order by (md5(id), id), running-sum, shard by budget
+    val ordered = docs.sortBy { case (id, _) =>
+      (graft.Hashing.md5hex(id.toString), id)
+    }
+    var cum = 0L
+    val expect = ordered.map { case (id, n) =>
+      val start = cum; cum += n
+      id -> (n, start / Extras.ShardBudget)
+    }.toMap
+    val got = Extras.x73ShardPack(spark, sf).collect()
+    assert(got.length == docs.length)
+    got.foreach { r =>
+      val (id, n, sh) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert((n, sh) == expect(id), s"doc $id: got ($n,$sh) want ${expect(id)}")
+    }
+    // shards cover 0..max contiguously and respect the budget: every
+    // shard's docs start strictly inside its token span
+    val shards = got.map(_.getLong(2)).distinct.sorted
+    assert(shards.head == 0L && shards.sameElements(0L to shards.last))
+  }
+
+  test("x74 predictions equal a naive replay of the trained weights") {
+    val P = graft.functions.TextFns.HashMod
+    def bucket(tok: String): Long =
+      (java.lang.Long.parseLong(graft.Hashing.md5hex(tok).take(15), 16) % P) %
+        Extras.LangBuckets
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").map(bucket)))
+    // train: per (bucket, lang) counts on even ids -> integer weights
+    val cbl = scala.collection.mutable.Map.empty[(Long, String), Long]
+    docs.filter(_._1 % 2 == 0).foreach { case (_, lang, bs) =>
+      bs.foreach(b => cbl((b, lang)) = cbl.getOrElse((b, lang), 0L) + 1)
+    }
+    val cb = cbl.groupBy(_._1._1).map { case (b, m) => b -> m.values.sum }
+    val w = cbl.map { case ((b, l), c) => (b, l) -> c * 1000000L / cb(b) }
+    val got = Extras.x74LangClassifier(spark, sf).collect()
+    assert(got.length == docs.length)
+    val gotMap = got.map(r => r.getLong(0) ->
+      (r.getString(1), r.getString(2), r.getBoolean(3), r.getBoolean(4))).toMap
+    docs.foreach { case (id, lang, bs) =>
+      // a language is a candidate only if the doc owns a bucket that
+      // was trained FOR THAT LANGUAGE — the join shape on the Spark
+      // side (scores exist only where (bucket, lang) weight rows do)
+      val cand = w.keys
+        .filter { case (b, _) => bs.contains(b) }.map(_._2).toSet
+      val pred =
+        if (cand.isEmpty) "und"
+        else cand.toSeq.map { l =>
+          l -> bs.map(b => w.getOrElse((b, l), 0L)).sum
+        }.minBy { case (l, s) => (-s, l) }._1
+      val (gl, gp, gt, gc) = gotMap(id)
+      assert(gl == lang && gt == (id % 2 == 0))
+      assert(gp == pred, s"doc $id: pred $gp want $pred")
+      assert(gc == (pred == lang), s"doc $id correct flag")
+    }
+  }
 }

@@ -375,4 +375,63 @@ class StreamingSpec extends AnyFunSuite {
         "stream == batch over the same fixture")
     } finally q.stop()
   }
+
+  test("MinhashSignatureStore.dedupStream verdicts == the x71 batch " +
+      "lifecycle, row for row") {
+    import graft.queries.Extras
+    val batchRows = Extras.x71IncrementalMinhash(spark, sf).collect().toSeq
+    val streamRows = Extras.x75StreamDedup(spark, sf).collect().toSeq
+    assert(streamRows == batchRows,
+      "streaming the ingest batches must not change a single verdict")
+    // the lifecycle is non-degenerate on this fixture: something dropped
+    assert(batchRows.exists(!_.getBoolean(2)))
+  }
+
+  test("dedupStream's batch-id ledger skips replayed batches; unmarked " +
+      "batches land normally") {
+    import graft.operators.MinhashSignatureStore
+    import graft.queries.Extras
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mssstream").toString
+    val store = root + "/store"
+    MinhashSignatureStore.build(spark,
+      docs.filter(col("doc_id") % 2 === 0), store, 16, 4, Extras.Perms)
+    val histDocs = spark.read.parquet(store + "/docs").count()
+    val feed = root + "/feed"
+    new java.io.File(feed).mkdirs()
+    val q = MinhashSignatureStore.dedupStream(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed),
+      store, root + "/verdicts", Extras.Perms,
+      Extras.MinhashJaccardThreshold, root + "/ckpt")
+    try {
+      // batch id 0 is pre-marked (as after a crash between marker write
+      // and checkpoint commit): the delivered batch must be SKIPPED —
+      // no verdicts, no append
+      val ledger = new java.io.File(store, "_stream_ledger")
+      ledger.mkdirs()
+      new java.io.File(ledger, "batch-0").createNewFile()
+      docs.filter(col("doc_id") % 4 === 1).coalesce(1)
+        .write.mode("append").parquet(feed)
+      q.processAllAvailable()
+      assert(!new java.io.File(root + "/verdicts/batch-0").exists,
+        "a ledger-marked batch id must not probe again")
+      assert(spark.read.parquet(store + "/docs").count() == histDocs,
+        "a ledger-marked batch id must not append again")
+      // the following batch (id 1) is unmarked: verdicts land and the
+      // kept docs grow the store
+      docs.filter(col("doc_id") % 4 === 3).coalesce(1)
+        .write.mode("append").parquet(feed)
+      q.processAllAvailable()
+      val v1 = spark.read.parquet(root + "/verdicts/batch-1")
+      assert(v1.count() == docs.filter(col("doc_id") % 4 === 3).count())
+      val kept = v1.filter(col("keep")).count()
+      assert(spark.read.parquet(store + "/docs").count() == histDocs + kept,
+        "exactly the kept docs append")
+      assert(new java.io.File(ledger, "batch-1").exists,
+        "the processed batch commits its marker")
+    } finally q.stop()
+  }
 }
