@@ -38,10 +38,19 @@ object Caching {
     * frame `build` derives from it, then release it.
     */
   def withPersisted(toCache: DataFrame)(build: DataFrame => DataFrame): DataFrame = {
-    val spark = toCache.sparkSession
     toCache.persist(StorageLevel.MEMORY_AND_DISK)
     val result = build(toCache)
-    val cachedPlan = toCache.queryExecution.analyzed
+    release(toCache, toCache.queryExecution.analyzed)
+    result
+  }
+
+  /** Unpersist `toCache` after the first action whose analyzed plan
+    * contains `scopePlan` as a subtree.
+    */
+  private def release(toCache: DataFrame,
+      scopePlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = {
+    val spark = toCache.sparkSession
+    val cachedPlan = scopePlan
     val released = new AtomicBoolean(false)
     val listener: QueryExecutionListener = new QueryExecutionListener {
       private def maybeRelease(qe: QueryExecution): Unit = {
@@ -62,6 +71,5 @@ object Caching {
           exception: Exception): Unit = maybeRelease(qe)
     }
     spark.listenerManager.register(listener)
-    result
   }
 }

@@ -94,7 +94,7 @@ object MinhashSignatureStore {
     * representation (tokenize → distinct → sort), so the Jaccard this
     * store enforces is bit-identical to the in-corpus operator's.
     */
-  private def tokenSets(docs: DataFrame): DataFrame =
+  private[graft] def tokenSets(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(TextFns.tokenize(col("text"))).as("tok"))
       .distinct()
       .groupBy(col("doc_id"))
@@ -107,7 +107,7 @@ object MinhashSignatureStore {
     * all n min-hashes come out of ONE hash aggregate over the exploded
     * set (the x02 shape — no ×n row explode).
     */
-  private def signatures(arrs: DataFrame, nHashes: Int,
+  private[graft] def signatures(arrs: DataFrame, nHashes: Int,
       perms: Seq[(Int, Long, Long)]): DataFrame = {
     val mhCols = perms.take(nHashes).map { case (j, a, b) =>
       min((lit(a) * col("th") + lit(b)) % P).as(s"mh$j")
@@ -121,7 +121,7 @@ object MinhashSignatureStore {
   /** Exploded band rows (doc_id, band, sig, bkt) with x02's lossless
     * two-per-long pack (each min-hash < P < 2^30).
     */
-  private def bandRows(sig: DataFrame, nHashes: Int, nBands: Int): DataFrame = {
+  private[graft] def bandRows(sig: DataFrame, nHashes: Int, nBands: Int): DataFrame = {
     require(nHashes % nBands == 0 && (nHashes / nBands) % 2 == 0,
       s"nBands must divide $nHashes into even slices, got $nBands")
     val rowsPer = nHashes / nBands
@@ -143,8 +143,15 @@ object MinhashSignatureStore {
     try {
       // bands first: a crash between the writes leaves band rows whose
       // verify join finds no docs row — dropped, i.e. under-dedup, the
-      // fail-safe direction (see the torn-append note above)
+      // fail-safe direction (see the torn-append note above).
+      // Cluster by bkt before the partitioned write: without it every
+      // write task holds every bucket and the commit fans out to
+      // tasks×buckets tiny files (r12 measured 270 files for a 2.5 MB
+      // store — the file count, not the bytes, was most of the
+      // lifecycle's cost); clustered, each bucket lands as one file
+      // per batch, and the shuffle is batch-sized.
       bandRows(signatures(arrs, nHashes, perms), nHashes, nBands)
+        .repartition(col("bkt"))
         .write.mode("append").partitionBy("bkt")
         .parquet(s"$storeDir/bands")
       arrs.write.mode("append").parquet(s"$storeDir/docs")
@@ -254,7 +261,10 @@ object MinhashSignatureStore {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       // multi-band collisions: the candidate sliver pays the distinct,
-      // not the store (store-side rows never reach an exchange)
+      // not the store (store-side rows never reach an exchange); its
+      // two consumers (the scored pairs and the d1Ids verify-fetch
+      // pruning) share the distinct's exchange via ReusedExchange — a
+      // r12 persist experiment measured no gain over the reuse
       val cand = fromStore.unionByName(inBatch).distinct()
       // verify-side fetch: prune the store scan with a broadcast semi
       // on candidate ids, then sliver⋈sliver. d1 may be a store doc or
@@ -262,6 +272,13 @@ object MinhashSignatureStore {
       val d1Ids = cand.select(col("d1").as("doc_id")).distinct()
       val refArrs = storeDocs.join(broadcast(d1Ids), Seq("doc_id"), "left_semi")
         .unionByName(arrs)
+      // Verify kernel: the codegen sorted-merge intersect on the exact
+      // token arrays. A r12 experiment swapped in x02's mask strategy
+      // ladder (batch-vocab bitmasks; exact because any common token
+      // is in the batch vocabulary) and measured NO gain at sf0.1 —
+      // per-pair verify is not the probe's bottleneck (the band
+      // join + distinct over the genuine candidate volume is), so the
+      // simpler single-kernel form stays.
       val matches = cand
         .join(refArrs.select(col("doc_id").as("d1"), col("arr").as("a1"),
           col("sz").as("sz1")), Seq("d1"))

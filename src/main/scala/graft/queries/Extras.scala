@@ -3172,9 +3172,15 @@ object Extras {
     import s.implicits._
     val mss = graft.operators.MinhashSignatureStore
     val docs = t(s, dir, "documents").select($"doc_id", $"text")
-    val hist = docs.filter($"doc_id" % 2 === 0)
-    val b1 = docs.filter($"doc_id" % 4 === 1)
-    val b2 = docs.filter($"doc_id" % 4 === 3)
+    // fixture sizing: the gate exercises the LIFECYCLE (store reuse,
+    // batch ordering, dropped-docs-never-enter semantics); candidate
+    // DENSITY stress is x02/q27's job. A quarter-corpus history with
+    // two eighth-corpus batches keeps every semantic edge while the
+    // bench cost tracks the lifecycle, not the corpus's all-pairs
+    // match volume (sum(n_dups) was 1.4M per 1250-doc batch at sf0.1)
+    val hist = docs.filter($"doc_id" % 4 === 0)
+    val b1 = docs.filter($"doc_id" % 8 === 1)
+    val b2 = docs.filter($"doc_id" % 8 === 5)
     val root = scratchDir(s, "x71", dir)
     val store = root + "/store"
     val (nh, nb) = minhashSchemeFor(hist.count())
@@ -3320,7 +3326,7 @@ object Extras {
     import s.implicits._
     val mss = graft.operators.MinhashSignatureStore
     val docs = t(s, dir, "documents").select($"doc_id", $"text")
-    val hist = docs.filter($"doc_id" % 2 === 0)
+    val hist = docs.filter($"doc_id" % 4 === 0)
     val root = scratchDir(s, "x75", dir)
     val store = root + "/store"
     val (nh, nb) = minhashSchemeFor(hist.count())
@@ -3344,9 +3350,9 @@ object Extras {
     val q = mss.dedupStream(stream, store, root + "/verdicts", Perms,
       MinhashJaccardThreshold, root + "/ckpt")
     try {
-      arrive(docs.filter($"doc_id" % 4 === 1), "b1")
+      arrive(docs.filter($"doc_id" % 8 === 1), "b1")
       q.processAllAvailable()
-      arrive(docs.filter($"doc_id" % 4 === 3), "b2")
+      arrive(docs.filter($"doc_id" % 8 === 5), "b2")
       q.processAllAvailable()
     } finally q.stop()
     val v1 = s.read.parquet(root + "/verdicts/batch-0")

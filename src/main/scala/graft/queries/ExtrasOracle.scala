@@ -1712,7 +1712,7 @@ object ExtrasOracle {
          |         WHEN COUNT(*) <= 16777216 THEN 6 ELSE 8 END AS r,
          |       CASE WHEN COUNT(*) <= 100000 THEN 16
          |         WHEN COUNT(*) <= 16777216 THEN 48 ELSE 128 END AS nh
-         |  FROM documents WHERE doc_id % 2 = 0),
+         |  FROM documents WHERE doc_id % 4 = 0),
          |mh AS (SELECT doc_id, j, MIN((a*th + b) % $P) AS mh
          |  FROM th, perms, nb WHERE j < nb.nh GROUP BY doc_id, j),
          |sigs AS (SELECT doc_id, j // r AS band,
@@ -1721,8 +1721,8 @@ object ExtrasOracle {
          |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM toks GROUP BY 1),
          |cand1 AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
          |  FROM sigs x JOIN sigs y ON x.band = y.band AND x.sig = y.sig
-         |  WHERE y.doc_id % 4 = 1
-         |    AND (x.doc_id % 2 = 0 OR (x.doc_id % 4 = 1 AND x.doc_id < y.doc_id))),
+         |  WHERE y.doc_id % 8 = 1
+         |    AND (x.doc_id % 4 = 0 OR (x.doc_id % 8 = 1 AND x.doc_id < y.doc_id))),
          |m1 AS (SELECT d2 AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
          |    MAX(CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter)) AS mx
          |  FROM (SELECT d1, d2, CAST(COUNT(*) AS BIGINT) AS inter
@@ -1733,13 +1733,13 @@ object ExtrasOracle {
          |  WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= ${Extras.MinhashJaccardThreshold}
          |  GROUP BY d2),
          |kept1 AS (SELECT d.doc_id FROM documents d
-         |  WHERE d.doc_id % 4 = 1 AND d.doc_id NOT IN (SELECT doc_id FROM m1)),
+         |  WHERE d.doc_id % 8 = 1 AND d.doc_id NOT IN (SELECT doc_id FROM m1)),
          |cand2 AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
          |  FROM sigs x JOIN sigs y ON x.band = y.band AND x.sig = y.sig
-         |  WHERE y.doc_id % 4 = 3
-         |    AND (x.doc_id % 2 = 0
+         |  WHERE y.doc_id % 8 = 5
+         |    AND (x.doc_id % 4 = 0
          |      OR x.doc_id IN (SELECT doc_id FROM kept1)
-         |      OR (x.doc_id % 4 = 3 AND x.doc_id < y.doc_id))),
+         |      OR (x.doc_id % 8 = 5 AND x.doc_id < y.doc_id))),
          |m2 AS (SELECT d2 AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
          |    MAX(CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter)) AS mx
          |  FROM (SELECT d1, d2, CAST(COUNT(*) AS BIGINT) AS inter
@@ -1752,12 +1752,12 @@ object ExtrasOracle {
          |SELECT d.doc_id, 'b1' AS batch, m.doc_id IS NULL AS keep,
          |  coalesce(m.n_dups, 0) AS n_dups, coalesce(m.mx, 0.0) AS max_jaccard
          |FROM documents d LEFT JOIN m1 m ON d.doc_id = m.doc_id
-         |WHERE d.doc_id % 4 = 1
+         |WHERE d.doc_id % 8 = 1
          |UNION ALL
          |SELECT d.doc_id, 'b2' AS batch, m.doc_id IS NULL AS keep,
          |  coalesce(m.n_dups, 0) AS n_dups, coalesce(m.mx, 0.0) AS max_jaccard
          |FROM documents d LEFT JOIN m2 m ON d.doc_id = m.doc_id
-         |WHERE d.doc_id % 4 = 3
+         |WHERE d.doc_id % 8 = 5
          |ORDER BY doc_id""".stripMargin
 
   /** The IVF probe oracle shared by x65 (full build) and x65b
