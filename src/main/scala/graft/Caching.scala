@@ -44,6 +44,21 @@ object Caching {
     result
   }
 
+  /** Like [[withPersisted]], but `build` MAY run its own actions on
+    * frames derived from the cached one (e.g. a verify-strategy probe
+    * that counts the batch vocabulary before choosing a kernel): the
+    * release is scoped to the first action containing the RESULT's
+    * plan, so the internal actions reuse the cache instead of
+    * releasing it.
+    */
+  def withPersistedThrough(toCache: DataFrame)
+      (build: DataFrame => DataFrame): DataFrame = {
+    toCache.persist(StorageLevel.MEMORY_AND_DISK)
+    val result = build(toCache)
+    release(toCache, result.queryExecution.analyzed)
+    result
+  }
+
   /** Unpersist `toCache` after the first action whose analyzed plan
     * contains `scopePlan` as a subtree.
     */

@@ -244,8 +244,11 @@ object MinhashSignatureStore {
     val storeDocs = spark.read.parquet(s"$storeDir/docs")
     graft.expressions.SortedIntersectCount.register(spark)
     // one batch-sized cached frame; signatures, both band-join sides,
-    // the verify d2 side and the verdict base all derive from it
-    graft.Caching.withPersisted(tokenSets(incoming)) { arrs =>
+    // the verify d2 side and the verdict base all derive from it.
+    // withPersistedThrough: the verify-strategy probe below runs an
+    // internal count on a derived frame, which must reuse the cache,
+    // not release it (release scopes to the returned frame's action).
+    graft.Caching.withPersistedThrough(tokenSets(incoming)) { arrs =>
       val inc = bandRows(signatures(arrs, nHashes, perms), nHashes, nBands)
       // store candidates: store side streams through a broadcast hash
       // join (never shuffles); bkt in the join key arms DPP on the
@@ -272,24 +275,65 @@ object MinhashSignatureStore {
       val d1Ids = cand.select(col("d1").as("doc_id")).distinct()
       val refArrs = storeDocs.join(broadcast(d1Ids), Seq("doc_id"), "left_semi")
         .unionByName(arrs)
-      // Verify kernel: the codegen sorted-merge intersect on the exact
-      // token arrays. A r12 experiment swapped in x02's mask strategy
-      // ladder (batch-vocab bitmasks; exact because any common token
-      // is in the batch vocabulary) and measured NO gain at sf0.1 —
-      // per-pair verify is not the probe's bottleneck (the band
-      // join + distinct over the genuine candidate volume is), so the
-      // simpler single-kernel form stays.
-      val matches = cand
-        .join(refArrs.select(col("doc_id").as("d1"), col("arr").as("a1"),
-          col("sz").as("sz1")), Seq("d1"))
-        .join(arrs.select(col("doc_id").as("d2"), col("arr").as("a2"),
-          col("sz").as("sz2")), Seq("d2"))
-        .withColumn("inter",
-          graft.expressions.SortedIntersectCount.sortedIntersectCount(
-            col("a1"), col("a2")))
-        .withColumn("jaccard",
-          col("inter").cast(DoubleType) / (col("sz1") + col("sz2") - col("inter")))
-        .filter(col("jaccard") >= threshold)
+      // Verify-strategy probe (x02's mask ladder, chosen PER PROBE by
+      // the BATCH vocabulary — sufficient, because a token common to a
+      // store doc and a batch doc is by definition in the batch
+      // vocabulary, so masks over the batch vocab compute |A∩B|
+      // EXACTLY and |A∪B| = sz1 + sz2 − |A∩B| from the stored sizes):
+      // a ≤1024-token batch vocabulary — templated spam, generator
+      // corpora, boilerplate floods, exactly the batches whose
+      // candidate volume explodes — verifies each pair with one
+      // codegen popcount pass over ≤16 longs instead of a string
+      // merge over the full token arrays, and ships 8·words bytes per
+      // doc through the pair joins instead of the arrays (sf1 A/B:
+      // 30.8 → 21.5 s for the x71 lifecycle; neutral at sf0.1). The
+      // strategy count runs on the CACHED batch frame — never a store
+      // scan. Open-vocab batches keep the sorted-merge intersect.
+      graft.expressions.MaskPairStats.register(spark)
+      val batchVocab = arrs.select(explode(col("arr")).as("tok")).distinct()
+      val vCount = batchVocab.limit(1025).count()
+      // threshold 0 would make J = 0 pairs contractual, and the rank
+      // join drops store docs disjoint from the batch vocab (their
+      // J is 0) — the mask path is only sound for a positive threshold
+      val matches = (if (vCount <= 1024 && threshold > 0) {
+          val words = ((vCount + 63) / 64).toInt
+          val ranks = batchVocab
+            .agg(sort_array(collect_list(col("tok"))).as("varr"))
+            .select(posexplode(col("varr")).as(Seq("p", "tok")))
+          def masked(df: DataFrame, id: String, m: String, sz: String) = {
+            val wordCols = (0 until words).map { w =>
+              sum(expr(s"CASE WHEN p DIV 64 = $w THEN " +
+                "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)) " +
+                "ELSE CAST(0 AS BIGINT) END")).as(s"_w$w")
+            }
+            df.select(col("doc_id"), col("sz"), explode(col("arr")).as("tok"))
+              .join(broadcast(ranks), Seq("tok"))
+              .groupBy(col("doc_id"), col("sz"))
+              .agg(wordCols.head, wordCols.tail: _*)
+              .select(col("doc_id").as(id),
+                array((0 until words).map(w => col(s"_w$w")): _*).as(m),
+                col("sz").as(sz))
+          }
+          cand.join(masked(refArrs, "d1", "m1", "sz1"), Seq("d1"))
+            .join(masked(arrs, "d2", "m2", "sz2"), Seq("d2"))
+            .withColumn("mps", graft.expressions.MaskPairStats.maskPairStats(
+              col("m1"), col("m2"), lit(1)))
+            .withColumn("inter",
+              shiftright(col("mps"), 11).bitwiseAND(lit(0x7ffL)))
+            .withColumn("jaccard", col("inter").cast(DoubleType) /
+              (col("sz1") + col("sz2") - col("inter")))
+        } else {
+          cand
+            .join(refArrs.select(col("doc_id").as("d1"), col("arr").as("a1"),
+              col("sz").as("sz1")), Seq("d1"))
+            .join(arrs.select(col("doc_id").as("d2"), col("arr").as("a2"),
+              col("sz").as("sz2")), Seq("d2"))
+            .withColumn("inter",
+              graft.expressions.SortedIntersectCount.sortedIntersectCount(
+                col("a1"), col("a2")))
+            .withColumn("jaccard", col("inter").cast(DoubleType) /
+              (col("sz1") + col("sz2") - col("inter")))
+        }).filter(col("jaccard") >= threshold)
       // countDistinct(d1), not count(*): identical when the store is
       // clean (candidate pairs are already distinct), but immune to a
       // doc row duplicated by a replayed crash-window append

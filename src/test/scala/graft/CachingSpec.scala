@@ -70,4 +70,29 @@ class CachingSpec extends AnyFunSuite {
     intercept[Exception] { result.collect() }
     assert(awaitReleased(df), "cache must be released after a failed action")
   }
+
+  test("withPersistedThrough survives internal actions, releases on the " +
+      "result's action") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "k")
+    var internalCount = -1L
+    val result = Caching.withPersistedThrough(base) { d =>
+      // a strategy probe: an action on a DERIVED frame mid-build —
+      // under withPersisted this would release the cache prematurely
+      internalCount = d.filter($"k" === "a").count()
+      d.as("x").join(d.as("y"), $"x.k" === $"y.k" && $"x.id" < $"y.id")
+        .select($"x.id".as("i"), $"y.id".as("j"))
+    }
+    assert(internalCount == 2L)
+    // the listener bus is async: give a premature release the same
+    // window the release tests give the legitimate one, then assert
+    // the cache SURVIVED the internal action
+    Thread.sleep(500)
+    assert(cached(base),
+      "internal action must not release the cache (that is the point)")
+    assert(result.collect().toSeq.map(r => (r.getLong(0), r.getLong(1))) ==
+      Seq((1L, 2L)))
+    assert(awaitReleased(base),
+      "cache must be released after the result's action")
+  }
 }
