@@ -301,10 +301,16 @@ object MinhashSignatureStore {
             .agg(sort_array(collect_list(col("tok"))).as("varr"))
             .select(posexplode(col("varr")).as(Seq("p", "tok")))
           def masked(df: DataFrame, id: String, m: String, sz: String) = {
+            // bit_or, NOT sum: a doc row duplicated by dedupStream's
+            // crash-window replay explodes its tokens twice into this
+            // aggregate, and summing would carry duplicate bits into
+            // the wrong positions — OR is idempotent, so duplicate
+            // store rows cannot corrupt a mask (MinhashStoreSpec pins
+            // verdict equality against a duplicated store)
             val wordCols = (0 until words).map { w =>
-              sum(expr(s"CASE WHEN p DIV 64 = $w THEN " +
+              expr(s"bit_or(CASE WHEN p DIV 64 = $w THEN " +
                 "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)) " +
-                "ELSE CAST(0 AS BIGINT) END")).as(s"_w$w")
+                "ELSE CAST(0 AS BIGINT) END)").as(s"_w$w")
             }
             df.select(col("doc_id"), col("sz"), explode(col("arr")).as("tok"))
               .join(broadcast(ranks), Seq("tok"))

@@ -125,6 +125,36 @@ class MinhashStoreSpec extends AnyFunSuite {
     assert(again(30L)._1 === true, "re-probing an ingested batch is idempotent")
   }
 
+  test("a duplicated append (dedupStream's crash-window replay) cannot " +
+      "change any verdict, including n_dups") {
+    // single-append reference store
+    val ref = freshStore("dupref")
+    MinhashSignatureStore.build(spark, docsDf(1L -> h1Text, 2L -> h2Text),
+      ref, 16, 4, perms)
+    val batch = docsDf(30L -> freshText)
+    MinhashSignatureStore.append(spark, batch, ref, perms)
+    // store where the same append ran TWICE (crash between the append
+    // and the ledger marker, then a replay)
+    val dup = freshStore("dupdup")
+    MinhashSignatureStore.build(spark, docsDf(1L -> h1Text, 2L -> h2Text),
+      dup, 16, 4, perms)
+    MinhashSignatureStore.append(spark, batch, dup, perms)
+    MinhashSignatureStore.append(spark, batch, dup, perms)
+    assert(spark.read.parquet(s"$dup/docs").count() === 4,
+      "the duplicated append really does leave a duplicate row")
+    // a later batch matching the duplicated doc: same keep AND same
+    // n_dups/max_jaccard — matches count DOCS, not rows
+    val later = docsDf(40L -> freshText, 41L -> bText)
+    val vRef = verdictMap(MinhashSignatureStore.dedupAgainst(
+      spark, later, ref, perms, T))
+    val vDup = verdictMap(MinhashSignatureStore.dedupAgainst(
+      spark, later, dup, perms, T))
+    assert(vRef === vDup,
+      "verdicts must be identical against the duplicated store")
+    assert(vDup(40L) === ((false, 1L, 1.0)),
+      "the twin of the duplicated doc counts it ONCE")
+  }
+
   test("probe plan: DPP-armed broadcast band join, store never shuffled") {
     val store = freshStore("plan")
     MinhashSignatureStore.build(spark, docsDf(1L -> h1Text, 2L -> h2Text),
