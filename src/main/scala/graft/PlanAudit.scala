@@ -378,6 +378,15 @@ object PlanAudit {
         (_.contains("BroadcastHashJoin")),
       "argmax window partitioned by doc_id (never a global sort)" ->
         (_.contains("Window")))
+    // x76: all scoring against broadcast frames (centroids, probes) —
+    // one corpus scan per arm, the decimal kernel in the plan, no
+    // corpus-sized shuffle join
+    audit("x76_ann_recall")(
+      "decimal_dot kernel in plan (not interpreted HOF)" ->
+        (_.contains("decimal_dot")),
+      "no cartesian product of corpus with itself" ->
+        (p => !p.contains("CartesianProduct")),
+      "centroids/probes broadcast" -> (_.contains("Broadcast")))
 
     // Direct snapshot-log checks — the scale properties a plan string
     // can't show: file pruning happens driver-side BEFORE the plan is

@@ -134,7 +134,8 @@ object SparkEntry {
     "x72_bpe_encode" -> (X.x72BpeEncode _),
     "x73_shard_pack" -> (X.x73ShardPack _),
     "x74_lang_classifier" -> (X.x74LangClassifier _),
-    "x75_stream_dedup" -> (X.x75StreamDedup _)
+    "x75_stream_dedup" -> (X.x75StreamDedup _),
+    "x76_ann_recall" -> (X.x76AnnRecall _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

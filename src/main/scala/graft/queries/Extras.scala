@@ -3362,4 +3362,75 @@ object Extras {
       .select($"doc_id", $"batch", $"keep", $"n_dups", $"max_jaccard")
       .orderBy($"doc_id")
   }
+  /** x76 — ANN index-quality audit: the recall-vs-cost tuning curve a
+    * production vector store monitors continuously. For each probe and
+    * each nprobe ∈ {1, 2, 4}, compare cell-pruned search (the x13/x65
+    * IVF scheme: 16 seed centroids, argmax assignment, probe the
+    * top-nprobe cells) against the exhaustive ground truth, reporting
+    * the candidate count actually scanned (the cost dial) and
+    * recall@3 (the quality dial). This is how nprobe gets CHOSEN — the
+    * audit makes the trade measurable instead of folklore.
+    *
+    * Scale shape: assignment and probe-cell ranking are broadcast
+    * scoring against one corpus scan (16 rows broadcast); the
+    * all-pairs probe×corpus scoring is ONE pass (10 probes broadcast),
+    * persisted for its two consumers (truth + the nprobe arms); every
+    * argmax/top-k is a row_number window partitioned by probe —
+    * |corpus| rows per partition at most, never a global sort. At
+    * 100 TB the audit runs on a SAMPLE of probes (as here: 10), so its
+    * cost is probes × corpus — linear in the corpus — while the thing
+    * it audits (the serving path) stays cell-pruned. Exact-decimal
+    * scoring makes both arms bit-reproducible, hence hash-gateable.
+    */
+  def x76AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val cents = e.filter($"vec_id".between(1, 16))
+      .select($"vec_id".as("cid"), $"v".as("c"))
+    val corpus = e.filter($"vec_id" >= 10)
+    val probes = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("p_id"), $"v".as("p"))
+    val aw = Window.partitionBy($"vec_id").orderBy($"d".desc, $"cid".asc)
+    val assign = corpus.crossJoin(broadcast(cents))
+      .withColumn("d", VectorFns.dotDec("v", "c"))
+      .withColumn("rn", row_number().over(aw)).filter($"rn" === 1)
+      .select($"vec_id", $"cid".as("cell"))
+    val pw = Window.partitionBy($"p_id").orderBy($"d".desc, $"cid".asc)
+    val pcells = probes.crossJoin(broadcast(cents))
+      .withColumn("d", VectorFns.dotDec("p", "c"))
+      .withColumn("pcrank", row_number().over(pw)).filter($"pcrank" <= 4)
+      .select($"p_id", $"cid".as("cell"), $"pcrank")
+    val scoredAll0 = corpus.crossJoin(broadcast(probes))
+      .withColumn("score", VectorFns.dotDec("v", "p"))
+      .select($"p_id", $"vec_id", $"score")
+    graft.Caching.withPersisted(scoredAll0) { scoredAll =>
+      val tw = Window.partitionBy($"p_id").orderBy($"score".desc, $"vec_id".asc)
+      val truth = scoredAll.withColumn("rk", row_number().over(tw))
+        .filter($"rk" <= 3).select($"p_id", $"vec_id")
+      val cand = scoredAll
+        .join(assign, Seq("vec_id"))
+        .join(pcells, Seq("p_id", "cell"))
+        .select($"p_id", $"vec_id", $"score", $"pcrank",
+          explode(typedLit(Seq(1L, 2L, 4L))).as("nprobe"))
+        .filter($"pcrank" <= $"nprobe")
+      val scanned = cand.groupBy($"p_id", $"nprobe").agg(cnt.as("n_scanned"))
+      val iw = Window.partitionBy($"p_id", $"nprobe")
+        .orderBy($"score".desc, $"vec_id".asc)
+      val ivf3 = cand.withColumn("rk", row_number().over(iw))
+        .filter($"rk" <= 3).select($"p_id", $"nprobe", $"vec_id")
+      val hits = ivf3.join(truth, Seq("p_id", "vec_id"), "left_semi")
+        .groupBy($"p_id", $"nprobe").agg(cnt.as("n_hits"))
+      // every (probe, nprobe) emits a row even when the probed cells
+      // are empty — an empty-scan audit row is a finding, not a gap
+      probes.select($"p_id")
+        .crossJoin(broadcast(Seq(1L, 2L, 4L).toDF("nprobe")))
+        .join(scanned, Seq("p_id", "nprobe"), "left")
+        .join(hits, Seq("p_id", "nprobe"), "left")
+        .select($"p_id", $"nprobe",
+          coalesce($"n_scanned", lit(0L)).as("n_scanned"),
+          coalesce($"n_hits", lit(0L)).as("n_hits"),
+          round(coalesce($"n_hits", lit(0L)) / lit(3.0), 6).as("recall"))
+        .orderBy($"p_id", $"nprobe")
+    }
+  }
 }

@@ -1527,6 +1527,57 @@ object ExtrasOracle {
     // drained stream's verdicts replay against the identical SQL
     "x75_stream_dedup" -> incrementalMinhashSql,
 
+    // x76: both arms replayed exactly — assignment/probe-cell argmax
+    // with the (score DESC, id ASC) tie rule, exhaustive truth top-3,
+    // cell-pruned top-3 per nprobe, recall + scanned count per row
+    "x76_ann_recall" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS c
+         |  FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+         |corpus AS (SELECT vec_id, embedding AS v FROM embeddings
+         |  WHERE vec_id >= 10),
+         |probes AS (SELECT vec_id AS p_id, embedding AS p FROM embeddings
+         |  WHERE vec_id < 10),
+         |ad AS (SELECT corpus.vec_id, cents.cid, ${dot("corpus.v", "cents.c")} AS d
+         |  FROM corpus, cents, generate_series(1, 64) t(i)
+         |  GROUP BY corpus.vec_id, cents.cid),
+         |assign AS (SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d DESC, cid) AS rn FROM ad) WHERE rn = 1),
+         |pd AS (SELECT p_id, cid, ${dot("probes.p", "cents.c")} AS d
+         |  FROM probes, cents, generate_series(1, 64) t(i)
+         |  GROUP BY p_id, cid),
+         |pcells AS (SELECT p_id, cid AS cell, pcrank FROM (
+         |    SELECT p_id, cid, row_number() OVER (PARTITION BY p_id
+         |      ORDER BY d DESC, cid) AS pcrank FROM pd) WHERE pcrank <= 4),
+         |sc AS (SELECT p_id, corpus.vec_id, ${dot("corpus.v", "probes.p")} AS score
+         |  FROM corpus, probes, generate_series(1, 64) t(i)
+         |  GROUP BY p_id, corpus.vec_id),
+         |truth AS (SELECT p_id, vec_id FROM (
+         |    SELECT p_id, vec_id, row_number() OVER (PARTITION BY p_id
+         |      ORDER BY score DESC, vec_id) AS rk FROM sc) WHERE rk <= 3),
+         |np(nprobe) AS (VALUES (1), (2), (4)),
+         |cand AS (SELECT sc.p_id, sc.vec_id, sc.score, np.nprobe
+         |  FROM sc JOIN assign a ON sc.vec_id = a.vec_id
+         |    JOIN pcells pc ON sc.p_id = pc.p_id AND a.cell = pc.cell, np
+         |  WHERE pc.pcrank <= np.nprobe),
+         |scanned AS (SELECT p_id, nprobe, CAST(COUNT(*) AS BIGINT) AS n_scanned
+         |  FROM cand GROUP BY 1, 2),
+         |ivf3 AS (SELECT p_id, nprobe, vec_id FROM (
+         |    SELECT p_id, nprobe, vec_id, row_number() OVER (
+         |      PARTITION BY p_id, nprobe ORDER BY score DESC, vec_id) AS rk
+         |    FROM cand) WHERE rk <= 3),
+         |hits AS (SELECT i.p_id, i.nprobe, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |  FROM ivf3 i JOIN truth t ON i.p_id = t.p_id AND i.vec_id = t.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT b.p_id, CAST(b.nprobe AS BIGINT) AS nprobe,
+         |  CAST(coalesce(s.n_scanned, 0) AS BIGINT) AS n_scanned,
+         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  round(coalesce(h.n_hits, 0) / 3.0, 6) AS recall
+         |FROM (SELECT p_id, nprobe FROM probes, np) b
+         |LEFT JOIN scanned s ON b.p_id = s.p_id AND b.nprobe = s.nprobe
+         |LEFT JOIN hits h ON b.p_id = h.p_id AND b.nprobe = h.nprobe
+         |ORDER BY b.p_id, b.nprobe""".stripMargin,
+
 
     // x72: the x60 training chain replayed (same CTE algebra) up to the
     // fully merged corpus d3, then per-doc before/after stats plus the

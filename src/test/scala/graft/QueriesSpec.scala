@@ -744,6 +744,55 @@ class QueriesSpec extends AnyFunSuite {
     assert(shards.head == 0L && shards.sameElements(0L to shards.last))
   }
 
+  test("x76 recall audit equals an exact-decimal naive replay") {
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    // exact-decimal dot, kept as BigDecimal so ranking matches the
+    // engine's DECIMAL ordering bit for bit (no double round-trip)
+    def bdot(a: Array[Double], b: Array[Double]): BigDecimal =
+      a.indices.map(i => dec(a(i) * b(i), 20)).sum
+    val cents = embs.filter(e => e._1 >= 1 && e._1 <= 16)
+    val corpus = embs.filter(_._1 >= 10)
+    val probesN = embs.filter(_._1 < 10)
+    val assign = corpus.map { case (id, v) =>
+      id -> cents.map { case (cid, c) => (cid, bdot(v, c)) }
+        .minBy { case (cid, d) => (-d, cid) }._1
+    }.toMap
+    def expect(pid: Long, p: Array[Double]): Map[Long, (Long, Long)] = {
+      val scored = corpus.map { case (id, v) => (id, bdot(v, p)) }
+      val truth = scored.sortBy { case (id, d) => (-d, id) }.take(3)
+        .map(_._1).toSet
+      val cells = cents.map { case (cid, c) => (cid, bdot(p, c)) }
+        .sortBy { case (cid, d) => (-d, cid) }.map(_._1)
+      Seq(1, 2, 4).map { np =>
+        val probed = cells.take(np).toSet
+        val cand = scored.filter { case (id, _) => probed(assign(id)) }
+        val top = cand.sortBy { case (id, d) => (-d, id) }.take(3).map(_._1)
+        np.toLong -> (cand.size.toLong, top.count(truth).toLong)
+      }.toMap
+    }
+    val got = Extras.x76AnnRecall(spark, sf).collect()
+    assert(got.length == probesN.length * 3)
+    got.foreach { r =>
+      val (pid, np, ns, nh, rec) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4))
+      val (ens, enh) = expect(pid, probesN.find(_._1 == pid).get._2)(np)
+      assert((ns, nh) == (ens, enh), s"probe $pid nprobe $np")
+      assert(rec == BigDecimal(nh / 3.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // the audit's reason to exist: more probes never hurt
+    got.groupBy(_.getLong(0)).values.foreach { rows =>
+      val byNp = rows.sortBy(_.getLong(1))
+      assert(byNp.map(_.getLong(2)).sameElements(
+        byNp.map(_.getLong(2)).sorted), "n_scanned monotone in nprobe")
+      assert(byNp.map(_.getLong(3)).sameElements(
+        byNp.map(_.getLong(3)).sorted), "n_hits monotone in nprobe")
+    }
+  }
+
   test("x74 predictions equal a naive replay of the trained weights") {
     val P = graft.functions.TextFns.HashMod
     def bucket(tok: String): Long =
