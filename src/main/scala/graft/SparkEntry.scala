@@ -135,7 +135,8 @@ object SparkEntry {
     "x73_shard_pack" -> (X.x73ShardPack _),
     "x74_lang_classifier" -> (X.x74LangClassifier _),
     "x75_stream_dedup" -> (X.x75StreamDedup _),
-    "x76_ann_recall" -> (X.x76AnnRecall _)
+    "x76_ann_recall" -> (X.x76AnnRecall _),
+    "x77_embedding_drift" -> (X.x77EmbeddingDrift _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

@@ -3433,4 +3433,52 @@ object Extras {
         .orderBy($"p_id", $"nprobe")
     }
   }
+  /** x77 — embedding-space drift monitor: the snapshot-over-snapshot
+    * audit an embedding pipeline runs when the encoder, the corpus
+    * mix, or an upstream filter changes. The even/odd vec_id halves
+    * stand in for consecutive snapshots; per label, the monitor
+    * reports the L1 distance between the halves' mean vectors (the
+    * drift score) and the single most-drifting dimension.
+    *
+    * Exactness: per-(label, half, dim) sums accumulate in DECIMAL
+    * (the q26 idiom), and the per-dimension comparison is the
+    * CROSS-MULTIPLIED |sa·nb − sb·na| — no division until the final
+    * display cast, so the ranking (which dimension drifts most) is
+    * bit-reproducible and the whole audit hash-gates. Scale shape:
+    * ONE corpus scan into a (label × 2 × dims)-row aggregate; all
+    * downstream joins/windows run on that metadata-sized frame. At
+    * 100 TB the scan is the cost and it is embarrassingly parallel;
+    * counts beyond ~3·10⁹ per (label, half) would need the
+    * cross-multiplication widened past DECIMAL(38) — the audit
+    * samples per label long before that.
+    */
+  def x77EmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val per = t(s, dir, "embeddings")
+      .select($"label", ($"vec_id" % 2 === 0).as("old"),
+        posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"label", $"old", $"pos")
+      .agg(sum($"x".cast(DoubleType).cast(DecimalType(30, 12))).as("sv"),
+        cnt.as("n"))
+    val byDim = per.filter($"old")
+      .select($"label", $"pos", $"sv".as("sa"), $"n".as("na"))
+      .join(per.filter(!$"old")
+        .select($"label", $"pos", $"sv".as("sb"), $"n".as("nb")),
+        Seq("label", "pos"))
+      .withColumn("dd", abs($"sa" * $"nb" - $"sb" * $"na"))
+    graft.Caching.withPersisted(byDim) { d =>
+      val w = Window.partitionBy($"label").orderBy($"dd".desc, $"pos".asc)
+      val top = d.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"label", ($"pos" + 1).cast(LongType).as("top_dim"),
+          ($"dd".cast(DoubleType) / ($"na" * $"nb")).as("tdrift"))
+      d.groupBy($"label")
+        .agg(max($"na").as("n_old"), max($"nb").as("n_new"),
+          round(sum($"dd").cast(DoubleType) / (max($"na") * max($"nb")), 6)
+            .as("drift"))
+        .join(top, Seq("label"))
+        .select($"label", $"n_old", $"n_new", $"drift", $"top_dim",
+          round($"tdrift", 6).as("top_drift"))
+        .orderBy($"label")
+    }
+  }
 }

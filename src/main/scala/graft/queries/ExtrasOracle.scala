@@ -1527,6 +1527,36 @@ object ExtrasOracle {
     // drained stream's verdicts replay against the identical SQL
     "x75_stream_dedup" -> incrementalMinhashSql,
 
+    // x77: snapshot drift — per-(label, half, dim) decimal sums, the
+    // cross-multiplied per-dim comparison (exact, division-free), the
+    // per-label rollup and top-drifting dimension
+    "x77_embedding_drift" ->
+      """WITH per AS (SELECT label, (vec_id % 2 = 0) AS old, i AS pos,
+        |    SUM(CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR)
+        |      AS DECIMAL(30,12))) AS sv,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM embeddings, generate_series(1, 64) t(i)
+        |  GROUP BY 1, 2, 3),
+        |d AS (SELECT a.label, a.pos, abs(a.sv * b.n - b.sv * a.n) AS dd,
+        |    a.n AS na, b.n AS nb
+        |  FROM per a JOIN per b ON a.label = b.label AND a.pos = b.pos
+        |    AND a.old AND NOT b.old),
+        |top AS (SELECT label, CAST(pos AS BIGINT) AS top_dim, dd AS tdd,
+        |    na, nb FROM (
+        |    SELECT label, pos, dd, na, nb, row_number() OVER (
+        |      PARTITION BY label ORDER BY dd DESC, pos) AS rn FROM d)
+        |  WHERE rn = 1)
+        |SELECT d.label AS label,
+        |  CAST(MAX(d.na) AS BIGINT) AS n_old,
+        |  CAST(MAX(d.nb) AS BIGINT) AS n_new,
+        |  round(CAST(CAST(SUM(d.dd) AS VARCHAR) AS DOUBLE)
+        |    / (MAX(d.na) * MAX(d.nb)), 6) AS drift,
+        |  MAX(t.top_dim) AS top_dim,
+        |  round(CAST(CAST(MAX(t.tdd) AS VARCHAR) AS DOUBLE)
+        |    / (MAX(d.na) * MAX(d.nb)), 6) AS top_drift
+        |FROM d JOIN top t ON d.label = t.label
+        |GROUP BY 1 ORDER BY label""".stripMargin,
+
     // x76: both arms replayed exactly — assignment/probe-cell argmax
     // with the (score DESC, id ASC) tie rule, exhaustive truth top-3,
     // cell-pruned top-3 per nprobe, recall + scanned count per row

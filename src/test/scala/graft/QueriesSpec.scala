@@ -793,6 +793,34 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("x77 drift equals an exact-decimal naive replay") {
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("label", "vec_id",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) v")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val got = Extras.x77EmbeddingDrift(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    val dims = embs.head._3.length
+    embs.groupBy(_._1).foreach { case (label, rows) =>
+      val (olds, news) = rows.partition(_._2 % 2 == 0)
+      val (na, nb) = (olds.length.toLong, news.length.toLong)
+      def sums(half: Array[(Int, Long, Array[Double])]): Array[BigDecimal] =
+        (0 until dims).map(i =>
+          half.map(r => dec(r._3(i), 12)).sum).toArray
+      val (sa, sb) = (sums(olds), sums(news))
+      val dd = (0 until dims).map(i => (sa(i) * nb - sb(i) * na).abs)
+      def r6(x: Double): Double = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val drift = r6(dd.sum.toDouble / (na * nb))
+      val topPos = (0 until dims).minBy(i => (-dd(i), i))
+      val topDrift = r6(dd(topPos).toDouble / (na * nb))
+      assert(got(label) == ((na, nb, drift, topPos + 1L, topDrift)),
+        s"label $label: got ${got(label)}")
+    }
+  }
+
   test("x74 predictions equal a naive replay of the trained weights") {
     val P = graft.functions.TextFns.HashMod
     def bucket(tok: String): Long =
