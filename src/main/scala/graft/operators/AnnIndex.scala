@@ -75,14 +75,18 @@ object AnnIndex {
     * same assignment [[append]], so an embedding stream keeps the
     * serving index fresh with no rebuild — the streaming leg of the
     * refresh path x65b exercises in batch. A batch-id ledger marker
-    * (the LakeSink discipline, `_stream_ledger/batch-<id>`, written
-    * AFTER the data) makes replays idempotent at the batch level: a
-    * restarted query re-delivering batch N skips it instead of
-    * duplicating vectors, so a probe over the drained stream equals a
-    * probe over a batch-built index exactly (x70 hash-gates this).
-    * The ledger dir is underscore-prefixed — invisible to parquet
-    * readers of the index. At scale each micro-batch costs O(batch)
-    * data + one marker, the same shape as any commit-log entry.
+    * (the LakeSink discipline via [[graft.streaming.StreamLedger]],
+    * written AFTER the data) makes replays idempotent at the batch
+    * level: a restarted query re-delivering batch N skips it instead
+    * of duplicating vectors, so a probe over the drained stream equals
+    * a probe over a batch-built index exactly (x70 hash-gates this).
+    * The ledger is namespaced per checkpoint (ADVICE r12): batch ids
+    * restart at 0 under a fresh checkpoint, so an un-namespaced
+    * ledger would silently drop a new query's first batches against
+    * an existing index. The ledger dir is underscore-prefixed —
+    * invisible to parquet readers of the index. At scale each
+    * micro-batch costs O(batch) data + one marker, the same shape as
+    * any commit-log entry.
     */
   def appendStream(stream: DataFrame, centroids: DataFrame, path: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
@@ -92,12 +96,8 @@ object AnnIndex {
         val root = new org.apache.hadoop.fs.Path(path)
         val f = root.getFileSystem(
           batch.sparkSession.sparkContext.hadoopConfiguration)
-        val marker = new org.apache.hadoop.fs.Path(root,
-          s"_stream_ledger/batch-$batchId")
-        if (!f.exists(marker)) {
+        graft.streaming.StreamLedger.once(f, root, checkpoint, batchId) {
           append(batch, centroids, path)
-          f.mkdirs(marker.getParent)
-          f.createNewFile(marker)
         }
         ()
       }

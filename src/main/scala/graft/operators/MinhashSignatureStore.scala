@@ -200,9 +200,15 @@ object MinhashSignatureStore {
     * non-idempotent step is a re-APPEND (duplicate store rows for that
     * batch): verdicts stay exact regardless — candidates are distinct
     * pairs and n_dups counts distinct d1 — so the cost is dead bytes
-    * until the next rebuild, never a wrong keep/drop. A deployment
-    * that wants the append transactional routes the two table writes
-    * through [[SnapshotLog]] (the torn-append note above).
+    * until the next [[rebuild]], never a wrong keep/drop.
+    *
+    * The ledger is namespaced per CHECKPOINT ([[graft.streaming.StreamLedger]],
+    * ADVICE r12): a fresh checkpoint pointed at an existing store
+    * restarts batch ids at 0, and an un-namespaced ledger would
+    * silently drop those batches — no verdicts, no append. Under the
+    * namespace each (store, checkpoint) binding replays independently;
+    * a new checkpoint re-applying an old batch is the benign
+    * duplicate-append case above.
     */
   def dedupStream(stream: DataFrame, storeDir: String, verdictDir: String,
       perms: Seq[(Int, Long, Long)], threshold: Double,
@@ -212,19 +218,23 @@ object MinhashSignatureStore {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val f = fs(spark, storeDir)
-        val marker = new org.apache.hadoop.fs.Path(storeDir,
-          s"_stream_ledger/batch-$batchId")
-        if (!f.exists(marker)) {
-          val out = s"$verdictDir/batch-$batchId"
-          // materialize verdicts BEFORE the append mutates the store
-          // (the x71 ordering rule): the verdict frame is lazy
-          dedupAgainst(spark, batch, storeDir, perms, threshold)
-            .write.mode("overwrite").parquet(out)
-          val kept = spark.read.parquet(out).filter(col("keep"))
-          append(spark, batch.join(kept, Seq("doc_id"), "left_semi"),
-            storeDir, perms)
-          f.mkdirs(marker.getParent)
-          f.createNewFile(marker)
+        graft.streaming.StreamLedger.once(f,
+            new org.apache.hadoop.fs.Path(storeDir), checkpoint, batchId) {
+          // the micro-batch feeds two actions (the verdict write, then
+          // the append's joins) — persist it so the source files are
+          // read and tokenized once per batch, not once per action
+          // (ADVICE r12, the foreachBatch multi-action rule)
+          batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val out = s"$verdictDir/batch-$batchId"
+            // materialize verdicts BEFORE the append mutates the store
+            // (the x71 ordering rule): the verdict frame is lazy
+            dedupAgainst(spark, batch, storeDir, perms, threshold)
+              .write.mode("overwrite").parquet(out)
+            val kept = spark.read.parquet(out).filter(col("keep"))
+            append(spark, batch.join(kept, Seq("doc_id"), "left_semi"),
+              storeDir, perms)
+          } finally batch.unpersist(blocking = false)
         }
         ()
       }
@@ -294,8 +304,12 @@ object MinhashSignatureStore {
       val vCount = batchVocab.limit(1025).count()
       // threshold 0 would make J = 0 pairs contractual, and the rank
       // join drops store docs disjoint from the batch vocab (their
-      // J is 0) — the mask path is only sound for a positive threshold
-      val matches = (if (vCount <= 1024 && threshold > 0) {
+      // J is 0) — the mask path is only sound for a positive threshold.
+      // vCount 0 (an EMPTY micro-batch, e.g. delivered on a stream
+      // restart) must fall through too: words = 0 would leave the mask
+      // aggregate with no columns and crash at plan build (ADVICE r12),
+      // while the sorted-merge branch is a clean no-op on empty input.
+      val matches = (if (vCount > 0 && vCount <= 1024 && threshold > 0) {
           val words = ((vCount + 63) / 64).toInt
           val ranks = batchVocab
             .agg(sort_array(collect_list(col("tok"))).as("varr"))

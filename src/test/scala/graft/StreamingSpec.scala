@@ -312,14 +312,18 @@ class StreamingSpec extends AnyFunSuite {
       val n1 = spark.read.parquet(path).count()
       assert(n1 == base.count() + inc.filter(col("vec_id") < 300).count(),
         "each micro-batch lands exactly once")
-      assert(new java.io.File(path, "_stream_ledger/batch-0").exists &&
-        new java.io.File(path, "_stream_ledger/batch-1").exists,
+      // ledger markers live under the CHECKPOINT's namespace (ADVICE
+      // r12: batch ids are checkpoint-scoped)
+      val ledgerDir = graft.streaming.StreamLedger.dir(
+        new org.apache.hadoop.fs.Path(path), root + "/ckpt").toUri.getPath
+      assert(new java.io.File(ledgerDir, "batch-0").exists &&
+        new java.io.File(ledgerDir, "batch-1").exists,
         "ledger markers written after the data")
       // replay simulation: batch id 2 is already marked in the ledger
       // (as after a crash between marker write and checkpoint commit),
       // so the next delivered micro-batch must SKIP instead of
       // duplicating its vectors
-      new java.io.File(path, "_stream_ledger/batch-2").createNewFile()
+      new java.io.File(ledgerDir, "batch-2").createNewFile()
       inc.filter(col("vec_id").between(300, 399)).coalesce(1)
         .write.mode("append").parquet(feed)
       q.processAllAvailable()
@@ -409,8 +413,10 @@ class StreamingSpec extends AnyFunSuite {
     try {
       // batch id 0 is pre-marked (as after a crash between marker write
       // and checkpoint commit): the delivered batch must be SKIPPED —
-      // no verdicts, no append
-      val ledger = new java.io.File(store, "_stream_ledger")
+      // no verdicts, no append. Markers live under this checkpoint's
+      // ledger namespace (ADVICE r12).
+      val ledger = new java.io.File(graft.streaming.StreamLedger.dir(
+        new org.apache.hadoop.fs.Path(store), root + "/ckpt").toUri.getPath)
       ledger.mkdirs()
       new java.io.File(ledger, "batch-0").createNewFile()
       docs.filter(col("doc_id") % 4 === 1).coalesce(1)
@@ -433,5 +439,25 @@ class StreamingSpec extends AnyFunSuite {
       assert(new java.io.File(ledger, "batch-1").exists,
         "the processed batch commits its marker")
     } finally q.stop()
+
+    // A FRESH checkpoint pointed at the same store restarts batch ids
+    // at 0 — its batches must PROCESS, not be skipped by the previous
+    // query's markers (ADVICE r12: the un-namespaced ledger silently
+    // lost exactly these batches)
+    val feed2 = root + "/feed2"
+    new java.io.File(feed2).mkdirs()
+    val q2 = MinhashSignatureStore.dedupStream(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed2),
+      store, root + "/verdicts2", Extras.Perms,
+      Extras.MinhashJaccardThreshold, root + "/ckpt2")
+    try {
+      docs.filter(col("doc_id") % 8 === 5).coalesce(1)
+        .write.mode("append").parquet(feed2)
+      q2.processAllAvailable()
+      assert(new java.io.File(root + "/verdicts2/batch-0").exists,
+        "a fresh checkpoint's batch 0 must not be skipped by the old " +
+          "query's ledger")
+    } finally q2.stop()
   }
 }
