@@ -136,7 +136,8 @@ object SparkEntry {
     "x74_lang_classifier" -> (X.x74LangClassifier _),
     "x75_stream_dedup" -> (X.x75StreamDedup _),
     "x76_ann_recall" -> (X.x76AnnRecall _),
-    "x77_embedding_drift" -> (X.x77EmbeddingDrift _)
+    "x77_embedding_drift" -> (X.x77EmbeddingDrift _),
+    "x78_dedup_verdicts" -> (X.x78DedupVerdicts _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

@@ -105,10 +105,10 @@ object AnnIndex {
 
   /** The optimize swap's commit marker: an underscore-prefixed FILE in
     * the table root (invisible to parquet readers) whose content is
-    * the staging directory name. Its atomic create-then-rename
-    * publication is the commit point — present means "a swap is (or
-    * was) in flight and MUST roll forward"; absent means the layout
-    * is consistent as-is.
+    * the staging directory name. Publication/recovery/cleanup go
+    * through [[SwapCommit]] — the one layout-swap protocol this repo
+    * uses (VERDICT r12 #8); only the roll-forward (per-cell
+    * delete+rename, [[completeSwap]]) is AnnIndex-specific.
     */
   private val CommitMarker = "_optimize_commit"
 
@@ -129,23 +129,18 @@ object AnnIndex {
     val hconf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val f = root.getFileSystem(hconf)
-    val marker = new org.apache.hadoop.fs.Path(root, CommitMarker)
-    if (!f.exists(marker)) return None
-    val in = f.open(marker)
-    val stagingName =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-    val staging = new org.apache.hadoop.fs.Path(root, stagingName)
-    // pull the staged refreshed centroids out BEFORE deleting staging
-    val cdf = spark.read.parquet(
-      new org.apache.hadoop.fs.Path(staging, "centroids").toString)
-    val rows = cdf.collect().toSeq
-    val local = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), cdf.schema)
-    completeSwap(f, root, staging, Int.MaxValue)
-    f.delete(marker, false)
-    f.delete(staging, true)
-    Some(local)
+    SwapCommit.pending(f, root, CommitMarker).map { p =>
+      val staging = new org.apache.hadoop.fs.Path(root, p.payload)
+      // pull the staged refreshed centroids out BEFORE deleting staging
+      val cdf = spark.read.parquet(
+        new org.apache.hadoop.fs.Path(staging, "centroids").toString)
+      val rows = cdf.collect().toSeq
+      val local = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), cdf.schema)
+      completeSwap(f, root, staging, Int.MaxValue)
+      SwapCommit.finish(f, root, p.marker, staging)
+      local
+    }
   }
 
   /** Swap every staged cell directory into the live tree, one cell at
@@ -338,15 +333,10 @@ object AnnIndex {
     if (failAfterSwaps == -1)
       throw new java.io.IOException(
         "injected FS failure before commit-marker publish (test failpoint)")
-    val marker = new org.apache.hadoop.fs.Path(root, CommitMarker)
-    val tmp = new org.apache.hadoop.fs.Path(root,
-      s"$CommitMarker.tmp-${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, true)
-    try out.write(stagingName.getBytes("UTF-8")) finally out.close()
-    require(f.rename(tmp, marker), "optimize: commit-marker publish failed")
+    SwapCommit.publish(f, root, CommitMarker, stagingName)
     completeSwap(f, root, stagingPath, failAfterSwaps)
-    f.delete(marker, false)
-    f.delete(stagingPath, true)
+    SwapCommit.finish(f, root,
+      new org.apache.hadoop.fs.Path(root, CommitMarker), stagingPath)
     refreshedDf
   }
 

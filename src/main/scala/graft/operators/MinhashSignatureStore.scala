@@ -56,14 +56,28 @@ import graft.functions.TextFns
   * Doc ids must be unique across the store's lifetime (the lake's own
   * id contract); a doc re-appended under its own id is additionally
   * guarded by the d1 ≠ d2 filter, so re-probing an already-ingested
-  * batch is idempotent rather than self-matching. Torn-append note:
-  * the two table writes are separate jobs, each atomic at the job
-  * level via the parquet committer (_temporary staging), but a crash
-  * BETWEEN them leaves the batch's bands without docs rows (or vice
-  * versa); the verify inner join drops such orphans, so the failure
-  * mode is under-dedup of that one batch until it is re-appended —
-  * never a wrong pair. A deployment that needs multi-file commit
-  * atomicity routes these writes through [[SnapshotLog]].
+  * batch is idempotent rather than self-matching.
+  *
+  * The two table writes commit ATOMICALLY (VERDICT r12 #3): both land
+  * in a staging dir, a [[SwapCommit]] marker publishes the pair as
+  * one commit point, and the roll-forward merges the staged files
+  * into the live dirs. A crash before the marker leaves the live
+  * store byte-identical (the orphaned staging is GC'd by the next
+  * writer); a crash after it is completed by [[recover]], which every
+  * entry point runs — so a probe sees a batch's bands AND docs rows,
+  * or neither. Never a torn batch.
+  *
+  * [[rebuild]] is the store's `optimize` (VERDICT r12 #2): the LSH
+  * scheme is pinned at build, so a store grown past its occupancy
+  * regime (x02's `minhashSchemeFor` schedule) must re-band or it
+  * silently keeps a recall-collapsed scheme. Rebuild re-signatures
+  * from the stored token sets (never raw text), compacts
+  * replay-duplicated docs rows, and swaps bands + docs + scheme in
+  * crash-atomically through the same [[SwapCommit]] marker.
+  *
+  * Single-writer contract: builds/appends/rebuilds are serialized by
+  * the caller (dedupStream's foreachBatch already is); readers are
+  * unrestricted.
   */
 object MinhashSignatureStore {
 
@@ -135,15 +149,86 @@ object MinhashSignatureStore {
       .withColumn("bkt", pmod(hash(col("band"), col("sig")), lit(BandBuckets)))
   }
 
+  /** The store's layout-swap commit marker ([[SwapCommit]] protocol).
+    * Payload: `"<mode> <stagingDirName>"` with mode `append` (merge
+    * staged files into the live dirs) or `rebuild` (replace bands +
+    * docs + scheme wholesale).
+    */
+  private val CommitMarker = "_commit"
+  private val StagingPrefix = "_staged-"
+
+  /** Complete a pending append/rebuild swap left behind by a crash
+    * (roll-forward recovery): every entry point calls this, so a
+    * reader can only observe the pre-commit layout (marker never
+    * published) or the fully-applied one — never a store holding a
+    * batch's bands without its docs (or a half-swapped rebuild).
+    * Idempotent at the file level: staged entries an earlier crashed
+    * recovery already applied are gone from staging and skipped.
+    */
+  def recover(spark: SparkSession, storeDir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val f = fs(spark, storeDir)
+    SwapCommit.pending(f, root, CommitMarker).foreach { p =>
+      val Array(mode, stagingName) = p.payload.split(" ", 2)
+      val staging = new org.apache.hadoop.fs.Path(root, stagingName)
+      rollForward(f, root, mode, staging, failAt = 0)
+      SwapCommit.finish(f, root, p.marker, staging)
+    }
+  }
+
+  /** Apply a committed staging dir to the live tree. `failAt` is a
+    * test-only failpoint: 3 throws between the bands and docs moves —
+    * the torn-batch window the marker protocol exists to close.
+    */
+  private def rollForward(f: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, mode: String,
+      staging: org.apache.hadoop.fs.Path, failAt: Int): Unit = {
+    def sub(n: String) = new org.apache.hadoop.fs.Path(staging, n)
+    def live(n: String) = new org.apache.hadoop.fs.Path(root, n)
+    mode match {
+      case "append" =>
+        SwapCommit.mergeTree(f, sub("bands"), live("bands"))
+        if (failAt == 3) throw new java.io.IOException(
+          "injected FS failure between the bands and docs moves (test failpoint)")
+        SwapCommit.mergeTree(f, sub("docs"), live("docs"))
+      case "rebuild" =>
+        SwapCommit.replace(f, sub("bands"), live("bands"))
+        if (failAt == 3) throw new java.io.IOException(
+          "injected FS failure mid-rebuild-swap (test failpoint)")
+        SwapCommit.replace(f, sub("docs"), live("docs"))
+        // scheme last: until the marker clears, readers re-enter here
+        // anyway, so ordering only shapes the recovery replay
+        SwapCommit.replace(f, sub("scheme"), live("_scheme"))
+      case other => sys.error(s"unknown swap mode '$other' in $CommitMarker")
+    }
+  }
+
+  /** Stage both tables, publish the commit marker, roll forward. The
+    * atomic-append path (VERDICT r12 #3): a crash anywhere before the
+    * marker publish leaves the live store untouched; after it, the
+    * batch always completes via [[recover]].
+    */
   private def writeBatch(spark: SparkSession, docs: DataFrame,
       storeDir: String, nHashes: Int, nBands: Int,
-      perms: Seq[(Int, Long, Long)]): Unit = {
+      perms: Seq[(Int, Long, Long)]): Unit =
+    writeBatchImpl(spark, docs, storeDir, nHashes, nBands, perms, failAt = 0)
+
+  /** [[writeBatch]] with a test-only failpoint: 1 throws after staging
+    * but before the marker publish (live store must stay byte-
+    * identical); 2 throws right after the publish (next entry point
+    * must roll the whole batch forward); 3 throws between the two
+    * table moves (the torn window itself).
+    */
+  private[graft] def writeBatchImpl(spark: SparkSession, docs: DataFrame,
+      storeDir: String, nHashes: Int, nBands: Int,
+      perms: Seq[(Int, Long, Long)], failAt: Int): Unit = {
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val f = fs(spark, storeDir)
+    val stagingName = s"$StagingPrefix${java.util.UUID.randomUUID()}"
+    val staging = s"$storeDir/$stagingName"
     val arrs = tokenSets(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // bands first: a crash between the writes leaves band rows whose
-      // verify join finds no docs row — dropped, i.e. under-dedup, the
-      // fail-safe direction (see the torn-append note above).
       // Cluster by bkt before the partitioned write: without it every
       // write task holds every bucket and the commit fans out to
       // tasks×buckets tiny files (r12 measured 270 files for a 2.5 MB
@@ -152,10 +237,20 @@ object MinhashSignatureStore {
       // per batch, and the shuffle is batch-sized.
       bandRows(signatures(arrs, nHashes, perms), nHashes, nBands)
         .repartition(col("bkt"))
-        .write.mode("append").partitionBy("bkt")
-        .parquet(s"$storeDir/bands")
-      arrs.write.mode("append").parquet(s"$storeDir/docs")
+        .write.mode("overwrite").partitionBy("bkt")
+        .parquet(s"$staging/bands")
+      arrs.write.mode("overwrite").parquet(s"$staging/docs")
     } finally arrs.unpersist(blocking = false)
+    if (failAt == 1) throw new java.io.IOException(
+      "injected FS failure before commit-marker publish (test failpoint)")
+    SwapCommit.publish(f, root, CommitMarker, s"append $stagingName")
+    if (failAt == 2) throw new java.io.IOException(
+      "injected FS failure after commit-marker publish (test failpoint)")
+    rollForward(f, root, "append",
+      new org.apache.hadoop.fs.Path(root, stagingName), failAt)
+    SwapCommit.finish(f, root,
+      new org.apache.hadoop.fs.Path(root, CommitMarker),
+      new org.apache.hadoop.fs.Path(root, stagingName))
   }
 
   /** Create the store from the historical corpus, pinning the scheme.
@@ -177,11 +272,83 @@ object MinhashSignatureStore {
     f.rename(tmp, schemePath(storeDir))
   }
 
-  /** Append a batch (the caller's kept docs) under the pinned scheme. */
+  /** Append a batch (the caller's kept docs) under the pinned scheme.
+    * Completes any crashed predecessor's swap first and GCs aborted
+    * staging (safe: the store is single-writer by contract).
+    */
   def append(spark: SparkSession, docs: DataFrame, storeDir: String,
       perms: Seq[(Int, Long, Long)]): Unit = {
+    recover(spark, storeDir)
+    SwapCommit.gcOrphans(fs(spark, storeDir),
+      new org.apache.hadoop.fs.Path(storeDir), StagingPrefix, None)
     val (nHashes, nBands) = readScheme(spark, storeDir)
     writeBatch(spark, docs, storeDir, nHashes, nBands, perms)
+  }
+
+  /** Re-band the store to a new pinned scheme — the store's
+    * `optimize` (VERDICT r12 #2). The LSH scheme is fixed at build
+    * time because band keys are only comparable under one scheme; a
+    * corpus that grows into the next occupancy regime
+    * (x02's `minhashSchemeFor`) needs MORE hashes and bands or its
+    * recall at the declared Jaccard threshold silently collapses —
+    * the x02 recall cliff, persisted. Rebuild:
+    *
+    *  1. re-signatures every doc from the stored token sets in
+    *     `docs/` (never raw text — the store is self-contained),
+    *     compacting replay-duplicated rows (dedupStream's benign
+    *     crash-window appends) to one row per doc_id;
+    *  2. stages the new `bands/` (bucketed exactly like a fresh
+    *     build), the compacted `docs/`, and the new scheme file;
+    *  3. publishes the [[SwapCommit]] marker and swaps all three in —
+    *     crash-atomic via the same [[recover]] roll-forward as
+    *     append, so a reader sees the old scheme+bands or the new,
+    *     never a mix.
+    *
+    * Cost is one full pass over the stored token sets — O(corpus),
+    * like any compaction; probes before/after are scheme-consistent
+    * by construction. A rebuilt store probes EXACTLY like a fresh
+    * [[build]] of the same docs at the same scheme (MinhashStoreSpec
+    * pins this).
+    */
+  def rebuild(spark: SparkSession, storeDir: String, nHashes: Int,
+      nBands: Int, perms: Seq[(Int, Long, Long)]): Unit =
+    rebuildImpl(spark, storeDir, nHashes, nBands, perms, failAt = 0)
+
+  /** [[rebuild]] with the same test-only failpoints as
+    * [[writeBatchImpl]]: 1 = pre-publish (old store must stay
+    * intact), 2 = post-publish (next entry point completes the
+    * swap), 3 = mid-swap.
+    */
+  private[graft] def rebuildImpl(spark: SparkSession, storeDir: String,
+      nHashes: Int, nBands: Int, perms: Seq[(Int, Long, Long)],
+      failAt: Int): Unit = {
+    recover(spark, storeDir)
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val f = fs(spark, storeDir)
+    SwapCommit.gcOrphans(f, root, StagingPrefix, None)
+    readScheme(spark, storeDir) // loud failure on a half-built store
+    val stagingName = s"$StagingPrefix${java.util.UUID.randomUUID()}"
+    val staging = s"$storeDir/$stagingName"
+    // one row per doc: replay-duplicated rows are byte-identical, so
+    // any representative is exact; this is where their dead bytes die
+    val arrs = spark.read.parquet(s"$storeDir/docs").dropDuplicates("doc_id")
+    bandRows(signatures(arrs, nHashes, perms), nHashes, nBands)
+      .repartition(col("bkt"))
+      .write.mode("overwrite").partitionBy("bkt")
+      .parquet(s"$staging/bands")
+    arrs.write.mode("overwrite").parquet(s"$staging/docs")
+    val out = f.create(new org.apache.hadoop.fs.Path(staging, "scheme"), true)
+    try out.write(s"$nHashes,$nBands".getBytes("UTF-8")) finally out.close()
+    if (failAt == 1) throw new java.io.IOException(
+      "injected FS failure before commit-marker publish (test failpoint)")
+    SwapCommit.publish(f, root, CommitMarker, s"rebuild $stagingName")
+    if (failAt == 2) throw new java.io.IOException(
+      "injected FS failure after commit-marker publish (test failpoint)")
+    rollForward(f, root, "rebuild",
+      new org.apache.hadoop.fs.Path(root, stagingName), failAt)
+    SwapCommit.finish(f, root,
+      new org.apache.hadoop.fs.Path(root, CommitMarker),
+      new org.apache.hadoop.fs.Path(root, stagingName))
   }
 
   /** Streaming ingest dedup: every micro-batch is near-deduplicated
@@ -240,15 +407,136 @@ object MinhashSignatureStore {
       }
       .start()
 
+  /** Band-collision candidate pairs (d1 → d2) for an incoming batch's
+    * band rows: store collisions ∪ earlier-in-batch collisions, one
+    * row PER COLLIDING BAND (the census path dedups them; the
+    * verdict-only path counts them as its ranking signal).
+    *
+    * Store side streams through a broadcast hash join (never
+    * shuffles); bkt in the join key arms DPP on the store scan. The
+    * d1 ≠ d2 guard makes re-probing an ingested batch idempotent
+    * instead of self-matching; the in-batch side is a batch-sized
+    * broadcast self-join on smaller doc_id.
+    */
+  private def bandCollisions(storeBands: DataFrame, inc: DataFrame): DataFrame = {
+    val fromStore = storeBands.as("s").join(broadcast(inc).as("i"),
+        col("s.bkt") === col("i.bkt") && col("s.band") === col("i.band") &&
+          col("s.sig") === col("i.sig") && col("s.doc_id") =!= col("i.doc_id"))
+      .select(col("s.doc_id").as("d1"), col("i.doc_id").as("d2"))
+    val inBatch = inc.as("x").join(broadcast(inc).as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+    fromStore.unionByName(inBatch)
+  }
+
+  /** The batch-vocabulary strategy probe: distinct token count of the
+    * CACHED batch frame, clamped at 1025 (all the mask ladder needs
+    * to know is ≤ 1024 or not) — never a store scan.
+    */
+  private def batchVocabCount(arrs: DataFrame): Long =
+    arrs.select(explode(col("arr")).as("tok")).distinct().limit(1025).count()
+
+  /** Exact-verified matches (d1, d2, jaccard ≥ threshold) for the
+    * candidate pairs. The store docs scan is pruned by a broadcast
+    * semi on candidate d1 ids (sliver fetch, never a store shuffle);
+    * d1 may be a store doc or an earlier batch doc — one union'd
+    * reference frame serves both.
+    *
+    * Verify-strategy ladder (x02's mask ladder, chosen PER PROBE by
+    * the BATCH vocabulary — sufficient, because a token common to a
+    * store doc and a batch doc is by definition in the batch
+    * vocabulary, so masks over the batch vocab compute |A∩B|
+    * EXACTLY and |A∪B| = sz1 + sz2 − |A∩B| from the stored sizes):
+    * a ≤1024-token batch vocabulary — templated spam, generator
+    * corpora, boilerplate floods, exactly the batches whose
+    * candidate volume explodes — verifies each pair with one
+    * codegen popcount pass over ≤16 longs instead of a string
+    * merge over the full token arrays, and ships 8·words bytes per
+    * doc through the pair joins instead of the arrays (sf1 A/B:
+    * 30.8 → 21.5 s for the x71 lifecycle; neutral at sf0.1).
+    * Open-vocab batches keep the sorted-merge intersect.
+    *
+    * Mask-path guards: threshold 0 would make J = 0 pairs contractual,
+    * and the rank join drops store docs disjoint from the batch vocab
+    * (their J is 0) — the mask path is only sound for a positive
+    * threshold. vCount 0 (an EMPTY micro-batch, e.g. delivered on a
+    * stream restart) must fall through too: words = 0 would leave the
+    * mask aggregate with no columns and crash at plan build (ADVICE
+    * r12), while the sorted-merge branch is a clean no-op on empty
+    * input.
+    */
+  private def verifiedMatches(spark: SparkSession, cand: DataFrame,
+      arrs: DataFrame, storeDocs: DataFrame, threshold: Double,
+      vCount: Long): DataFrame = {
+    val d1Ids = cand.select(col("d1").as("doc_id")).distinct()
+    val refArrs = storeDocs.join(broadcast(d1Ids), Seq("doc_id"), "left_semi")
+      .unionByName(arrs)
+    (if (vCount > 0 && vCount <= 1024 && threshold > 0) {
+        graft.expressions.MaskPairStats.register(spark)
+        val words = ((vCount + 63) / 64).toInt
+        val ranks = arrs.select(explode(col("arr")).as("tok")).distinct()
+          .agg(sort_array(collect_list(col("tok"))).as("varr"))
+          .select(posexplode(col("varr")).as(Seq("p", "tok")))
+        def masked(df: DataFrame, id: String, m: String, sz: String) = {
+          // bit_or, NOT sum: a doc row duplicated by dedupStream's
+          // crash-window replay explodes its tokens twice into this
+          // aggregate, and summing would carry duplicate bits into
+          // the wrong positions — OR is idempotent, so duplicate
+          // store rows cannot corrupt a mask (MinhashStoreSpec pins
+          // verdict equality against a duplicated store)
+          val wordCols = (0 until words).map { w =>
+            expr(s"bit_or(CASE WHEN p DIV 64 = $w THEN " +
+              "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)) " +
+              "ELSE CAST(0 AS BIGINT) END)").as(s"_w$w")
+          }
+          df.select(col("doc_id"), col("sz"), explode(col("arr")).as("tok"))
+            .join(broadcast(ranks), Seq("tok"))
+            .groupBy(col("doc_id"), col("sz"))
+            .agg(wordCols.head, wordCols.tail: _*)
+            .select(col("doc_id").as(id),
+              array((0 until words).map(w => col(s"_w$w")): _*).as(m),
+              col("sz").as(sz))
+        }
+        cand.join(masked(refArrs, "d1", "m1", "sz1"), Seq("d1"))
+          .join(masked(arrs, "d2", "m2", "sz2"), Seq("d2"))
+          .withColumn("mps", graft.expressions.MaskPairStats.maskPairStats(
+            col("m1"), col("m2"), lit(1)))
+          .withColumn("inter",
+            shiftright(col("mps"), 11).bitwiseAND(lit(0x7ffL)))
+          .withColumn("jaccard", col("inter").cast(DoubleType) /
+            (col("sz1") + col("sz2") - col("inter")))
+      } else {
+        cand
+          .join(refArrs.select(col("doc_id").as("d1"), col("arr").as("a1"),
+            col("sz").as("sz1")), Seq("d1"))
+          .join(arrs.select(col("doc_id").as("d2"), col("arr").as("a2"),
+            col("sz").as("sz2")), Seq("d2"))
+          .withColumn("inter",
+            graft.expressions.SortedIntersectCount.sortedIntersectCount(
+              col("a1"), col("a2")))
+          .withColumn("jaccard", col("inter").cast(DoubleType) /
+            (col("sz1") + col("sz2") - col("inter")))
+      }).filter(col("jaccard") >= threshold)
+  }
+
   /** Near-dup verdicts for an incoming batch against history ∪
     * earlier-in-batch: (doc_id, keep, n_dups, max_jaccard) — keep ⇔ no
     * token-set Jaccard ≥ `threshold` against any store doc or any
     * smaller-id batch doc; n_dups counts the matches the banding
     * surfaced, max_jaccard their maximum (0.0 when kept).
+    *
+    * This is the CENSUS mode: the match statistics force verifying
+    * every ≥-threshold candidate, which on a match-dense corpus grows
+    * as the square of scale even though the verdict output is linear
+    * (VERDICT r12). A pipeline that needs only keep/drop uses
+    * [[dedupVerdicts]], whose verify cost is bounded at O(batch) on
+    * exactly those corpora.
     */
   def dedupAgainst(spark: SparkSession, incoming: DataFrame,
       storeDir: String, perms: Seq[(Int, Long, Long)],
       threshold: Double): DataFrame = {
+    recover(spark, storeDir) // never read a half-committed batch/rebuild
     val (nHashes, nBands) = readScheme(spark, storeDir)
     val storeBands = spark.read.parquet(s"$storeDir/bands")
     val storeDocs = spark.read.parquet(s"$storeDir/docs")
@@ -260,100 +548,14 @@ object MinhashSignatureStore {
     // not release it (release scopes to the returned frame's action).
     graft.Caching.withPersistedThrough(tokenSets(incoming)) { arrs =>
       val inc = bandRows(signatures(arrs, nHashes, perms), nHashes, nBands)
-      // store candidates: store side streams through a broadcast hash
-      // join (never shuffles); bkt in the join key arms DPP on the
-      // store scan. d1 ≠ d2 makes re-probing an ingested batch
-      // idempotent instead of self-matching.
-      val fromStore = storeBands.as("s").join(broadcast(inc).as("i"),
-          col("s.bkt") === col("i.bkt") && col("s.band") === col("i.band") &&
-            col("s.sig") === col("i.sig") && col("s.doc_id") =!= col("i.doc_id"))
-        .select(col("s.doc_id").as("d1"), col("i.doc_id").as("d2"))
-      // earlier-in-batch candidates: batch-sized broadcast self-join
-      val inBatch = inc.as("x").join(broadcast(inc).as("y"),
-          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       // multi-band collisions: the candidate sliver pays the distinct,
       // not the store (store-side rows never reach an exchange); its
       // two consumers (the scored pairs and the d1Ids verify-fetch
       // pruning) share the distinct's exchange via ReusedExchange — a
       // r12 persist experiment measured no gain over the reuse
-      val cand = fromStore.unionByName(inBatch).distinct()
-      // verify-side fetch: prune the store scan with a broadcast semi
-      // on candidate ids, then sliver⋈sliver. d1 may be a store doc or
-      // an earlier batch doc — one union'd reference frame serves both.
-      val d1Ids = cand.select(col("d1").as("doc_id")).distinct()
-      val refArrs = storeDocs.join(broadcast(d1Ids), Seq("doc_id"), "left_semi")
-        .unionByName(arrs)
-      // Verify-strategy probe (x02's mask ladder, chosen PER PROBE by
-      // the BATCH vocabulary — sufficient, because a token common to a
-      // store doc and a batch doc is by definition in the batch
-      // vocabulary, so masks over the batch vocab compute |A∩B|
-      // EXACTLY and |A∪B| = sz1 + sz2 − |A∩B| from the stored sizes):
-      // a ≤1024-token batch vocabulary — templated spam, generator
-      // corpora, boilerplate floods, exactly the batches whose
-      // candidate volume explodes — verifies each pair with one
-      // codegen popcount pass over ≤16 longs instead of a string
-      // merge over the full token arrays, and ships 8·words bytes per
-      // doc through the pair joins instead of the arrays (sf1 A/B:
-      // 30.8 → 21.5 s for the x71 lifecycle; neutral at sf0.1). The
-      // strategy count runs on the CACHED batch frame — never a store
-      // scan. Open-vocab batches keep the sorted-merge intersect.
-      graft.expressions.MaskPairStats.register(spark)
-      val batchVocab = arrs.select(explode(col("arr")).as("tok")).distinct()
-      val vCount = batchVocab.limit(1025).count()
-      // threshold 0 would make J = 0 pairs contractual, and the rank
-      // join drops store docs disjoint from the batch vocab (their
-      // J is 0) — the mask path is only sound for a positive threshold.
-      // vCount 0 (an EMPTY micro-batch, e.g. delivered on a stream
-      // restart) must fall through too: words = 0 would leave the mask
-      // aggregate with no columns and crash at plan build (ADVICE r12),
-      // while the sorted-merge branch is a clean no-op on empty input.
-      val matches = (if (vCount > 0 && vCount <= 1024 && threshold > 0) {
-          val words = ((vCount + 63) / 64).toInt
-          val ranks = batchVocab
-            .agg(sort_array(collect_list(col("tok"))).as("varr"))
-            .select(posexplode(col("varr")).as(Seq("p", "tok")))
-          def masked(df: DataFrame, id: String, m: String, sz: String) = {
-            // bit_or, NOT sum: a doc row duplicated by dedupStream's
-            // crash-window replay explodes its tokens twice into this
-            // aggregate, and summing would carry duplicate bits into
-            // the wrong positions — OR is idempotent, so duplicate
-            // store rows cannot corrupt a mask (MinhashStoreSpec pins
-            // verdict equality against a duplicated store)
-            val wordCols = (0 until words).map { w =>
-              expr(s"bit_or(CASE WHEN p DIV 64 = $w THEN " +
-                "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)) " +
-                "ELSE CAST(0 AS BIGINT) END)").as(s"_w$w")
-            }
-            df.select(col("doc_id"), col("sz"), explode(col("arr")).as("tok"))
-              .join(broadcast(ranks), Seq("tok"))
-              .groupBy(col("doc_id"), col("sz"))
-              .agg(wordCols.head, wordCols.tail: _*)
-              .select(col("doc_id").as(id),
-                array((0 until words).map(w => col(s"_w$w")): _*).as(m),
-                col("sz").as(sz))
-          }
-          cand.join(masked(refArrs, "d1", "m1", "sz1"), Seq("d1"))
-            .join(masked(arrs, "d2", "m2", "sz2"), Seq("d2"))
-            .withColumn("mps", graft.expressions.MaskPairStats.maskPairStats(
-              col("m1"), col("m2"), lit(1)))
-            .withColumn("inter",
-              shiftright(col("mps"), 11).bitwiseAND(lit(0x7ffL)))
-            .withColumn("jaccard", col("inter").cast(DoubleType) /
-              (col("sz1") + col("sz2") - col("inter")))
-        } else {
-          cand
-            .join(refArrs.select(col("doc_id").as("d1"), col("arr").as("a1"),
-              col("sz").as("sz1")), Seq("d1"))
-            .join(arrs.select(col("doc_id").as("d2"), col("arr").as("a2"),
-              col("sz").as("sz2")), Seq("d2"))
-            .withColumn("inter",
-              graft.expressions.SortedIntersectCount.sortedIntersectCount(
-                col("a1"), col("a2")))
-            .withColumn("jaccard", col("inter").cast(DoubleType) /
-              (col("sz1") + col("sz2") - col("inter")))
-        }).filter(col("jaccard") >= threshold)
+      val cand = bandCollisions(storeBands, inc).distinct()
+      val matches = verifiedMatches(spark, cand, arrs, storeDocs,
+        threshold, batchVocabCount(arrs))
       // countDistinct(d1), not count(*): identical when the store is
       // clean (candidate pairs are already distinct), but immune to a
       // doc row duplicated by a replayed crash-window append
@@ -370,6 +572,125 @@ object MinhashSignatureStore {
           col("n_dups").isNull.as("keep"),
           coalesce(col("n_dups"), lit(0L)).as("n_dups"),
           coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"))
+    }
+  }
+
+  /** Verify chunk schedule for [[dedupVerdicts]]: each unresolved doc
+    * verifies its next 4, then next 60, then all remaining candidates
+    * — three rounds total. The first chunk resolves virtually every
+    * dropping doc (its top-ranked candidates are the likeliest true
+    * matches); the tail chunk is only reached by docs whose candidates
+    * are banding false positives, which the LSH S-curve keeps sparse.
+    */
+  private val VerdictChunks = Seq(4L, 60L)
+
+  /** VERDICT-ONLY near-dup dedup (VERDICT r12 #1): (doc_id, keep) with
+    * keep/drop decisions IDENTICAL to [[dedupAgainst]]'s, at verify
+    * cost bounded by O(batch) on match-dense corpora.
+    *
+    * The census contract's n_dups/max_jaccard force verifying EVERY
+    * ≥-threshold match; on a duplicate-heavy corpus (a spammy crawl —
+    * exactly where near-dup dedup earns its keep) a batch doc matches
+    * a constant FRACTION of history, so census verify volume grows as
+    * sf². But keep/drop only needs ONE verified match per dropping
+    * doc. This mode short-circuits:
+    *
+    *  1. candidates are ranked per batch doc by COLLIDING-BAND COUNT
+    *     (collisions ~ Binomial(bands, J^rows), monotone in J — the
+    *     top-ranked candidate is the likeliest true match);
+    *  2. verification proceeds in driver-looped rounds over
+    *     [[VerdictChunks]]: each round verifies the next chunk of
+    *     ranked candidates for STILL-UNRESOLVED docs only, and a doc
+    *     with a verified match is resolved (drop) — its remaining
+    *     candidates are never fetched;
+    *  3. docs surviving all rounds verified ALL their candidates
+    *     below threshold — kept, exactly the census rule.
+    *
+    * On the dense corpus nearly every dropping doc resolves in round
+    * 1 (≤ 4 verified pairs), so verify volume is ~4·|batch| instead
+    * of |batch|·|matched history|. Keepers still verify all their
+    * candidates — unavoidable (a keep verdict IS the claim that
+    * every candidate is below threshold) — but those are banding
+    * false positives, bounded by the S-curve, not by duplication.
+    * Candidate GENERATION is unchanged (band join + one
+    * candidate-sized aggregate); only the expensive token-level
+    * verify is bounded. MinhashStoreSpec pins verdict equality with
+    * the census mode and the O(batch) verify bound on an
+    * all-duplicate corpus; the x78 oracle key hash-gates the
+    * lifecycle end-to-end.
+    */
+  def dedupVerdicts(spark: SparkSession, incoming: DataFrame,
+      storeDir: String, perms: Seq[(Int, Long, Long)],
+      threshold: Double): DataFrame =
+    dedupVerdictsWithStats(spark, incoming, storeDir, perms, threshold)._1
+
+  /** [[dedupVerdicts]] plus the number of candidate pairs actually
+    * verified — the quantity the O(batch) bound is about (spec-facing).
+    * The returned frame is fully materialized (the round loop runs
+    * actions), so re-consuming it is cheap.
+    */
+  private[graft] def dedupVerdictsWithStats(spark: SparkSession,
+      incoming: DataFrame, storeDir: String,
+      perms: Seq[(Int, Long, Long)], threshold: Double): (DataFrame, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    recover(spark, storeDir)
+    val (nHashes, nBands) = readScheme(spark, storeDir)
+    val storeBands = spark.read.parquet(s"$storeDir/bands")
+    val storeDocs = spark.read.parquet(s"$storeDir/docs")
+    graft.expressions.SortedIntersectCount.register(spark)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // the round loop runs its own actions, so cache scopes are managed
+    // by hand here (persist → loop → unpersist), not via Caching
+    val arrs = tokenSets(incoming).persist(lvl)
+    // ranked candidates: ONE candidate-sized aggregate (same exchange
+    // cost as the census path's distinct) + a d2-partitioned window —
+    // batch-doc-partitioned, never a global sort
+    val cand = bandCollisions(storeBands,
+        bandRows(signatures(arrs, nHashes, perms), nHashes, nBands))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("nb"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("d2")).orderBy(col("nb").desc, col("d1"))))
+      .persist(lvl)
+    try {
+      val vCount = batchVocabCount(arrs)
+      // resolved = dropping docs found so far; localCheckpoint pins
+      // each round's result so later rounds don't recompute the chain
+      var resolved = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType))))
+      var verifiedPairs = 0L
+      var lo = 1L
+      val bounds = VerdictChunks.map(Some(_)) :+ None
+      for (chunk <- bounds) {
+        val inRange = chunk match {
+          case Some(c) => col("rn").between(lo, lo + c - 1)
+          case None => col("rn") >= lo
+        }
+        val roundCand = cand.filter(inRange)
+          .join(resolved.withColumnRenamed("doc_id", "d2"), Seq("d2"),
+            "left_anti")
+          .select(col("d1"), col("d2"))
+        val n = roundCand.count()
+        verifiedPairs += n
+        if (n > 0) {
+          val hit = verifiedMatches(spark, roundCand, arrs, storeDocs,
+              threshold, vCount)
+            .select(col("d2").as("doc_id")).distinct()
+            .localCheckpoint(true)
+          resolved = resolved.unionByName(hit).localCheckpoint(true)
+        }
+        lo += chunk.getOrElse(0L)
+      }
+      val out = incoming.select(col("doc_id"))
+        .join(broadcast(resolved.withColumn("m", lit(true))),
+          Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("m").isNull.as("keep"))
+      (out, verifiedPairs)
+    } finally {
+      cand.unpersist(blocking = false)
+      arrs.unpersist(blocking = false)
     }
   }
 }

@@ -1527,6 +1527,14 @@ object ExtrasOracle {
     // drained stream's verdicts replay against the identical SQL
     "x75_stream_dedup" -> incrementalMinhashSql,
 
+    // x78: the verdict-only short-circuit mode — keep/drop must equal
+    // the census lifecycle's decisions exactly, so the oracle is x71's
+    // SQL projected to the keep column (the census statistics are the
+    // only thing the mode drops)
+    "x78_dedup_verdicts" ->
+      s"""SELECT doc_id, batch, keep FROM ($incrementalMinhashSql)
+         |ORDER BY doc_id""".stripMargin,
+
     // x77: snapshot drift — per-(label, half, dim) decimal sums, the
     // cross-multiplied per-dim comparison (exact, division-free), the
     // per-label rollup and top-drifting dimension

@@ -168,6 +168,166 @@ class MinhashStoreSpec extends AnyFunSuite {
       "every join in the probe must be broadcast-side (store streams)")
   }
 
+  test("append commits atomically: a probe sees a batch's bands AND " +
+      "docs, or neither (VERDICT r12 #3)") {
+    def counts(store: String): (Long, Long) =
+      (spark.read.parquet(s"$store/docs").count(),
+        spark.read.parquet(s"$store/bands").count())
+    val batch = docsDf(30L -> freshText)
+
+    // failpoint 1: crash AFTER staging both tables, BEFORE the marker
+    // publish — the live store must stay byte-identical (the staged
+    // batch is invisible), and the next real append must GC the orphan
+    val s1 = freshStore("tear1")
+    MinhashSignatureStore.build(spark, docsDf(1L -> h1Text, 2L -> h2Text),
+      s1, 16, 4, perms)
+    val before = counts(s1)
+    intercept[java.io.IOException] {
+      MinhashSignatureStore.writeBatchImpl(spark, batch, s1, 16, 4, perms,
+        failAt = 1)
+    }
+    assert(counts(s1) === before, "pre-commit crash must leave the live " +
+      "store untouched")
+    val twin = verdictMap(MinhashSignatureStore.dedupAgainst(
+      spark, docsDf(40L -> freshText), s1, perms, T))
+    assert(twin(40L)._1 === true,
+      "the crashed batch never landed, so its twin is a keeper")
+    assert(new java.io.File(s1).listFiles().exists(
+      _.getName.startsWith("_staged-")), "orphan staging present pre-GC")
+    MinhashSignatureStore.append(spark, batch, s1, perms)
+    assert(!new java.io.File(s1).listFiles().exists(
+      _.getName.startsWith("_staged-")),
+      "the next writer GCs aborted staging")
+    assert(counts(s1)._1 === 3)
+
+    // failpoints 2 and 3: crash after the marker publish (before any
+    // move / between the two table moves) — the next reader entry
+    // point must roll the WHOLE batch forward: bands and docs together
+    for (fp <- Seq(2, 3)) {
+      val s = freshStore(s"tear$fp")
+      MinhashSignatureStore.build(spark, docsDf(1L -> h1Text, 2L -> h2Text),
+        s, 16, 4, perms)
+      val (d0, b0) = counts(s)
+      intercept[java.io.IOException] {
+        MinhashSignatureStore.writeBatchImpl(spark, batch, s, 16, 4, perms,
+          failAt = fp)
+      }
+      // a probing reader completes the swap before reading
+      val v = verdictMap(MinhashSignatureStore.dedupAgainst(
+        spark, docsDf(40L -> freshText), s, perms, T))
+      assert(v(40L) === ((false, 1L, 1.0)),
+        s"failpoint $fp: the committed batch must be fully visible")
+      val (d1, b1) = counts(s)
+      assert(d1 > d0 && b1 > b0,
+        s"failpoint $fp: both tables must have rolled forward together")
+      assert(!new java.io.File(s, "_commit").exists,
+        "recovery retires the marker")
+    }
+  }
+
+  test("rebuild re-bands to a new scheme: probes match a fresh build, " +
+      "the swap is crash-atomic, duplicated rows compact (VERDICT r12 #2)") {
+    // a store built at the small-corpus scheme, grown by an append —
+    // the situation where the pinned scheme must be upgraded
+    val store = freshStore("rebuild")
+    val histA = docsDf(100L -> h1Text, 102L -> h2Text)
+    val histB = docsDf(104L -> freshText)
+    MinhashSignatureStore.build(spark, histA, store, 16, 4, perms)
+    MinhashSignatureStore.append(spark, histB, store, perms)
+    // a replay-duplicated append (the dedupStream crash window): its
+    // dead bytes must die at rebuild
+    MinhashSignatureStore.append(spark, histB, store, perms)
+    assert(spark.read.parquet(s"$store/docs").count() === 4)
+
+    MinhashSignatureStore.rebuild(spark, store, 48, 8, perms)
+    assert(MinhashSignatureStore.readScheme(spark, store) === ((48, 8)))
+    assert(spark.read.parquet(s"$store/docs").count() === 3,
+      "rebuild compacts replay-duplicated docs rows")
+
+    // probe equality against a from-scratch 48/8 build of the same docs
+    val fresh = freshStore("rebuildref")
+    MinhashSignatureStore.build(spark,
+      histA.unionByName(docsDf(104L -> freshText)), fresh, 48, 8, perms)
+    val probe = docsDf(201L -> h1Text, 203L -> bText, 205L -> zText,
+      207L -> freshText, 209L -> "totally unrelated tokens")
+    assert(
+      verdictMap(MinhashSignatureStore.dedupAgainst(spark, probe, store, perms, T)) ===
+        verdictMap(MinhashSignatureStore.dedupAgainst(spark, probe, fresh, perms, T)),
+      "a rebuilt store must probe exactly like a fresh build at the new scheme")
+
+    // crash injection: pre-publish leaves the OLD scheme fully intact;
+    // post-publish is completed by the next reader
+    val s1 = freshStore("rebuildcrash1")
+    MinhashSignatureStore.build(spark, histA, s1, 16, 4, perms)
+    intercept[java.io.IOException] {
+      MinhashSignatureStore.rebuildImpl(spark, s1, 48, 8, perms, failAt = 1)
+    }
+    assert(MinhashSignatureStore.readScheme(spark, s1) === ((16, 4)),
+      "pre-commit crash: the old scheme stands")
+    val v1 = verdictMap(MinhashSignatureStore.dedupAgainst(
+      spark, docsDf(201L -> h1Text), s1, perms, T))
+    assert(v1(201L)._1 === false, "old store still probes correctly")
+
+    for (fp <- Seq(2, 3)) {
+      val s = freshStore(s"rebuildcrash$fp")
+      MinhashSignatureStore.build(spark, histA, s, 16, 4, perms)
+      intercept[java.io.IOException] {
+        MinhashSignatureStore.rebuildImpl(spark, s, 48, 8, perms, failAt = fp)
+      }
+      // the next probe completes the swap and reads the NEW scheme
+      val v = verdictMap(MinhashSignatureStore.dedupAgainst(
+        spark, docsDf(201L -> h1Text), s, perms, T))
+      assert(MinhashSignatureStore.readScheme(spark, s) === ((48, 8)),
+        s"failpoint $fp: recovery must finish the rebuild swap")
+      assert(v(201L)._1 === false && v(201L)._3 === 1.0)
+      assert(!new java.io.File(s, "_commit").exists)
+    }
+  }
+
+  test("dedupVerdicts: keep/drop identical to the census mode on the " +
+      "lifecycle fixture (VERDICT r12 #1)") {
+    val store = freshStore("vmode")
+    MinhashSignatureStore.build(spark,
+      docsDf(100L -> h1Text, 102L -> h2Text), store, 16, 4, perms)
+    // the full semantic mix: history exact dup, history near-dup, a
+    // fresh keeper, a within-batch twin, a below-threshold near-miss
+    val batch = docsDf(201L -> h1Text, 203L -> bText, 205L -> freshText,
+      207L -> freshText, 209L -> zText)
+    val census = verdictMap(MinhashSignatureStore.dedupAgainst(
+      spark, batch, store, perms, T)).map { case (k, v) => k -> v._1 }
+    val verdicts = MinhashSignatureStore.dedupVerdicts(
+        spark, batch, store, perms, T)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(verdicts === census,
+      "the short-circuit mode must not change a single keep/drop")
+    assert(verdicts.values.exists(identity) && verdicts.values.exists(!_),
+      "fixture exercises both outcomes")
+  }
+
+  test("dedupVerdicts bounds verify volume at O(batch) on an " +
+      "all-duplicate corpus; censusless keepers still verify fully") {
+    // the adversarial shape from the scale sweep: EVERY store doc
+    // matches every batch doc (the census mode verifies |batch|×|store|
+    // pairs here — the sf² regime)
+    val store = freshStore("vbound")
+    val d = 40
+    MinhashSignatureStore.build(spark,
+      docsDf((1 to d).map(i => i.toLong -> h1Text): _*), store, 16, 4, perms)
+    val b = 6
+    val batch = docsDf((101 to 100 + b).map(i => i.toLong -> h1Text): _*)
+    val (vdf, pairs) = MinhashSignatureStore.dedupVerdictsWithStats(
+      spark, batch, store, perms, T)
+    assert(vdf.collect().forall(!_.getBoolean(1)), "every batch doc drops")
+    assert(pairs <= 4L * b,
+      s"short-circuit must verify at most chunk×batch pairs, got $pairs " +
+        s"(census would verify ~${d * b})")
+
+    // a no-candidate batch verifies nothing at all
+    val (kdf, kPairs) = MinhashSignatureStore.dedupVerdictsWithStats(
+      spark, docsDf(300L -> "totally unrelated tokens"), store, perms, T)
+    assert(kdf.collect().forall(_.getBoolean(1)) && kPairs === 0L)
+  }
+
   test("half-built store (no scheme file) fails loudly, not silently") {
     val store = freshStore("torn")
     MinhashSignatureStore.build(spark, docsDf(1L -> h1Text), store, 16, 4, perms)
