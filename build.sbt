@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The per-round driver parses the FINAL stdout line of a bench run as
+// JSON. Two sbt behaviors broke that parse every round: the forked
+// process's output is re-logged with an "[info] " prefix, and sbt
+// appends a "[success] Total time" banner after it. Print forked run
+// output verbatim and skip the banner, so graft.Bench's compact
+// summary line really is the last line of captured output.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

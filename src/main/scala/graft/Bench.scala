@@ -91,6 +91,24 @@ object Bench {
       Seq("git", "rev-parse", "--short", "HEAD")).!!.trim
     catch { case _: Throwable => "unknown" }
 
+  /** Shortest prefix (≥ 3 chars) of each key that no OTHER key starts
+    * with — the abbreviation scheme of the parse-safe tail line
+    * (VERDICT r12 #7): the full 115-key minima map with full names is
+    * ~2.6 kB, larger than the driver's captured log tail, while the
+    * abbreviated one ("x71", "q08_a", …) fits with room to spare. A
+    * key that is itself a prefix of another key (q26_centroid /
+    * q26_centroid_agg) appears in full; abbreviations are distinct
+    * strings by construction.
+    */
+  private def uniquePrefixes(names: Seq[String]): Map[String, String] =
+    names.map { n =>
+      val others = names.filterNot(_ == n)
+      val len = (3 to n.length)
+        .find(l => !others.exists(_.startsWith(n.take(l))))
+        .getOrElse(n.length)
+      n -> n.take(len)
+    }.toMap
+
   /** One timed sweep of `names` against `sfDir`: per-query successful
     * run times + the loadavg sampled at each query's start.
     */
@@ -246,14 +264,22 @@ object Bench {
           s"""{"metric":"total",$onlyField$body,"runs":$runs,"max_heap_mb":$heapMb,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}"}"""
         println(line)
         writeArtifact(line, "BENCH_LAST.json")
-        // compact LAST line (< 2 kB): survives any fixed-size log tail
-        val slowest = results
-          .collect { case (k, g, _) if g.nonEmpty => (k, g.min) }
-          .sortBy(-_._2).take(10)
-          .map { case (k, v) => "\"" + k + "\":" + math.rint(v * 100) / 100 }
+        // Compact LAST line (VERDICT r12 #7): the driver parses the
+        // FINAL stdout line and keeps only a ~2 kB tail, so this line
+        // must be (a) the actual last line — build.sbt suppresses
+        // sbt's trailing "[success]" banner and unwraps the forked
+        // JVM's stdout from the "[info] " prefix — and (b) self-
+        // contained under 2 kB: ALL per-key minima, keys abbreviated
+        // to shortest-unique-prefix, values rounded to 0.1 s.
+        // BENCH_LAST.json / BENCH_HISTORY.jsonl carry full names and
+        // precision.
+        val pfx = uniquePrefixes(names)
+        val allMin = results
+          .map { case (k, g, _) => "\"" + pfx(k) + "\":" +
+            (if (g.nonEmpty) (math.rint(g.min * 10) / 10).toString else "null") }
           .mkString("{", ",", "}")
         println(
-          s"""{"metric":"total","value":$total,"unit":"sec",$onlyField"n_queries":${names.size},"total_min":$totalMin,"sf":"$sfDir","runs":$runs,"failed_runs":$failedRuns,"noisy_count":${noisy.size},"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","slowest_min":$slowest,"full_artifact":"BENCH_LAST.json"}""")
+          s"""{"metric":"total","value":${math.rint(total * 100) / 100},"unit":"sec",$onlyField"n_queries":${names.size},"total_min":${math.rint(totalMin * 100) / 100},"sf":"$sfDir","runs":$runs,"failed_runs":$failedRuns,"noisy_count":${noisy.size},"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","key_style":"shortest-unique-prefix","queries_min_abbrev":$allMin,"full_artifact":"BENCH_LAST.json"}""")
         if (sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1") && noisy.nonEmpty) {
           spark.stop()
           sys.exit(2)
