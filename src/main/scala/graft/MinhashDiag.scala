@@ -13,10 +13,17 @@ import org.apache.spark.sql.SparkSession
   * line per dir with n_docs, the (n_hashes, n_bands) scheme,
   * n_distinct_sets, n_band_candidates (representative level), and
   * n_result_rows.
+  *
+  * `runMain graft.MinhashDiag x71 <sfDir> [<sfDir>...]` runs the
+  * signature-store accounting instead (VERDICT r12 #4): per dir, the
+  * lifecycle batch's candidate volume, census match volume, and the
+  * verdict-only mode's actually-verified pair count — proving at
+  * each scale that census cost tracks MATCH volume (a corpus
+  * property) while the short-circuit verify stays O(batch).
   */
 object MinhashDiag {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: MinhashDiag <sfDir> [<sfDir>...]")
+    require(args.nonEmpty, "usage: MinhashDiag [x71] <sfDir> [<sfDir>...]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -29,12 +36,17 @@ object MinhashDiag {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Logs.quietNoise()
-    args.foreach { dir =>
+    val (mode, dirs) =
+      if (args.head == "x71") ("x71", args.tail.toSeq)
+      else ("x02", args.toSeq)
+    dirs.foreach { dir =>
       val t0 = System.nanoTime()
-      val stats = graft.queries.Extras.x02Diag(spark, dir)
+      val stats =
+        if (mode == "x71") graft.queries.Extras.x71Diag(spark, dir)
+        else graft.queries.Extras.x02Diag(spark, dir)
       val secs = (System.nanoTime() - t0) / 1e9
       val body = stats.map { case (k, v) => s""""$k":$v""" }.mkString(",")
-      println(s"""{"diag":"x02","dir":"$dir",$body,"secs":$secs}""")
+      println(s"""{"diag":"$mode","dir":"$dir",$body,"secs":$secs}""")
       spark.catalog.clearCache()
     }
     spark.stop()

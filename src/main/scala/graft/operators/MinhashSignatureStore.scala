@@ -466,47 +466,61 @@ object MinhashSignatureStore {
     * r12), while the sorted-merge branch is a clean no-op on empty
     * input.
     */
-  private def verifiedMatches(spark: SparkSession, cand: DataFrame,
-      arrs: DataFrame, storeDocs: DataFrame, threshold: Double,
-      vCount: Long): DataFrame = {
-    val d1Ids = cand.select(col("d1").as("doc_id")).distinct()
-    val refArrs = storeDocs.join(broadcast(d1Ids), Seq("doc_id"), "left_semi")
-      .unionByName(arrs)
-    (if (vCount > 0 && vCount <= 1024 && threshold > 0) {
-        graft.expressions.MaskPairStats.register(spark)
-        val words = ((vCount + 63) / 64).toInt
-        val ranks = arrs.select(explode(col("arr")).as("tok")).distinct()
-          .agg(sort_array(collect_list(col("tok"))).as("varr"))
-          .select(posexplode(col("varr")).as(Seq("p", "tok")))
-        def masked(df: DataFrame, id: String, m: String, sz: String) = {
-          // bit_or, NOT sum: a doc row duplicated by dedupStream's
-          // crash-window replay explodes its tokens twice into this
-          // aggregate, and summing would carry duplicate bits into
-          // the wrong positions — OR is idempotent, so duplicate
-          // store rows cannot corrupt a mask (MinhashStoreSpec pins
-          // verdict equality against a duplicated store)
-          val wordCols = (0 until words).map { w =>
-            expr(s"bit_or(CASE WHEN p DIV 64 = $w THEN " +
-              "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)) " +
-              "ELSE CAST(0 AS BIGINT) END)").as(s"_w$w")
-          }
-          df.select(col("doc_id"), col("sz"), explode(col("arr")).as("tok"))
-            .join(broadcast(ranks), Seq("tok"))
-            .groupBy(col("doc_id"), col("sz"))
-            .agg(wordCols.head, wordCols.tail: _*)
-            .select(col("doc_id").as(id),
-              array((0 until words).map(w => col(s"_w$w")): _*).as(m),
-              col("sz").as(sz))
+  /** Mask frames for the popcount verify path when the batch
+    * vocabulary permits (see the strategy ladder above): per-doc
+    * (id, mask array, stored size) for the reference side and the
+    * batch side. None → the sorted-merge path applies.
+    */
+  private def maskFrames(spark: SparkSession, arrs: DataFrame,
+      refArrs: DataFrame, threshold: Double,
+      vCount: Long): Option[(DataFrame, DataFrame)] =
+    if (vCount > 0 && vCount <= 1024 && threshold > 0) {
+      graft.expressions.MaskPairStats.register(spark)
+      val words = ((vCount + 63) / 64).toInt
+      val ranks = arrs.select(explode(col("arr")).as("tok")).distinct()
+        .agg(sort_array(collect_list(col("tok"))).as("varr"))
+        .select(posexplode(col("varr")).as(Seq("p", "tok")))
+      def masked(df: DataFrame, id: String, m: String, sz: String) = {
+        // bit_or, NOT sum: a doc row duplicated by dedupStream's
+        // crash-window replay explodes its tokens twice into this
+        // aggregate, and summing would carry duplicate bits into
+        // the wrong positions — OR is idempotent, so duplicate
+        // store rows cannot corrupt a mask (MinhashStoreSpec pins
+        // verdict equality against a duplicated store)
+        val wordCols = (0 until words).map { w =>
+          expr(s"bit_or(CASE WHEN p DIV 64 = $w THEN " +
+            "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)) " +
+            "ELSE CAST(0 AS BIGINT) END)").as(s"_w$w")
         }
-        cand.join(masked(refArrs, "d1", "m1", "sz1"), Seq("d1"))
-          .join(masked(arrs, "d2", "m2", "sz2"), Seq("d2"))
+        df.select(col("doc_id"), col("sz"), explode(col("arr")).as("tok"))
+          .join(broadcast(ranks), Seq("tok"))
+          .groupBy(col("doc_id"), col("sz"))
+          .agg(wordCols.head, wordCols.tail: _*)
+          .select(col("doc_id").as(id),
+            array((0 until words).map(w => col(s"_w$w")): _*).as(m),
+            col("sz").as(sz))
+      }
+      Some((masked(refArrs, "d1", "m1", "sz1"),
+        masked(arrs, "d2", "m2", "sz2")))
+    } else None
+
+  /** Exact Jaccard ≥ threshold for candidate pairs against prebuilt
+    * verify sides (mask kernel when `masks` is defined, sorted-merge
+    * intersect otherwise).
+    */
+  private def scorePairs(cand: DataFrame,
+      masks: Option[(DataFrame, DataFrame)], refArrs: DataFrame,
+      arrs: DataFrame, threshold: Double): DataFrame =
+    (masks match {
+      case Some((mRef, mArr)) =>
+        cand.join(mRef, Seq("d1")).join(mArr, Seq("d2"))
           .withColumn("mps", graft.expressions.MaskPairStats.maskPairStats(
             col("m1"), col("m2"), lit(1)))
           .withColumn("inter",
             shiftright(col("mps"), 11).bitwiseAND(lit(0x7ffL)))
           .withColumn("jaccard", col("inter").cast(DoubleType) /
             (col("sz1") + col("sz2") - col("inter")))
-      } else {
+      case None =>
         cand
           .join(refArrs.select(col("doc_id").as("d1"), col("arr").as("a1"),
             col("sz").as("sz1")), Seq("d1"))
@@ -517,7 +531,16 @@ object MinhashSignatureStore {
               col("a1"), col("a2")))
           .withColumn("jaccard", col("inter").cast(DoubleType) /
             (col("sz1") + col("sz2") - col("inter")))
-      }).filter(col("jaccard") >= threshold)
+    }).filter(col("jaccard") >= threshold)
+
+  private def verifiedMatches(spark: SparkSession, cand: DataFrame,
+      arrs: DataFrame, storeDocs: DataFrame, threshold: Double,
+      vCount: Long): DataFrame = {
+    val d1Ids = cand.select(col("d1").as("doc_id")).distinct()
+    val refArrs = storeDocs.join(broadcast(d1Ids), Seq("doc_id"), "left_semi")
+      .unionByName(arrs)
+    scorePairs(cand, maskFrames(spark, arrs, refArrs, threshold, vCount),
+      refArrs, arrs, threshold)
   }
 
   /** Near-dup verdicts for an incoming batch against history ∪
@@ -575,14 +598,48 @@ object MinhashSignatureStore {
     }
   }
 
-  /** Verify chunk schedule for [[dedupVerdicts]]: each unresolved doc
-    * verifies its next 4, then next 60, then all remaining candidates
-    * — three rounds total. The first chunk resolves virtually every
-    * dropping doc (its top-ranked candidates are the likeliest true
-    * matches); the tail chunk is only reached by docs whose candidates
-    * are banding false positives, which the LSH S-curve keeps sparse.
+  /** Scale-accounting probe (diagnostic, the x02 MinhashDiag idiom
+    * lifted to the store): candidate / verified-match counts for one
+    * batch against the store, the numbers that attribute a bench
+    * step to plan cost vs match volume (VERDICT r12 #4). Runs the
+    * census verify once — this IS the expensive path being measured.
     */
-  private val VerdictChunks = Seq(4L, 60L)
+  private[graft] def probeStats(spark: SparkSession, incoming: DataFrame,
+      storeDir: String, perms: Seq[(Int, Long, Long)],
+      threshold: Double): Seq[(String, Long)] = {
+    recover(spark, storeDir)
+    val (nHashes, nBands) = readScheme(spark, storeDir)
+    val storeBands = spark.read.parquet(s"$storeDir/bands")
+    val storeDocs = spark.read.parquet(s"$storeDir/docs")
+    graft.expressions.SortedIntersectCount.register(spark)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val arrs = tokenSets(incoming).persist(lvl)
+    val cand = bandCollisions(storeBands,
+        bandRows(signatures(arrs, nHashes, perms), nHashes, nBands))
+      .distinct().persist(lvl)
+    try {
+      val nCand = cand.count()
+      val nMatches = verifiedMatches(spark, cand, arrs, storeDocs,
+        threshold, batchVocabCount(arrs)).count()
+      Seq("n_batch" -> incoming.count(), "n_store_docs" -> storeDocs.count(),
+        "n_candidates" -> nCand, "n_matches" -> nMatches)
+    } finally {
+      cand.unpersist(blocking = false)
+      arrs.unpersist(blocking = false)
+    }
+  }
+
+  /** Verify chunk schedule for [[dedupVerdicts]]: each doc verifies
+    * its top 4 candidates, then (if still unresolved) all the rest —
+    * two rounds total. The first chunk resolves virtually every
+    * dropping doc (its top-ranked candidates are the likeliest true
+    * matches); the tail round is only reached by docs whose
+    * candidates are banding false positives, which the LSH S-curve
+    * keeps sparse. More rounds would tighten the bound for docs whose
+    * match hides past rank 4, at a fixed-cost price every probe pays
+    * — two is the measured sweet spot (r13).
+    */
+  private val VerdictChunks = Seq(4L)
 
   /** VERDICT-ONLY near-dup dedup (VERDICT r12 #1): (doc_id, keep) with
     * keep/drop decisions IDENTICAL to [[dedupAgainst]]'s, at verify
@@ -651,8 +708,20 @@ object MinhashSignatureStore {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("d2")).orderBy(col("nb").desc, col("d1"))))
       .persist(lvl)
+    // Prebuild BOTH verify sides ONCE over all candidate d1 docs —
+    // per-DOC linear work the census path pays identically — and
+    // persist them, so each round pays only its own PAIR volume.
+    // Without this every round re-scanned store docs and re-ran the
+    // mask aggregates: 2-3× the linear work for zero information
+    // (the shape the first r13 bench measured at 2× census cost).
+    val vCount = batchVocabCount(arrs)
+    val d1Ids = cand.select(col("d1").as("doc_id")).distinct()
+    val refArrs = storeDocs.join(broadcast(d1Ids), Seq("doc_id"), "left_semi")
+      .unionByName(arrs)
+    val masks = maskFrames(spark, arrs, refArrs, threshold, vCount)
+    val sides = masks.map { case (a, b) => Seq(a, b) }.getOrElse(Seq(refArrs))
+    sides.foreach(_.persist(lvl))
     try {
-      val vCount = batchVocabCount(arrs)
       // resolved = dropping docs found so far; localCheckpoint pins
       // each round's result so later rounds don't recompute the chain
       var resolved = spark.createDataFrame(
@@ -675,8 +744,7 @@ object MinhashSignatureStore {
         val n = roundCand.count()
         verifiedPairs += n
         if (n > 0) {
-          val hit = verifiedMatches(spark, roundCand, arrs, storeDocs,
-              threshold, vCount)
+          val hit = scorePairs(roundCand, masks, refArrs, arrs, threshold)
             .select(col("d2").as("doc_id")).distinct()
             .localCheckpoint(true)
           resolved = resolved.unionByName(hit).localCheckpoint(true)
@@ -689,6 +757,7 @@ object MinhashSignatureStore {
         .select(col("doc_id"), col("m").isNull.as("keep"))
       (out, verifiedPairs)
     } finally {
+      sides.foreach(_.unpersist(blocking = false))
       cand.unpersist(blocking = false)
       arrs.unpersist(blocking = false)
     }

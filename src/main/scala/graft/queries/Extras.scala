@@ -3510,6 +3510,37 @@ object Extras {
     }
   }
 
+  /** x71/x78 scale accounting ([[graft.MinhashDiag]] `x71` mode,
+    * VERDICT r12 #4): for batch 1 of the lifecycle at this corpus
+    * scale, the candidate volume, the ≥-threshold match volume (what
+    * the census contract must verify), and the short-circuit mode's
+    * actually-verified pair count with its census-identical verdict
+    * tally — the numbers that attribute the census keys' superlinear
+    * bench steps to match DENSITY (corpus property) vs plan cost, and
+    * prove the verdict-only bound empirically at every scale.
+    */
+  private[graft] def x71Diag(s: SparkSession, dir: String): Seq[(String, Long)] = {
+    import s.implicits._
+    val mss = graft.operators.MinhashSignatureStore
+    val docs = t(s, dir, "documents").select($"doc_id", $"text")
+    val b1 = docs.filter($"doc_id" % 8 === 1)
+    val root = scratchDir(s, "x71diag", dir)
+    val store = root + "/store"
+    copyStore(s, pristineStoreFor(s, dir), store)
+    val t0 = System.nanoTime()
+    val census = mss.probeStats(s, b1, store, Perms, MinhashJaccardThreshold)
+    val t1 = System.nanoTime()
+    val (vdf, verifyPairs) = mss.dedupVerdictsWithStats(
+      s, b1, store, Perms, MinhashJaccardThreshold)
+    val nKept = vdf.filter($"keep").count()
+    val t2 = System.nanoTime()
+    census ++ Seq(
+      "verdict_verify_pairs" -> verifyPairs,
+      "verdict_kept" -> nKept,
+      "census_probe_ms" -> (t1 - t0) / 1000000L,
+      "verdict_probe_ms" -> (t2 - t1) / 1000000L)
+  }
+
   /** x78 — VERDICT-ONLY incremental near-dup dedup (VERDICT r12 #1):
     * x71's exact lifecycle (build history store → dedup batch 1 →
     * append keepers → dedup batch 2) driven through
