@@ -314,6 +314,31 @@ object MinhashSignatureStore {
       nBands: Int, perms: Seq[(Int, Long, Long)]): Unit =
     rebuildImpl(spark, storeDir, nHashes, nBands, perms, failAt = 0)
 
+  /** Rebuild IFF the pinned scheme no longer matches what `schemeFor`
+    * prescribes for the store's current (deduplicated) doc count —
+    * the maintenance hook an ingestion pipeline calls between batches
+    * (or a compaction job calls on a schedule) so a growing store can
+    * never silently keep a recall-collapsed LSH scheme. The check
+    * costs one column-pruned count plus the scheme-file read; returns
+    * true when a rebuild ran. `schemeFor` is the caller's occupancy
+    * policy (the x02 `minhashSchemeFor` schedule in this repo's
+    * pipelines), kept as a parameter so the operator stays
+    * policy-free.
+    */
+  def rebuildIfOutgrown(spark: SparkSession, storeDir: String,
+      perms: Seq[(Int, Long, Long)],
+      schemeFor: Long => (Int, Int)): Boolean = {
+    recover(spark, storeDir)
+    val current = readScheme(spark, storeDir)
+    val nDocs = spark.read.parquet(s"$storeDir/docs")
+      .select(col("doc_id")).dropDuplicates().count()
+    val wanted = schemeFor(nDocs)
+    if (wanted != current) {
+      rebuild(spark, storeDir, wanted._1, wanted._2, perms)
+      true
+    } else false
+  }
+
   /** [[rebuild]] with the same test-only failpoints as
     * [[writeBatchImpl]]: 1 = pre-publish (old store must stay
     * intact), 2 = post-publish (next entry point completes the

@@ -284,6 +284,35 @@ class MinhashStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("rebuildIfOutgrown upgrades the scheme exactly when the occupancy " +
+      "policy says so, and is idempotent") {
+    val store = freshStore("outgrow")
+    // policy: ≤ 3 docs → 16/4, beyond → 48/8 (the minhashSchemeFor
+    // shape at spec scale)
+    val policy = (n: Long) => if (n <= 3) (16, 4) else (48, 8)
+    MinhashSignatureStore.build(spark,
+      docsDf(1L -> h1Text, 2L -> h2Text), store, 16, 4, perms)
+    assert(!MinhashSignatureStore.rebuildIfOutgrown(spark, store, perms, policy),
+      "a store inside its regime must not rebuild")
+    assert(MinhashSignatureStore.readScheme(spark, store) === ((16, 4)))
+    // grow past the regime boundary (a duplicated-append row must not
+    // inflate the count: occupancy is deduplicated docs)
+    MinhashSignatureStore.append(spark, docsDf(3L -> freshText), store, perms)
+    MinhashSignatureStore.append(spark, docsDf(3L -> freshText), store, perms)
+    assert(!MinhashSignatureStore.rebuildIfOutgrown(spark, store, perms, policy),
+      "3 distinct docs is still inside the ≤3 regime despite 4 rows")
+    MinhashSignatureStore.append(spark, docsDf(4L -> bText), store, perms)
+    assert(MinhashSignatureStore.rebuildIfOutgrown(spark, store, perms, policy),
+      "crossing the regime boundary must trigger the rebuild")
+    assert(MinhashSignatureStore.readScheme(spark, store) === ((48, 8)))
+    assert(!MinhashSignatureStore.rebuildIfOutgrown(spark, store, perms, policy),
+      "a just-rebuilt store is inside its regime: idempotent")
+    // the upgraded store still probes correctly
+    val v = verdictMap(MinhashSignatureStore.dedupAgainst(
+      spark, docsDf(9L -> h1Text), store, perms, T))
+    assert(v(9L)._1 === false && v(9L)._3 === 1.0)
+  }
+
   test("dedupVerdicts: keep/drop identical to the census mode on the " +
       "lifecycle fixture (VERDICT r12 #1)") {
     val store = freshStore("vmode")
