@@ -242,6 +242,14 @@ object AnnIndex {
     import org.apache.spark.sql.types.LongType
     graft.expressions.DecimalDot.register(spark)
     recover(spark, path) // roll forward any crashed predecessor's swap
+    // aborted pre-commit staging (a predecessor that crashed before
+    // publishing its marker) is dead weight — GC it here, the writer
+    // entry point, exactly like the signature store does (single-
+    // writer contract makes this safe)
+    SwapCommit.gcOrphans(
+      new org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(path), "_optimize-", None)
     val index = spark.read.parquet(path)
     val counts = index.groupBy(col("cell")).agg(count(lit(1)).as("n"))
     // partition discovery types `cell=` dirs as INT when the ids are

@@ -246,6 +246,14 @@ class AnnIndexSpec extends AnyFunSuite {
       .select(col("vec_id").cast("long"), col("cell").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(rowsAfter == rowsBefore, "pre-commit crash must not move a row")
+    // the crashed attempt's unpublished staging is dead weight; the
+    // next writer entry GCs it (SwapCommit.gcOrphans, protocol parity
+    // with the signature store)
+    def orphans() = new java.io.File(p).listFiles()
+      .count(_.getName.startsWith("_optimize-"))
+    assert(orphans() == 1, "the crashed attempt leaves its staging dir")
+    AnnIndex.optimize(spark, p, cents, maxOccupancy = 16L)
+    assert(orphans() == 0, "the next optimize GCs aborted staging")
   }
 
   test("a crash MID-SWAP rolls forward: readers see the post-split " +
