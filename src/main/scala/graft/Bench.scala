@@ -203,12 +203,9 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
     // A/B knob for plan experiments (e.g. AQE coalescing on the
-    // candidate exchange): "k1=v1,k2=v2" applied over the defaults.
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(',')
-      .filter(_.contains("=")).foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        builder.config(k.trim, v.trim)
-      })
+    // candidate exchange): "k1=v1;k2=v2" applied over the defaults
+    // (';' so values may contain commas; see [[ExtraConf]]).
+    ExtraConf(builder)
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Logs.quietNoise()

@@ -32,13 +32,10 @@ object Profile {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-    // same A/B knob as Bench ("k1=v1,k2=v2" over the defaults), so a
-    // profiled plan runs under the exact config being benched
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(',')
-      .filter(_.contains("=")).foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        builder.config(k.trim, v.trim)
-      })
+    // same A/B knob as Bench ("k1=v1;k2=v2" over the defaults, shared
+    // parser in [[ExtraConf]]), so a profiled plan runs under the
+    // exact config being benched
+    ExtraConf(builder)
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Logs.quietNoise()

@@ -125,21 +125,36 @@ object AnnIndex {
     * pre-publish layout (marker never committed) or the post-swap
     * layout — never a half-swapped tree.
     */
-  def recover(spark: SparkSession, path: String): Option[DataFrame] = {
+  def recover(spark: SparkSession, path: String): Option[DataFrame] =
+    recoverImpl(spark, path, graceMs = 0L)
+
+  /** Reader-entry variant (ADVICE r13): a pending marker is presumed
+    * to belong to a LIVE writer in another process first — wait the
+    * grace for its own roll-forward, recover only a marker that
+    * outlives it (in-process writers are excluded by the root lock).
+    */
+  private def recoverForRead(spark: SparkSession, path: String): Option[DataFrame] =
+    recoverImpl(spark, path,
+      java.lang.Long.getLong("graft.swap.reader.grace.ms", 500L))
+
+  private def recoverImpl(spark: SparkSession, path: String,
+      graceMs: Long): Option[DataFrame] = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val f = root.getFileSystem(hconf)
-    SwapCommit.pending(f, root, CommitMarker).map { p =>
-      val staging = new org.apache.hadoop.fs.Path(root, p.payload)
-      // pull the staged refreshed centroids out BEFORE deleting staging
-      val cdf = spark.read.parquet(
-        new org.apache.hadoop.fs.Path(staging, "centroids").toString)
-      val rows = cdf.collect().toSeq
-      val local = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), cdf.schema)
-      completeSwap(f, root, staging, Int.MaxValue)
-      SwapCommit.finish(f, root, p.marker, staging)
-      local
+    SwapCommit.withLock(root) {
+      SwapCommit.awaitPending(f, root, CommitMarker, graceMs).map { p =>
+        val staging = new org.apache.hadoop.fs.Path(root, p.payload)
+        // pull the staged refreshed centroids out BEFORE deleting staging
+        val cdf = spark.read.parquet(
+          new org.apache.hadoop.fs.Path(staging, "centroids").toString)
+        val rows = cdf.collect().toSeq
+        val local = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), cdf.schema)
+        completeSwap(f, root, staging, Int.MaxValue)
+        SwapCommit.finish(f, root, p.marker, staging)
+        local
+      }
     }
   }
 
@@ -164,8 +179,9 @@ object AnnIndex {
           throw new java.io.IOException(
             s"injected FS failure after $done swaps (test failpoint)")
         val dest = new org.apache.hadoop.fs.Path(root, st.getPath.getName)
-        f.delete(dest, true) // old hot-cell data (kept child) / defensive
-        require(f.rename(st.getPath, dest), s"optimize: rename failed for $dest")
+        // displace-then-rename (never delete live data): tolerant of a
+        // cross-process recoverer racing the same committed swap
+        SwapCommit.replace(f, st.getPath, dest)
         done += 1
       }
   }
@@ -249,7 +265,7 @@ object AnnIndex {
     SwapCommit.gcOrphans(
       new org.apache.hadoop.fs.Path(path).getFileSystem(
         spark.sparkContext.hadoopConfiguration),
-      new org.apache.hadoop.fs.Path(path), "_optimize-", None)
+      new org.apache.hadoop.fs.Path(path), "_optimize-", CommitMarker, None)
     val index = spark.read.parquet(path)
     val counts = index.groupBy(col("cell")).agg(count(lit(1)).as("n"))
     // partition discovery types `cell=` dirs as INT when the ids are
@@ -358,7 +374,7 @@ object AnnIndex {
   def probe(spark: SparkSession, path: String, probes: DataFrame,
       centroids: DataFrame, nprobe: Int, k: Int): DataFrame = {
     graft.expressions.DecimalDot.register(spark)
-    recover(spark, path) // never read a half-swapped layout
+    recoverForRead(spark, path) // never read a half-swapped layout
 
     val rk = row_number().over(
       Window.partitionBy(col("p_id")).orderBy(col("d").desc, col("cid")))

@@ -76,8 +76,16 @@ import graft.functions.TextFns
   * crash-atomically through the same [[SwapCommit]] marker.
   *
   * Single-writer contract: builds/appends/rebuilds are serialized by
-  * the caller (dedupStream's foreachBatch already is); readers are
-  * unrestricted.
+  * the caller (dedupStream's foreachBatch already is). Readers are
+  * unrestricted WITHIN the writer's application — [[SwapCommit.withLock]]
+  * serializes every entry point's recovery against the writer's
+  * commit window in-process (ADVICE r13). A reader in a DIFFERENT
+  * process that lands inside a live writer's commit window first
+  * waits a grace period for the writer's own roll-forward
+  * ([[SwapCommit.awaitPending]]) and only recovers markers that
+  * outlive it (a crashed writer); the roll-forward primitives
+  * additionally tolerate lost cross-process races without deleting
+  * live data.
   */
 object MinhashSignatureStore {
 
@@ -168,12 +176,41 @@ object MinhashSignatureStore {
   def recover(spark: SparkSession, storeDir: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(storeDir)
     val f = fs(spark, storeDir)
-    SwapCommit.pending(f, root, CommitMarker).foreach { p =>
-      val Array(mode, stagingName) = p.payload.split(" ", 2)
-      val staging = new org.apache.hadoop.fs.Path(root, stagingName)
-      rollForward(f, root, mode, staging, failAt = 0)
-      SwapCommit.finish(f, root, p.marker, staging)
+    SwapCommit.withLock(root) {
+      SwapCommit.pending(f, root, CommitMarker).foreach(applyPending(f, root, _))
     }
+  }
+
+  /** Cross-process reader grace: how long a READER entry point waits
+    * for a live writer in another process to finish its own
+    * roll-forward before treating the marker as a crashed writer's
+    * (in-process writers are excluded by the lock, so the wait only
+    * ever triggers cross-process — or after a real crash, where it is
+    * the recovery latency). Tunable for tests / impatient deployments.
+    */
+  private def readerGraceMs: Long =
+    java.lang.Long.getLong("graft.swap.reader.grace.ms", 500L)
+
+  /** Reader-entry recovery (ADVICE r13): same roll-forward guarantee
+    * as [[recover]], but a pending marker is presumed to belong to a
+    * LIVE writer first — wait [[readerGraceMs]] for it to clear, and
+    * only recover a marker that outlives the grace.
+    */
+  private def recoverForRead(spark: SparkSession, storeDir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val f = fs(spark, storeDir)
+    SwapCommit.withLock(root) {
+      SwapCommit.awaitPending(f, root, CommitMarker, readerGraceMs)
+        .foreach(applyPending(f, root, _))
+    }
+  }
+
+  private def applyPending(f: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, p: SwapCommit.Pending): Unit = {
+    val Array(mode, stagingName) = p.payload.split(" ", 2)
+    val staging = new org.apache.hadoop.fs.Path(root, stagingName)
+    rollForward(f, root, mode, staging, failAt = 0)
+    SwapCommit.finish(f, root, p.marker, staging)
   }
 
   /** Apply a committed staging dir to the live tree. `failAt` is a
@@ -243,14 +280,18 @@ object MinhashSignatureStore {
     } finally arrs.unpersist(blocking = false)
     if (failAt == 1) throw new java.io.IOException(
       "injected FS failure before commit-marker publish (test failpoint)")
-    SwapCommit.publish(f, root, CommitMarker, s"append $stagingName")
-    if (failAt == 2) throw new java.io.IOException(
-      "injected FS failure after commit-marker publish (test failpoint)")
-    rollForward(f, root, "append",
-      new org.apache.hadoop.fs.Path(root, stagingName), failAt)
-    SwapCommit.finish(f, root,
-      new org.apache.hadoop.fs.Path(root, CommitMarker),
-      new org.apache.hadoop.fs.Path(root, stagingName))
+    // the whole publish→roll-forward→finish window holds the root lock
+    // so no reader's recovery can interleave with it (ADVICE r13)
+    SwapCommit.withLock(root) {
+      SwapCommit.publish(f, root, CommitMarker, s"append $stagingName")
+      if (failAt == 2) throw new java.io.IOException(
+        "injected FS failure after commit-marker publish (test failpoint)")
+      rollForward(f, root, "append",
+        new org.apache.hadoop.fs.Path(root, stagingName), failAt)
+      SwapCommit.finish(f, root,
+        new org.apache.hadoop.fs.Path(root, CommitMarker),
+        new org.apache.hadoop.fs.Path(root, stagingName))
+    }
   }
 
   /** Create the store from the historical corpus, pinning the scheme.
@@ -280,7 +321,7 @@ object MinhashSignatureStore {
       perms: Seq[(Int, Long, Long)]): Unit = {
     recover(spark, storeDir)
     SwapCommit.gcOrphans(fs(spark, storeDir),
-      new org.apache.hadoop.fs.Path(storeDir), StagingPrefix, None)
+      new org.apache.hadoop.fs.Path(storeDir), StagingPrefix, CommitMarker, None)
     val (nHashes, nBands) = readScheme(spark, storeDir)
     writeBatch(spark, docs, storeDir, nHashes, nBands, perms)
   }
@@ -350,7 +391,7 @@ object MinhashSignatureStore {
     recover(spark, storeDir)
     val root = new org.apache.hadoop.fs.Path(storeDir)
     val f = fs(spark, storeDir)
-    SwapCommit.gcOrphans(f, root, StagingPrefix, None)
+    SwapCommit.gcOrphans(f, root, StagingPrefix, CommitMarker, None)
     readScheme(spark, storeDir) // loud failure on a half-built store
     val stagingName = s"$StagingPrefix${java.util.UUID.randomUUID()}"
     val staging = s"$storeDir/$stagingName"
@@ -366,14 +407,16 @@ object MinhashSignatureStore {
     try out.write(s"$nHashes,$nBands".getBytes("UTF-8")) finally out.close()
     if (failAt == 1) throw new java.io.IOException(
       "injected FS failure before commit-marker publish (test failpoint)")
-    SwapCommit.publish(f, root, CommitMarker, s"rebuild $stagingName")
-    if (failAt == 2) throw new java.io.IOException(
-      "injected FS failure after commit-marker publish (test failpoint)")
-    rollForward(f, root, "rebuild",
-      new org.apache.hadoop.fs.Path(root, stagingName), failAt)
-    SwapCommit.finish(f, root,
-      new org.apache.hadoop.fs.Path(root, CommitMarker),
-      new org.apache.hadoop.fs.Path(root, stagingName))
+    SwapCommit.withLock(root) {
+      SwapCommit.publish(f, root, CommitMarker, s"rebuild $stagingName")
+      if (failAt == 2) throw new java.io.IOException(
+        "injected FS failure after commit-marker publish (test failpoint)")
+      rollForward(f, root, "rebuild",
+        new org.apache.hadoop.fs.Path(root, stagingName), failAt)
+      SwapCommit.finish(f, root,
+        new org.apache.hadoop.fs.Path(root, CommitMarker),
+        new org.apache.hadoop.fs.Path(root, stagingName))
+    }
   }
 
   /** Streaming ingest dedup: every micro-batch is near-deduplicated
@@ -584,7 +627,7 @@ object MinhashSignatureStore {
   def dedupAgainst(spark: SparkSession, incoming: DataFrame,
       storeDir: String, perms: Seq[(Int, Long, Long)],
       threshold: Double): DataFrame = {
-    recover(spark, storeDir) // never read a half-committed batch/rebuild
+    recoverForRead(spark, storeDir) // never read a half-committed batch/rebuild
     val (nHashes, nBands) = readScheme(spark, storeDir)
     val storeBands = spark.read.parquet(s"$storeDir/bands")
     val storeDocs = spark.read.parquet(s"$storeDir/docs")
@@ -632,7 +675,7 @@ object MinhashSignatureStore {
   private[graft] def probeStats(spark: SparkSession, incoming: DataFrame,
       storeDir: String, perms: Seq[(Int, Long, Long)],
       threshold: Double): Seq[(String, Long)] = {
-    recover(spark, storeDir)
+    recoverForRead(spark, storeDir)
     val (nHashes, nBands) = readScheme(spark, storeDir)
     val storeBands = spark.read.parquet(s"$storeDir/bands")
     val storeDocs = spark.read.parquet(s"$storeDir/docs")
@@ -715,7 +758,7 @@ object MinhashSignatureStore {
       incoming: DataFrame, storeDir: String,
       perms: Seq[(Int, Long, Long)], threshold: Double): (DataFrame, Long) = {
     import org.apache.spark.sql.expressions.Window
-    recover(spark, storeDir)
+    recoverForRead(spark, storeDir)
     val (nHashes, nBands) = readScheme(spark, storeDir)
     val storeBands = spark.read.parquet(s"$storeDir/bands")
     val storeDocs = spark.read.parquet(s"$storeDir/docs")

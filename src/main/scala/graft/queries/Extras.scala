@@ -3400,12 +3400,13 @@ object Extras {
     *
     * Scale shape: assignment and probe-cell ranking are broadcast
     * scoring against one corpus scan (16 rows broadcast); the
-    * all-pairs probe×corpus scoring is ONE pass (9 probes broadcast —
-    * vec_id 1–9, which also double as centroids 1–9; ADVICE r12),
+    * all-pairs probe×corpus scoring is ONE pass (10 probes broadcast —
+    * vec_id 0–9, of which 1–9 double as centroids; ADVICE r13 pinned
+    * the count to what the filter and the oracle actually select),
     * persisted for its two consumers (truth + the nprobe arms); every
     * argmax/top-k is a row_number window partitioned by probe —
     * |corpus| rows per partition at most, never a global sort. At
-    * 100 TB the audit runs on a SAMPLE of probes (as here: 9), so its
+    * 100 TB the audit runs on a SAMPLE of probes (as here: 10), so its
     * cost is probes × corpus — linear in the corpus — while the thing
     * it audits (the serving path) stays cell-pruned. Exact-decimal
     * scoring makes both arms bit-reproducible, hence hash-gateable.

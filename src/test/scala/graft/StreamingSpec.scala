@@ -315,6 +315,8 @@ class StreamingSpec extends AnyFunSuite {
       // ledger markers live under the CHECKPOINT's namespace (ADVICE
       // r12: batch ids are checkpoint-scoped)
       val ledgerDir = graft.streaming.StreamLedger.dir(
+        org.apache.hadoop.fs.FileSystem.getLocal(
+          spark.sparkContext.hadoopConfiguration),
         new org.apache.hadoop.fs.Path(path), root + "/ckpt").toUri.getPath
       assert(new java.io.File(ledgerDir, "batch-0").exists &&
         new java.io.File(ledgerDir, "batch-1").exists,
@@ -416,6 +418,8 @@ class StreamingSpec extends AnyFunSuite {
       // no verdicts, no append. Markers live under this checkpoint's
       // ledger namespace (ADVICE r12).
       val ledger = new java.io.File(graft.streaming.StreamLedger.dir(
+        org.apache.hadoop.fs.FileSystem.getLocal(
+          spark.sparkContext.hadoopConfiguration),
         new org.apache.hadoop.fs.Path(store), root + "/ckpt").toUri.getPath)
       ledger.mkdirs()
       new java.io.File(ledger, "batch-0").createNewFile()
