@@ -419,12 +419,28 @@ object MinhashSignatureStore {
     }
   }
 
+  /** The streaming probe's per-batch contract (VERDICT r13 #1): the
+    * census mode pays for per-doc match statistics; a production
+    * ingest that needs only keep/drop runs VerdictOnly, whose work is
+    * bounded at O(batch) on match-dense corpora ([[dedupVerdicts]]).
+    */
+  sealed trait ProbeMode
+  /** (doc_id, keep, n_dups, max_jaccard) via [[dedupAgainst]]. */
+  case object Census extends ProbeMode
+  /** (doc_id, keep) via [[dedupVerdicts]] — the 100 TB ingest mode. */
+  case object VerdictOnly extends ProbeMode
+
   /** Streaming ingest dedup: every micro-batch is near-deduplicated
     * against the store (history ∪ all earlier batches), its verdicts
     * land in `verdictDir/batch-<id>`, and its KEPT docs append — the
-    * [[dedupAgainst]]/[[append]] lifecycle driven by Structured
-    * Streaming through a batch-id-ledgered foreachBatch (the
-    * [[AnnIndex.appendStream]] idempotence pattern).
+    * probe/[[append]] lifecycle driven by Structured Streaming
+    * through a batch-id-ledgered foreachBatch (the
+    * [[AnnIndex.appendStream]] idempotence pattern). `mode` picks the
+    * probe ([[ProbeMode]]): Census for audited ingest with match
+    * statistics, VerdictOnly for the bounded keep/drop path a
+    * production pipeline runs — keep/drop (and therefore the store's
+    * growth) are contract-identical either way, so the mode can be
+    * switched between runs of the same store.
     *
     * Replay semantics, step by step: the ledger marker commits LAST,
     * so a crash replays the whole batch. The verdict write is a
@@ -447,7 +463,8 @@ object MinhashSignatureStore {
     */
   def dedupStream(stream: DataFrame, storeDir: String, verdictDir: String,
       perms: Seq[(Int, Long, Long)], threshold: Double,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      mode: ProbeMode = Census): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream.outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -464,8 +481,13 @@ object MinhashSignatureStore {
             val out = s"$verdictDir/batch-$batchId"
             // materialize verdicts BEFORE the append mutates the store
             // (the x71 ordering rule): the verdict frame is lazy
-            dedupAgainst(spark, batch, storeDir, perms, threshold)
-              .write.mode("overwrite").parquet(out)
+            val verdicts = mode match {
+              case Census =>
+                dedupAgainst(spark, batch, storeDir, perms, threshold)
+              case VerdictOnly =>
+                dedupVerdicts(spark, batch, storeDir, perms, threshold)
+            }
+            verdicts.write.mode("overwrite").parquet(out)
             val kept = spark.read.parquet(out).filter(col("keep"))
             append(spark, batch.join(kept, Seq("doc_id"), "left_semi"),
               storeDir, perms)
@@ -486,16 +508,53 @@ object MinhashSignatureStore {
     * instead of self-matching; the in-batch side is a batch-sized
     * broadcast self-join on smaller doc_id.
     */
-  private def bandCollisions(storeBands: DataFrame, inc: DataFrame): DataFrame = {
-    val fromStore = storeBands.as("s").join(broadcast(inc).as("i"),
+  private def bandCollisions(storeBands: DataFrame, inc: DataFrame): DataFrame =
+    bandCollisions(storeBands, inc, inc)
+
+  /** As above with the two batch roles split: `incRef` supplies the
+    * earlier-in-batch REFERENCE side (always the full batch — a doc's
+    * in-batch references are every smaller id, resolved or not),
+    * `incProbe` the docs whose candidates are wanted (the verdict
+    * path's full-generation stage restricts it to still-unresolved
+    * docs, which is what bounds that stage).
+    */
+  private def bandCollisions(storeBands: DataFrame, incRef: DataFrame,
+      incProbe: DataFrame): DataFrame = {
+    val fromStore = storeBands.as("s").join(broadcast(incProbe).as("i"),
         col("s.bkt") === col("i.bkt") && col("s.band") === col("i.band") &&
           col("s.sig") === col("i.sig") && col("s.doc_id") =!= col("i.doc_id"))
       .select(col("s.doc_id").as("d1"), col("i.doc_id").as("d2"))
-    val inBatch = inc.as("x").join(broadcast(inc).as("y"),
+    val inBatch = incRef.as("x").join(broadcast(incProbe).as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
     fromStore.unionByName(inBatch)
+  }
+
+  /** Advisory post-shuffle partition size while a probe's candidate
+    * jobs run. AQE's default 64 MB advisory coalesces the candidate
+    * exchanges into partitions whose DESERIALIZED pair rows blow the
+    * heap (two-long pairs compress ~10×; VERDICT r13: the sf10 probe
+    * OOM'd an 8 GB driver, and disabling coalescing cut x71 sf10 by
+    * 28%). Rather than shipping that as deployment guidance, every
+    * probe entry point scopes the advisory down around its own
+    * actions — coalescing stays on (tiny exchanges still merge) but
+    * builds memory-sane partitions on the explosive ones. Session-
+    * scoped while held: a concurrently-running unrelated query in the
+    * same session would momentarily see the smaller advisory — a
+    * few extra tasks, never a wrong plan.
+    */
+  private val CandidateAdvisoryBytes = "8m"
+
+  private def withAdvisoryCap[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, CandidateAdvisoryBytes)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** The batch-vocabulary strategy probe: distinct token count of the
@@ -633,38 +692,79 @@ object MinhashSignatureStore {
     val storeDocs = spark.read.parquet(s"$storeDir/docs")
     graft.expressions.SortedIntersectCount.register(spark)
     // one batch-sized cached frame; signatures, both band-join sides,
-    // the verify d2 side and the verdict base all derive from it.
-    // withPersistedThrough: the verify-strategy probe below runs an
-    // internal count on a derived frame, which must reuse the cache,
-    // not release it (release scopes to the returned frame's action).
+    // the verify d2 side and the verdict base all derive from it
+    val arrs = tokenSets(incoming)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the candidate jobs run HERE (eager localCheckpoint), under the
+      // advisory cap that keeps the pair exchanges memory-sane
+      // (VERDICT r13 #3) — and only the cheap batch-sized verdict join
+      // is left lazy for the caller's action
+      val perDoc = withAdvisoryCap(spark) {
+        censusPerDoc(spark, arrs, storeBands, storeDocs, nHashes, nBands,
+          perms, threshold).localCheckpoint(true)
+      }
+      verdictFrame(incoming, perDoc)
+    } finally arrs.unpersist(blocking = false)
+  }
+
+  /** [[dedupAgainst]] as one lazy plan — what the plan-shape specs
+    * audit (DPP-armed broadcast band join, store never shuffled). The
+    * public entry point executes this exact dataflow; it just runs
+    * the census aggregate eagerly under [[withAdvisoryCap]], which
+    * checkpoint-truncates the plan a caller can see.
+    */
+  private[graft] def dedupAgainstLazy(spark: SparkSession, incoming: DataFrame,
+      storeDir: String, perms: Seq[(Int, Long, Long)],
+      threshold: Double): DataFrame = {
+    recoverForRead(spark, storeDir)
+    val (nHashes, nBands) = readScheme(spark, storeDir)
+    val storeBands = spark.read.parquet(s"$storeDir/bands")
+    val storeDocs = spark.read.parquet(s"$storeDir/docs")
+    graft.expressions.SortedIntersectCount.register(spark)
     graft.Caching.withPersistedThrough(tokenSets(incoming)) { arrs =>
-      val inc = bandRows(signatures(arrs, nHashes, perms), nHashes, nBands)
-      // multi-band collisions: the candidate sliver pays the distinct,
-      // not the store (store-side rows never reach an exchange); its
-      // two consumers (the scored pairs and the d1Ids verify-fetch
-      // pruning) share the distinct's exchange via ReusedExchange — a
-      // r12 persist experiment measured no gain over the reuse
-      val cand = bandCollisions(storeBands, inc).distinct()
-      val matches = verifiedMatches(spark, cand, arrs, storeDocs,
-        threshold, batchVocabCount(arrs))
-      // countDistinct(d1), not count(*): identical when the store is
-      // clean (candidate pairs are already distinct), but immune to a
-      // doc row duplicated by a replayed crash-window append
-      // ([[dedupStream]]) — a match is a matching DOC, not a row
-      val perDoc = matches.groupBy(col("d2").as("doc_id"))
-        .agg(countDistinct(col("d1")).as("n_dups"),
-          max(col("jaccard")).as("max_jaccard"))
-      // perDoc ≤ batch-sized, like everything broadcast here: the
-      // operator's standing assumption is a broadcastable batch (split
-      // a giant crawl drop into sub-batches before probing)
-      incoming.select(col("doc_id"))
-        .join(broadcast(perDoc), Seq("doc_id"), "left_outer")
-        .select(col("doc_id"),
-          col("n_dups").isNull.as("keep"),
-          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
-          coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"))
+      verdictFrame(incoming, censusPerDoc(spark, arrs, storeBands, storeDocs,
+        nHashes, nBands, perms, threshold))
     }
   }
+
+  /** The census aggregate: per matched batch doc, how many ≥-threshold
+    * matches the banding surfaced and their max Jaccard.
+    */
+  private def censusPerDoc(spark: SparkSession, arrs: DataFrame,
+      storeBands: DataFrame, storeDocs: DataFrame, nHashes: Int,
+      nBands: Int, perms: Seq[(Int, Long, Long)],
+      threshold: Double): DataFrame = {
+    val inc = bandRows(signatures(arrs, nHashes, perms), nHashes, nBands)
+    // multi-band collisions: the candidate sliver pays the distinct,
+    // not the store (store-side rows never reach an exchange); its
+    // two consumers (the scored pairs and the d1Ids verify-fetch
+    // pruning) share the distinct's exchange via ReusedExchange — a
+    // r12 persist experiment measured no gain over the reuse
+    val cand = bandCollisions(storeBands, inc).distinct()
+    val matches = verifiedMatches(spark, cand, arrs, storeDocs,
+      threshold, batchVocabCount(arrs))
+    // countDistinct(d1), not count(*): identical when the store is
+    // clean (candidate pairs are already distinct), but immune to a
+    // doc row duplicated by a replayed crash-window append
+    // ([[dedupStream]]) — a match is a matching DOC, not a row
+    matches.groupBy(col("d2").as("doc_id"))
+      .agg(countDistinct(col("d1")).as("n_dups"),
+        max(col("jaccard")).as("max_jaccard"))
+  }
+
+  /** The verdict projection over the per-doc census aggregate.
+    * perDoc ≤ batch-sized, like everything broadcast here: the
+    * operator's standing assumption is a broadcastable batch (split
+    * a giant crawl drop into sub-batches before probing).
+    */
+  private def verdictFrame(incoming: DataFrame, perDoc: DataFrame): DataFrame =
+    incoming.select(col("doc_id"))
+      .join(broadcast(perDoc), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        col("n_dups").isNull.as("keep"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"))
 
   /** Scale-accounting probe (diagnostic, the x02 MinhashDiag idiom
     * lifted to the store): candidate / verified-match counts for one
@@ -685,7 +785,7 @@ object MinhashSignatureStore {
     val cand = bandCollisions(storeBands,
         bandRows(signatures(arrs, nHashes, perms), nHashes, nBands))
       .distinct().persist(lvl)
-    try {
+    try withAdvisoryCap(spark) {
       val nCand = cand.count()
       val nMatches = verifiedMatches(spark, cand, arrs, storeDocs,
         threshold, batchVocabCount(arrs)).count()
@@ -697,66 +797,113 @@ object MinhashSignatureStore {
     }
   }
 
-  /** Verify chunk schedule for [[dedupVerdicts]]: each doc verifies
-    * its top 4 candidates, then (if still unresolved) all the rest —
-    * two rounds total. The first chunk resolves virtually every
-    * dropping doc (its top-ranked candidates are the likeliest true
-    * matches); the tail round is only reached by docs whose
-    * candidates are banding false positives, which the LSH S-curve
-    * keeps sparse. More rounds would tighten the bound for docs whose
-    * match hides past rank 4, at a fixed-cost price every probe pays
-    * — two is the measured sweet spot (r13).
+  /** How many top-ranked candidates each doc verifies in the rep
+    * stage's resolve round. The top-ranked candidates are the
+    * likeliest true matches (collision count is monotone in J), so
+    * one chunk resolves virtually every dropping doc at ≤ 4 verified
+    * pairs; everything still unresolved falls through to the
+    * exactness stage, which verifies whatever remains in one shot —
+    * those docs are overwhelmingly keepers, who must verify all their
+    * candidates anyway (a keep verdict IS the claim that every
+    * candidate is below threshold). Two driver-sequenced verify jobs
+    * per probe total — the r13 chunk-ladder's extra rounds bought no
+    * measurable pair savings and cost a fixed job latency every
+    * probe paid (r14 re-measurement).
     */
-  private val VerdictChunks = Seq(4L)
+  private val VerdictChunk = 4L
+
+  /** Representatives kept per (band, sig) collision group in
+    * [[dedupVerdicts]]'s bounded-generation stage (VERDICT r13 #2).
+    * Must be ≥ 2: with at least two reps, a group can only yield zero
+    * candidates for a probing doc when the group holds nothing but
+    * that doc's own store row — which is exactly when the full
+    * generation would find nothing either, the invariant that lets
+    * the fallback stage skip candidate-free docs. 4 trades a slightly
+    * larger rep-pair set for fewer docs falling through to full
+    * generation (a rep set diluted by re-probed self rows or
+    * below-threshold bucket-mates still usually contains a true
+    * match).
+    */
+  private val RepPerGroup = 4
+
+  /** (doc_id, keep) verdicts plus the probe's work accounting:
+    * `verifiedPairs` is what the O(batch) verify bound is about;
+    * `generatedPairs` what the bounded-GENERATION claim is about
+    * (rep pairs + the full-generation fallback's pairs — the census
+    * path generates every band-collision pair instead).
+    */
+  private[graft] final case class VerdictStats(verdicts: DataFrame,
+    verifiedPairs: Long, generatedPairs: Long)
+
+  /** One doc_id-schema empty frame (the resolve stage's seed). */
+  private def emptyIds(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType))))
 
   /** VERDICT-ONLY near-dup dedup (VERDICT r12 #1): (doc_id, keep) with
     * keep/drop decisions IDENTICAL to [[dedupAgainst]]'s, at verify
-    * cost bounded by O(batch) on match-dense corpora.
+    * cost bounded by O(batch) on match-dense corpora — and, since r14,
+    * candidate GENERATION bounded the same way (VERDICT r13 #2).
     *
     * The census contract's n_dups/max_jaccard force verifying EVERY
     * ≥-threshold match; on a duplicate-heavy corpus (a spammy crawl —
     * exactly where near-dup dedup earns its keep) a batch doc matches
-    * a constant FRACTION of history, so census verify volume grows as
-    * sf². But keep/drop only needs ONE verified match per dropping
-    * doc. This mode short-circuits:
+    * a constant FRACTION of history, so census work grows as sf².
+    * But keep/drop only needs ONE verified match per dropping doc.
+    * This mode short-circuits BOTH halves of the probe:
     *
-    *  1. candidates are ranked per batch doc by COLLIDING-BAND COUNT
-    *     (collisions ~ Binomial(bands, J^rows), monotone in J — the
-    *     top-ranked candidate is the likeliest true match);
-    *  2. verification proceeds in driver-looped rounds over
-    *     [[VerdictChunks]]: each round verifies the next chunk of
-    *     ranked candidates for STILL-UNRESOLVED docs only, and a doc
-    *     with a verified match is resolved (drop) — its remaining
-    *     candidates are never fetched;
-    *  3. docs surviving all rounds verified ALL their candidates
-    *     below threshold — kept, exactly the census rule.
+    *  1. GENERATION — representatives instead of all pairs. Store
+    *     band rows colliding with any batch band key are fetched
+    *     WITHOUT batch doc ids attached (linear in matched history,
+    *     no pair blowup), ranked per (band, sig) group by doc_id, and
+    *     only the [[RepPerGroup]] smallest per group join back
+    *     against the batch to form pairs — ≤ bands·R candidates per
+    *     batch doc, however duplicate-dense the bucket. The in-batch
+    *     side mirrors it (R+1 smallest ids per group, d1 < d2).
+    *  2. VERIFY — rep pairs are ranked per batch doc by colliding-
+    *     band count (collisions ~ Binomial(bands, J^rows), monotone
+    *     in J) and each doc's top [[VerdictChunk]] verify in one
+    *     round: a doc with a verified ≥-threshold match resolves
+    *     (drop) and never fetches another candidate.
+    *  3. EXACTNESS — docs still unresolved after the rep round that
+    *     had at least one candidate fall through to a FULL generation
+    *     restricted to those docs ([[bandCollisions]] with the probe
+    *     side filtered), minus the round-1 pairs they already
+    *     verified below threshold, verified in one shot; surviving it
+    *     means every census candidate of the doc verified below
+    *     threshold — kept, exactly the census rule. Docs with NO rep
+    *     candidates need no fallback: with [[RepPerGroup]] ≥ 2 a
+    *     collision group yields zero rep candidates only when it
+    *     holds nothing but the doc's own store row (see
+    *     [[RepPerGroup]]).
     *
-    * On the dense corpus nearly every dropping doc resolves in round
-    * 1 (≤ 4 verified pairs), so verify volume is ~4·|batch| instead
-    * of |batch|·|matched history|. Keepers still verify all their
-    * candidates — unavoidable (a keep verdict IS the claim that
-    * every candidate is below threshold) — but those are banding
-    * false positives, bounded by the S-curve, not by duplication.
-    * Candidate GENERATION is unchanged (band join + one
-    * candidate-sized aggregate); only the expensive token-level
-    * verify is bounded. MinhashStoreSpec pins verdict equality with
-    * the census mode and the O(batch) verify bound on an
-    * all-duplicate corpus; the x78 oracle key hash-gates the
-    * lifecycle end-to-end.
+    * On a dense corpus nearly every dropping doc resolves in round 1
+    * (≤ 4 verified pairs) and the fallback set is keepers + near
+    * misses — S-curve-sparse — so BOTH generated and verified pairs
+    * are ~O(batch) where the census pays |batch|·|matched history|.
+    * The rep ranking's band count is computed over rep pairs only (a
+    * non-rep band's collision is not counted) — a pure ranking
+    * signal, so undercounting can reorder rounds but never change a
+    * verdict. MinhashStoreSpec pins verdict equality with the census
+    * mode and both O(batch) bounds on an all-duplicate corpus; the
+    * x78 oracle key hash-gates the lifecycle end-to-end.
     */
   def dedupVerdicts(spark: SparkSession, incoming: DataFrame,
       storeDir: String, perms: Seq[(Int, Long, Long)],
       threshold: Double): DataFrame =
-    dedupVerdictsWithStats(spark, incoming, storeDir, perms, threshold)._1
+    dedupVerdictsWithStats(spark, incoming, storeDir, perms, threshold).verdicts
 
-  /** [[dedupVerdicts]] plus the number of candidate pairs actually
-    * verified — the quantity the O(batch) bound is about (spec-facing).
-    * The returned frame is fully materialized (the round loop runs
-    * actions), so re-consuming it is cheap.
+  /** [[dedupVerdicts]] plus the work accounting ([[VerdictStats]],
+    * spec- and diag-facing). The returned frame's expensive inputs are
+    * fully materialized (the round loop runs actions and the resolved
+    * set is checkpointed), so re-consuming it is cheap.
     */
   private[graft] def dedupVerdictsWithStats(spark: SparkSession,
       incoming: DataFrame, storeDir: String,
-      perms: Seq[(Int, Long, Long)], threshold: Double): (DataFrame, Long) = {
+      perms: Seq[(Int, Long, Long)], threshold: Double): VerdictStats = {
     import org.apache.spark.sql.expressions.Window
     recoverForRead(spark, storeDir)
     val (nHashes, nBands) = readScheme(spark, storeDir)
@@ -765,69 +912,94 @@ object MinhashSignatureStore {
     graft.expressions.SortedIntersectCount.register(spark)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // the round loop runs its own actions, so cache scopes are managed
-    // by hand here (persist → loop → unpersist), not via Caching
-    val arrs = tokenSets(incoming).persist(lvl)
-    // ranked candidates: ONE candidate-sized aggregate (same exchange
-    // cost as the census path's distinct) + a d2-partitioned window —
-    // batch-doc-partitioned, never a global sort
-    val cand = bandCollisions(storeBands,
-        bandRows(signatures(arrs, nHashes, perms), nHashes, nBands))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("nb"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("d2")).orderBy(col("nb").desc, col("d1"))))
-      .persist(lvl)
-    // Prebuild BOTH verify sides ONCE over all candidate d1 docs —
-    // per-DOC linear work the census path pays identically — and
-    // persist them, so each round pays only its own PAIR volume.
-    // Without this every round re-scanned store docs and re-ran the
-    // mask aggregates: 2-3× the linear work for zero information
-    // (the shape the first r13 bench measured at 2× census cost).
-    val vCount = batchVocabCount(arrs)
-    val d1Ids = cand.select(col("d1").as("doc_id")).distinct()
-    val refArrs = storeDocs.join(broadcast(d1Ids), Seq("doc_id"), "left_semi")
-      .unionByName(arrs)
-    val masks = maskFrames(spark, arrs, refArrs, threshold, vCount)
-    val sides = masks.map { case (a, b) => Seq(a, b) }.getOrElse(Seq(refArrs))
-    sides.foreach(_.persist(lvl))
-    try {
-      // resolved = dropping docs found so far; localCheckpoint pins
-      // each round's result so later rounds don't recompute the chain
-      var resolved = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType))))
-      var verifiedPairs = 0L
-      var lo = 1L
-      val bounds = VerdictChunks.map(Some(_)) :+ None
-      for (chunk <- bounds) {
-        val inRange = chunk match {
-          case Some(c) => col("rn").between(lo, lo + c - 1)
-          case None => col("rn") >= lo
-        }
-        val roundCand = cand.filter(inRange)
-          .join(resolved.withColumnRenamed("doc_id", "d2"), Seq("d2"),
-            "left_anti")
-          .select(col("d1"), col("d2"))
-        val n = roundCand.count()
-        verifiedPairs += n
-        if (n > 0) {
-          val hit = scorePairs(roundCand, masks, refArrs, arrs, threshold)
-            .select(col("d2").as("doc_id")).distinct()
-            .localCheckpoint(true)
+    // by hand here (persist -> loop -> unpersist), not via Caching;
+    // the whole probe runs under the advisory cap (VERDICT r13 #3)
+    val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def keep(df: DataFrame): DataFrame = { df.persist(lvl); persisted += df; df }
+    try withAdvisoryCap(spark) {
+      val arrs = keep(tokenSets(incoming))
+      val inc = keep(bandRows(signatures(arrs, nHashes, perms), nHashes, nBands))
+      // --- bounded generation: the rep stage (Scaladoc step 1) ---
+      // store rows colliding with any batch band KEY (no batch doc_id
+      // attached -> linear in matched history, no pair blowup); the
+      // broadcast keeps the store un-shuffled and bkt arms DPP exactly
+      // like the census band join
+      val incKeys = inc.select(col("bkt"), col("band"), col("sig")).distinct()
+      val collide = keep(storeBands.as("s").join(broadcast(incKeys).as("i"),
+          col("s.bkt") === col("i.bkt") && col("s.band") === col("i.band") &&
+            col("s.sig") === col("i.sig"))
+        .select(col("s.doc_id").as("d1"), col("s.band").as("band"),
+          col("s.sig").as("sig")))
+      // rank-in-group windows: WindowGroupLimit prunes to R per group
+      // BEFORE the exchange, so the shuffle carries ~groups*R rows
+      val gw = Window.partitionBy(col("band"), col("sig")).orderBy(col("d1"))
+      val storeReps = collide
+        .withColumn("gr", row_number().over(gw))
+        .filter(col("gr") <= RepPerGroup).drop("gr")
+      val repStore = storeReps.as("r").join(broadcast(inc).as("i"),
+          col("r.band") === col("i.band") && col("r.sig") === col("i.sig") &&
+            col("r.d1") =!= col("i.doc_id"))
+        .select(col("r.d1").as("d1"), col("i.doc_id").as("d2"))
+      val bw = Window.partitionBy(col("band"), col("sig")).orderBy(col("doc_id"))
+      val batchReps = inc
+        .withColumn("gr", row_number().over(bw))
+        .filter(col("gr") <= RepPerGroup + 1)
+        .select(col("doc_id").as("d1"), col("band"), col("sig"))
+      val repBatch = batchReps.as("r").join(broadcast(inc).as("i"),
+          col("r.band") === col("i.band") && col("r.sig") === col("i.sig") &&
+            col("r.d1") < col("i.doc_id"))
+        .select(col("d1"), col("i.doc_id").as("d2"))
+      val repCand = keep(repStore.unionByName(repBatch)
+        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("nb"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("d2")).orderBy(col("nb").desc, col("d1")))))
+      // Prebuild BOTH verify sides ONCE over every store doc that
+      // collides at all (covers rep pairs AND the fallback stage) —
+      // per-DOC linear work the census path pays identically — and
+      // persist them, so each round pays only its own PAIR volume.
+      val vCount = batchVocabCount(arrs)
+      val d1Ids = collide.select(col("d1").as("doc_id")).distinct()
+      val refArrs = storeDocs.join(broadcast(d1Ids), Seq("doc_id"), "left_semi")
+        .unionByName(arrs)
+      val masks = maskFrames(spark, arrs, refArrs, threshold, vCount)
+      masks.map { case (a, b) => Seq(a, b) }.getOrElse(Seq(refArrs))
+        .foreach(keep)
+      // --- resolve round over the top-ranked rep pairs (one verify
+      // job; docs with a confirmed match drop and never fetch more) ---
+      val statsRow = repCand.agg(count(lit(1)),
+        count(when(col("rn") <= VerdictChunk, 1))).collect().head
+      var generatedPairs = statsRow.getLong(0)
+      var verifiedPairs = statsRow.getLong(1)
+      val round1 = repCand.filter(col("rn") <= VerdictChunk)
+        .select(col("d1"), col("d2"))
+      var resolved =
+        if (verifiedPairs == 0) emptyIds(spark)
+        else scorePairs(round1, masks, refArrs, arrs, threshold)
+          .select(col("d2").as("doc_id")).distinct().localCheckpoint(true)
+      // --- exactness fallback (Scaladoc step 3): ALL remaining
+      // candidates of unresolved docs-with-candidates, one shot ---
+      val unresolved = repCand.select(col("d2").as("doc_id")).distinct()
+        .join(resolved, Seq("doc_id"), "left_anti")
+      if (unresolved.count() > 0) {
+        val incU = inc.join(broadcast(unresolved), Seq("doc_id"), "left_semi")
+        val fullCand = keep(bandCollisions(storeBands, inc, incU).distinct()
+          // the round-1 pairs these docs already verified (all below
+          // threshold — they are unresolved) need not verify twice
+          .join(round1, Seq("d1", "d2"), "left_anti"))
+        val n2 = fullCand.count()
+        generatedPairs += n2
+        verifiedPairs += n2
+        if (n2 > 0) {
+          val hit = scorePairs(fullCand, masks, refArrs, arrs, threshold)
+            .select(col("d2").as("doc_id")).distinct().localCheckpoint(true)
           resolved = resolved.unionByName(hit).localCheckpoint(true)
         }
-        lo += chunk.getOrElse(0L)
       }
       val out = incoming.select(col("doc_id"))
         .join(broadcast(resolved.withColumn("m", lit(true))),
           Seq("doc_id"), "left_outer")
         .select(col("doc_id"), col("m").isNull.as("keep"))
-      (out, verifiedPairs)
-    } finally {
-      sides.foreach(_.unpersist(blocking = false))
-      cand.unpersist(blocking = false)
-      arrs.unpersist(blocking = false)
-    }
+      VerdictStats(out, verifiedPairs, generatedPairs)
+    } finally persisted.foreach(_.unpersist(blocking = false))
   }
 }

@@ -3191,6 +3191,32 @@ object Extras {
       path
     })
 
+  /** The store AFTER batch 1's lifecycle step (history + b1's keepers
+    * appended), shared read-only by x71's and x78's second probe legs
+    * (VERDICT r13 #6: the two keys replayed the identical
+    * deterministic append per rep — the probes are the oracle
+    * contract, the in-between mutation is fixture state). Keep sets
+    * are mode-independent (spec-pinned), so building the keepers via
+    * the cheap verdict-only probe leaves both keys' oracles exact.
+    * The full mutable lifecycle still runs per-rep in x75 (streaming)
+    * and per-suite in MinhashStoreSpec.
+    */
+  private def postB1StoreFor(s: SparkSession, dir: String): String = {
+    val pristine = pristineStoreFor(s, dir) // resolve OUTSIDE the map
+    storeFixtures.computeIfAbsent(dir + "#postb1", _ => {
+      val mss = graft.operators.MinhashSignatureStore
+      val b1 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 8 === 1)
+      val path = scratchDir(s, "mssfixtureb1", dir) + "/store"
+      copyStore(s, pristine, path)
+      val v1 = mss.dedupVerdicts(s, b1, path, Perms, MinhashJaccardThreshold)
+      mss.append(s,
+        b1.join(v1.filter(col("keep")), Seq("doc_id"), "left_semi"),
+        path, Perms)
+      path
+    })
+  }
+
   private def copyStore(s: SparkSession, from: String, to: String): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
     val src = new org.apache.hadoop.fs.Path(from)
@@ -3208,21 +3234,20 @@ object Extras {
     // DENSITY stress is x02/q27's job. A quarter-corpus history with
     // two eighth-corpus batches keeps every semantic edge while the
     // bench cost tracks the lifecycle, not the corpus's all-pairs
-    // match volume (sum(n_dups) was 1.4M per 1250-doc batch at sf0.1)
+    // match volume (sum(n_dups) was 1.4M per 1250-doc batch at sf0.1).
+    // The two store states are shared READ-ONLY fixtures (probing
+    // never mutates; VERDICT r13 #6): batch 1 probes pristine history,
+    // batch 2 probes the post-append state [[postB1StoreFor]] — the
+    // deterministic mutation between them builds once per (JVM, dir)
+    // instead of once per key per rep. Verdict ordering needs no
+    // parquet bounce anymore: dedupAgainst materializes its census
+    // aggregate eagerly, and nothing here mutates the shared stores.
     val b1 = docs.filter($"doc_id" % 8 === 1)
     val b2 = docs.filter($"doc_id" % 8 === 5)
-    val root = scratchDir(s, "x71", dir)
-    val store = root + "/store"
-    copyStore(s, pristineStoreFor(s, dir), store)
-    // batch 1 verdicts MATERIALIZE before the append mutates the store:
-    // the returned plan is lazy, and a re-computation after append
-    // would re-probe a store that now contains batch 1 itself
-    mss.dedupAgainst(s, b1, store, Perms, MinhashJaccardThreshold)
-      .write.parquet(root + "/v1")
-    val v1 = s.read.parquet(root + "/v1")
-    mss.append(s, b1.join(v1.filter($"keep"), Seq("doc_id"), "left_semi"),
-      store, Perms)
-    val v2 = mss.dedupAgainst(s, b2, store, Perms, MinhashJaccardThreshold)
+    val v1 = mss.dedupAgainst(s, b1, pristineStoreFor(s, dir),
+      Perms, MinhashJaccardThreshold)
+    val v2 = mss.dedupAgainst(s, b2, postB1StoreFor(s, dir),
+      Perms, MinhashJaccardThreshold)
     v1.withColumn("batch", lit("b1"))
       .unionByName(v2.withColumn("batch", lit("b2")))
       .select($"doc_id", $"batch", $"keep", $"n_dups", $"max_jaccard")
@@ -3525,18 +3550,17 @@ object Extras {
     val mss = graft.operators.MinhashSignatureStore
     val docs = t(s, dir, "documents").select($"doc_id", $"text")
     val b1 = docs.filter($"doc_id" % 8 === 1)
-    val root = scratchDir(s, "x71diag", dir)
-    val store = root + "/store"
-    copyStore(s, pristineStoreFor(s, dir), store)
+    val store = pristineStoreFor(s, dir) // probes are read-only
     val t0 = System.nanoTime()
     val census = mss.probeStats(s, b1, store, Perms, MinhashJaccardThreshold)
     val t1 = System.nanoTime()
-    val (vdf, verifyPairs) = mss.dedupVerdictsWithStats(
+    val st = mss.dedupVerdictsWithStats(
       s, b1, store, Perms, MinhashJaccardThreshold)
-    val nKept = vdf.filter($"keep").count()
+    val nKept = st.verdicts.filter($"keep").count()
     val t2 = System.nanoTime()
     census ++ Seq(
-      "verdict_verify_pairs" -> verifyPairs,
+      "verdict_cand_pairs" -> st.generatedPairs,
+      "verdict_verify_pairs" -> st.verifiedPairs,
       "verdict_kept" -> nKept,
       "census_probe_ms" -> (t1 - t0) / 1000000L,
       "verdict_probe_ms" -> (t2 - t1) / 1000000L)
@@ -3563,13 +3587,15 @@ object Extras {
     val docs = t(s, dir, "documents").select($"doc_id", $"text")
     val b1 = docs.filter($"doc_id" % 8 === 1)
     val b2 = docs.filter($"doc_id" % 8 === 5)
-    val root = scratchDir(s, "x78", dir)
-    val store = root + "/store"
-    copyStore(s, pristineStoreFor(s, dir), store)
-    val v1 = mss.dedupVerdicts(s, b1, store, Perms, MinhashJaccardThreshold)
-    mss.append(s, b1.join(v1.filter($"keep"), Seq("doc_id"), "left_semi"),
-      store, Perms)
-    val v2 = mss.dedupVerdicts(s, b2, store, Perms, MinhashJaccardThreshold)
+    // same shared read-only store states as x71 (VERDICT r13 #6); the
+    // mode under test is the PROBE, which is exactly what still runs
+    // here per rep — the append between the probes is fixture state
+    // (itself built via dedupVerdicts, so the x78 lifecycle's append
+    // leg runs once per JVM too)
+    val v1 = mss.dedupVerdicts(s, b1, pristineStoreFor(s, dir),
+      Perms, MinhashJaccardThreshold)
+    val v2 = mss.dedupVerdicts(s, b2, postB1StoreFor(s, dir),
+      Perms, MinhashJaccardThreshold)
     v1.withColumn("batch", lit("b1"))
       .unionByName(v2.withColumn("batch", lit("b2")))
       .select($"doc_id", $"batch", $"keep")

@@ -159,7 +159,7 @@ class MinhashStoreSpec extends AnyFunSuite {
     val store = freshStore("plan")
     MinhashSignatureStore.build(spark, docsDf(1L -> h1Text, 2L -> h2Text),
       store, 16, 4, perms)
-    val out = MinhashSignatureStore.dedupAgainst(spark,
+    val out = MinhashSignatureStore.dedupAgainstLazy(spark,
       docsDf(50L -> bText), store, perms, T)
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruning"),
@@ -344,17 +344,25 @@ class MinhashStoreSpec extends AnyFunSuite {
       docsDf((1 to d).map(i => i.toLong -> h1Text): _*), store, 16, 4, perms)
     val b = 6
     val batch = docsDf((101 to 100 + b).map(i => i.toLong -> h1Text): _*)
-    val (vdf, pairs) = MinhashSignatureStore.dedupVerdictsWithStats(
+    val st = MinhashSignatureStore.dedupVerdictsWithStats(
       spark, batch, store, perms, T)
-    assert(vdf.collect().forall(!_.getBoolean(1)), "every batch doc drops")
-    assert(pairs <= 4L * b,
-      s"short-circuit must verify at most chunk×batch pairs, got $pairs " +
-        s"(census would verify ~${d * b})")
+    assert(st.verdicts.collect().forall(!_.getBoolean(1)),
+      "every batch doc drops")
+    assert(st.verifiedPairs <= 4L * b,
+      s"short-circuit must verify at most chunk×batch pairs, got " +
+        s"${st.verifiedPairs} (census would verify ~${d * b})")
+    // bounded GENERATION (VERDICT r13 #2): the all-duplicate bucket
+    // yields at most R store reps + R+1 batch reps per doc, not the
+    // census's |batch|×|store| pair dump
+    assert(st.generatedPairs <= (2L * 4 + 1) * b,
+      s"rep generation must stay O(batch) on the dense bucket, got " +
+        s"${st.generatedPairs} (census would generate ~${d * b})")
 
-    // a no-candidate batch verifies nothing at all
-    val (kdf, kPairs) = MinhashSignatureStore.dedupVerdictsWithStats(
+    // a no-candidate batch generates and verifies nothing at all
+    val kSt = MinhashSignatureStore.dedupVerdictsWithStats(
       spark, docsDf(300L -> "totally unrelated tokens"), store, perms, T)
-    assert(kdf.collect().forall(_.getBoolean(1)) && kPairs === 0L)
+    assert(kSt.verdicts.collect().forall(_.getBoolean(1)) &&
+      kSt.verifiedPairs === 0L && kSt.generatedPairs === 0L)
   }
 
   test("half-built store (no scheme file) fails loudly, not silently") {

@@ -393,6 +393,121 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchRows.exists(!_.getBoolean(2)))
   }
 
+  test("dedupStream in VerdictOnly mode == the x78 batch lifecycle, row " +
+      "for row (VERDICT r13 #1: the production keep/drop stream)") {
+    import graft.operators.MinhashSignatureStore
+    import graft.queries.Extras
+    // the batch twin: x78's store-build + two dedupVerdicts legs
+    val batchRows = Extras.x78DedupVerdicts(spark, sf).collect().toSeq
+    // the streamed run: same history store, same two batches arriving
+    // as files, probed through dedupStream(mode = VerdictOnly)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val hist = docs.filter(col("doc_id") % 4 === 0)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mssvstream").toString
+    val store = root + "/store"
+    val (nh, nb) = Extras.minhashSchemeFor(hist.count())
+    MinhashSignatureStore.build(spark, hist, store, nh, nb, Extras.Perms)
+    val feed = root + "/feed"
+    new java.io.File(feed).mkdirs()
+    val q = MinhashSignatureStore.dedupStream(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed),
+      store, root + "/verdicts", Extras.Perms,
+      Extras.MinhashJaccardThreshold, root + "/ckpt",
+      MinhashSignatureStore.VerdictOnly)
+    try {
+      docs.filter(col("doc_id") % 8 === 1).coalesce(1)
+        .write.mode("append").parquet(feed)
+      q.processAllAvailable()
+      docs.filter(col("doc_id") % 8 === 5).coalesce(1)
+        .write.mode("append").parquet(feed)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamRows = spark.read.parquet(root + "/verdicts/batch-0")
+      .withColumn("batch", lit("b1"))
+      .unionByName(spark.read.parquet(root + "/verdicts/batch-1")
+        .withColumn("batch", lit("b2")))
+      .select(col("doc_id"), col("batch"), col("keep"))
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(streamRows == batchRows,
+      "the verdict-only stream must not change a single keep/drop")
+    assert(batchRows.exists(!_.getBoolean(2)), "fixture is non-degenerate")
+    // the verdict-only schema really is the slim one (no census stats)
+    assert(spark.read.parquet(root + "/verdicts/batch-0")
+      .schema.fieldNames.toSeq == Seq("doc_id", "keep"))
+  }
+
+  test("rebuildIfOutgrown between stream runs: the ledger survives the " +
+      "scheme swap and the resumed stream probes under the new scheme") {
+    import graft.operators.MinhashSignatureStore
+    import graft.queries.Extras
+    val T = Extras.MinhashJaccardThreshold
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val hist = docs.filter(col("doc_id") % 4 === 0)
+    val b1 = docs.filter(col("doc_id") % 8 === 1)
+    val b2 = docs.filter(col("doc_id") % 8 === 5)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mssrebuild").toString
+    val store = root + "/store"
+    // deliberately undersized scheme: the occupancy policy below will
+    // demand the upgrade once b1's keepers land
+    MinhashSignatureStore.build(spark, hist, store, 16, 4, Extras.Perms)
+    val feed = root + "/feed"
+    new java.io.File(feed).mkdirs()
+    def startStream() = MinhashSignatureStore.dedupStream(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed),
+      store, root + "/verdicts", Extras.Perms, T, root + "/ckpt")
+    // run 1: batch 0 probes and appends under the 16/4 scheme
+    val q1 = startStream()
+    try {
+      b1.coalesce(1).write.mode("append").parquet(feed)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val ledger = new java.io.File(graft.streaming.StreamLedger.dir(
+      org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(store), root + "/ckpt").toUri.getPath)
+    assert(new java.io.File(ledger, "batch-0").exists)
+    val keptB1 = spark.read.parquet(root + "/verdicts/batch-0")
+      .filter(col("keep")).count()
+    // between-runs maintenance: the store outgrew 16/4 -> rebuild
+    val policy = (n: Long) => if (n <= 2) (16, 4) else (48, 8)
+    assert(MinhashSignatureStore.rebuildIfOutgrown(
+      spark, store, Extras.Perms, policy), "the store must rebuild")
+    assert(MinhashSignatureStore.readScheme(spark, store) === ((48, 8)))
+    assert(new java.io.File(ledger, "batch-0").exists,
+      "the rebuild swap must not touch the stream ledger")
+    // run 2: SAME checkpoint — batch 0 is not replayed, batch 1 (b2)
+    // probes under the rebuilt scheme
+    val q2 = startStream()
+    try {
+      b2.coalesce(1).write.mode("append").parquet(feed)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(root + "/verdicts/batch-0")
+      .filter(col("keep")).count() == keptB1,
+      "the resumed stream must not reprocess the pre-rebuild batch")
+    // equivalence oracle: a batch-built 48/8 store over history + b1's
+    // keepers must give b2 the exact same verdicts
+    val refStore = root + "/refstore"
+    val keptIds = spark.read.parquet(root + "/verdicts/batch-0")
+      .filter(col("keep")).select(col("doc_id"))
+    MinhashSignatureStore.build(spark,
+      hist.unionByName(b1.join(keptIds, Seq("doc_id"), "left_semi")),
+      refStore, 48, 8, Extras.Perms)
+    val expected = MinhashSignatureStore.dedupAgainst(
+        spark, b2, refStore, Extras.Perms, T)
+      .orderBy(col("doc_id")).collect().toSeq
+    val got = spark.read.parquet(root + "/verdicts/batch-1")
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(got == expected,
+      "the resumed stream's probe must equal a fresh build at the new scheme")
+  }
+
   test("dedupStream's batch-id ledger skips replayed batches; unmarked " +
       "batches land normally") {
     import graft.operators.MinhashSignatureStore
