@@ -544,18 +544,26 @@ object MinhashSignatureStore {
     * same session would momentarily see the smaller advisory — a
     * few extra tasks, never a wrong plan.
     */
-  private val CandidateAdvisoryBytes = "8m"
+  private def candidateAdvisoryBytes: String =
+    sys.props.getOrElse("graft.probe.advisory.bytes", "8m")
 
-  private def withAdvisoryCap[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+  /** Set one session conf for the duration of `body`, restoring the
+    * caller's value (or unsetting) after.
+    */
+  private def withConfScoped[T](spark: SparkSession, key: String,
+      value: String)(body: => T): T = {
     val prev = spark.conf.getOption(key)
-    spark.conf.set(key, CandidateAdvisoryBytes)
+    spark.conf.set(key, value)
     try body
     finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
   }
+
+  private def withAdvisoryCap[T](spark: SparkSession)(body: => T): T =
+    withConfScoped(spark, "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      candidateAdvisoryBytes)(body)
 
   /** The batch-vocabulary strategy probe: distinct token count of the
     * CACHED batch frame, clamped at 1025 (all the mask ladder needs
@@ -696,16 +704,52 @@ object MinhashSignatureStore {
     val arrs = tokenSets(incoming)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // the candidate jobs run HERE (eager localCheckpoint), under the
-      // advisory cap that keeps the pair exchanges memory-sane
-      // (VERDICT r13 #3) — and only the cheap batch-sized verdict join
-      // is left lazy for the caller's action
-      val perDoc = withAdvisoryCap(spark) {
-        censusPerDoc(spark, arrs, storeBands, storeDocs, nHashes, nBands,
-          perms, threshold).localCheckpoint(true)
+      val inc = bandRows(signatures(arrs, nHashes, perms), nHashes, nBands)
+      // the candidate jobs run HERE (eager localCheckpoint), inside a
+      // scope that sizes their exchanges (VERDICT r13 #3 + the r14
+      // foreachBatch OOM): only the cheap batch-sized verdict join is
+      // left lazy for the caller's action
+      val perDoc = withCensusExchangeConf(spark,
+          bandCollisions(storeBands, inc).count()) {
+        censusPerDoc(spark, arrs, inc, storeDocs, storeBands, threshold)
+          .localCheckpoint(true)
       }
       verdictFrame(incoming, perDoc)
     } finally arrs.unpersist(blocking = false)
+  }
+
+  /** ~1M two-long pair rows per static post-shuffle partition keeps a
+    * verify/census task's aggregate state in the tens of MB.
+    */
+  private val PairsPerStaticPartition = 1L << 20
+
+  /** Exchange sizing for the census probe's candidate jobs, derived
+    * from the MEASURED candidate count — one extra shuffle-free pass
+    * over the band join (broadcast join + count), bought back many
+    * times over on match-dense corpora:
+    *  - `spark.sql.shuffle.partitions` is raised (never lowered) to
+    *    candidates / [[PairsPerStaticPartition]], capped at 4096. With
+    *    AQE on this is just a bigger initial partition count that
+    *    coalescing shrinks back for free; WITHOUT AQE — Spark runs
+    *    foreachBatch micro-batch plans AQE-less, which is exactly
+    *    [[dedupStream]]'s probe — it is the only thing standing
+    *    between a 185M-pair exchange and 32 default partitions of
+    *    ~6M pairs each, the r14-measured heap kill at sf10.
+    *  - the AQE advisory cap (VERDICT r13 #3) still applies, bounding
+    *    coalescing's rebuilt partitions on the AQE path.
+    * This makes the probe's partitioning self-tuning: sized by data
+    * measured at run time, not by whatever the session default is —
+    * the 100 TB posture, where candidate volume varies per batch by
+    * orders of magnitude.
+    */
+  private def withCensusExchangeConf[T](spark: SparkSession,
+      candidates: Long)(body: => T): T = {
+    val parts = math.max(
+      spark.conf.get("spark.sql.shuffle.partitions").toLong,
+      math.min(4096L, candidates / PairsPerStaticPartition + 1)).toString
+    withConfScoped(spark, "spark.sql.shuffle.partitions", parts) {
+      withAdvisoryCap(spark)(body)
+    }
   }
 
   /** [[dedupAgainst]] as one lazy plan — what the plan-shape specs
@@ -723,8 +767,9 @@ object MinhashSignatureStore {
     val storeDocs = spark.read.parquet(s"$storeDir/docs")
     graft.expressions.SortedIntersectCount.register(spark)
     graft.Caching.withPersistedThrough(tokenSets(incoming)) { arrs =>
-      verdictFrame(incoming, censusPerDoc(spark, arrs, storeBands, storeDocs,
-        nHashes, nBands, perms, threshold))
+      verdictFrame(incoming, censusPerDoc(spark, arrs,
+        bandRows(signatures(arrs, nHashes, perms), nHashes, nBands),
+        storeDocs, storeBands, threshold))
     }
   }
 
@@ -732,10 +777,8 @@ object MinhashSignatureStore {
     * matches the banding surfaced and their max Jaccard.
     */
   private def censusPerDoc(spark: SparkSession, arrs: DataFrame,
-      storeBands: DataFrame, storeDocs: DataFrame, nHashes: Int,
-      nBands: Int, perms: Seq[(Int, Long, Long)],
+      inc: DataFrame, storeDocs: DataFrame, storeBands: DataFrame,
       threshold: Double): DataFrame = {
-    val inc = bandRows(signatures(arrs, nHashes, perms), nHashes, nBands)
     // multi-band collisions: the candidate sliver pays the distinct,
     // not the store (store-side rows never reach an exchange); its
     // two consumers (the scored pairs and the d1Ids verify-fetch
@@ -787,8 +830,10 @@ object MinhashSignatureStore {
       .distinct().persist(lvl)
     try withAdvisoryCap(spark) {
       val nCand = cand.count()
-      val nMatches = verifiedMatches(spark, cand, arrs, storeDocs,
-        threshold, batchVocabCount(arrs)).count()
+      val nMatches = withCensusExchangeConf(spark, nCand) {
+        verifiedMatches(spark, cand, arrs, storeDocs,
+          threshold, batchVocabCount(arrs)).count()
+      }
       Seq("n_batch" -> incoming.count(), "n_store_docs" -> storeDocs.count(),
         "n_candidates" -> nCand, "n_matches" -> nMatches)
     } finally {
