@@ -137,7 +137,8 @@ object SparkEntry {
     "x75_stream_dedup" -> (X.x75StreamDedup _),
     "x76_ann_recall" -> (X.x76AnnRecall _),
     "x77_embedding_drift" -> (X.x77EmbeddingDrift _),
-    "x78_dedup_verdicts" -> (X.x78DedupVerdicts _)
+    "x78_dedup_verdicts" -> (X.x78DedupVerdicts _),
+    "x79_semdedup_incremental" -> (X.x79SemdedupIncremental _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

@@ -371,6 +371,66 @@ object AnnIndex {
     * back to the driver to become a STATIC partition filter, so the
     * parquet scan prunes before any row is read.
     */
+  /** Cross-run incremental SEMANTIC dedup against the persistent
+    * index — the embedding analog of
+    * [[MinhashSignatureStore.dedupAgainst]], completing the dedup
+    * family matrix (exact keys: [[BloomIncrementalDedup]]; token
+    * near-dup: the minhash store; semantic: here). Per batch vector
+    * (vec_id, v): keep ⇔ NO stored vector in the probe's top-`nprobe`
+    * cells has exact-decimal cosine ≥ `tau`; n_dups counts the
+    * distinct matching stored vectors the probed cells surfaced,
+    * max_cos their maximum (0.0 when kept). The caller appends the
+    * KEPT vectors ([[append]]) — the only-ingest-new-objects lifecycle
+    * lifted from content identity to embedding similarity.
+    *
+    * Cell pruning is the IVF approximation, applied deterministically
+    * (the same argmax/tie rules as [[probe]]) so the verdicts are
+    * exactly replayable — a cross-cell near-duplicate is missed BY
+    * CONTRACT, the trade every IVF serving path makes, tunable with
+    * `nprobe` (the x76 audit measures the recall curve). Scale shape:
+    * probes broadcast twice (cell ranking, then the scoring join),
+    * the index scan is statically pruned to the probed cells, per-row
+    * norms are row-local, and the verdict aggregate is batch-sized —
+    * the index is never shuffled. Zero-norm vectors (either side)
+    * have no cosine and never match; a vector re-probed against an
+    * index that already contains it is guarded by vec_id ≠ p_id, so
+    * re-running an ingested batch is idempotent rather than
+    * self-matching. countDistinct/max make the stats immune to a
+    * replay-duplicated append row.
+    */
+  def dedupAgainst(spark: SparkSession, path: String, batch: DataFrame,
+      centroids: DataFrame, nprobe: Int, tau: Double): DataFrame = {
+    graft.expressions.DecimalDot.register(spark)
+    recoverForRead(spark, path)
+    val probes = batch.select(col("vec_id").as("p_id"), col("v").as("p"))
+    val rk = row_number().over(
+      Window.partitionBy(col("p_id")).orderBy(col("d").desc, col("cid")))
+    val wanted = probes.crossJoin(broadcast(centroids))
+      .withColumn("d", dot("p", "c"))
+      .withColumn("rk", rk).filter(col("rk") <= nprobe)
+      .select(col("p_id"), col("cid"))
+    val cellIds = wanted.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val index = spark.read.parquet(path)
+      .filter(col("cell").isin(cellIds: _*))
+      .select(col("vec_id").as("d1"), col("v").as("sv"), col("cell"))
+      .withColumn("nv", dot("sv", "sv"))
+    val hits = probes.withColumn("np", dot("p", "p"))
+      .join(broadcast(wanted), Seq("p_id"))
+      .join(index, col("cid") === col("cell") && col("d1") =!= col("p_id"))
+      .withColumn("cos", dot("p", "sv") / (sqrt(col("np")) * sqrt(col("nv"))))
+      .filter(col("np") > 0d && col("nv") > 0d && col("cos") >= tau)
+      .groupBy(col("p_id").as("vec_id"))
+      .agg(countDistinct(col("d1")).as("n_dups"),
+        max(col("cos")).as("max_cos"))
+    batch.select(col("vec_id"))
+      .join(broadcast(hits), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        col("n_dups").isNull.as("keep"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        coalesce(col("max_cos"), lit(0.0)).as("max_cos"))
+  }
+
   def probe(spark: SparkSession, path: String, probes: DataFrame,
       centroids: DataFrame, nprobe: Int, k: Int): DataFrame = {
     graft.expressions.DecimalDot.register(spark)

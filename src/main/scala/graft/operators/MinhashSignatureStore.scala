@@ -1022,23 +1022,25 @@ object MinhashSignatureStore {
         else scorePairs(round1, masks, refArrs, arrs, threshold)
           .select(col("d2").as("doc_id")).distinct().localCheckpoint(true)
       // --- exactness fallback (Scaladoc step 3): ALL remaining
-      // candidates of unresolved docs-with-candidates, one shot ---
+      // candidates of unresolved docs-with-candidates, one shot. The
+      // unresolved set stays lazy (one consumer, derived from the
+      // persisted repCand and the checkpointed resolved set); its
+      // emptiness is decided by fullCand's own count — one job, not
+      // two (r14 job-count trim)
       val unresolved = repCand.select(col("d2").as("doc_id")).distinct()
         .join(resolved, Seq("doc_id"), "left_anti")
-      if (unresolved.count() > 0) {
-        val incU = inc.join(broadcast(unresolved), Seq("doc_id"), "left_semi")
-        val fullCand = keep(bandCollisions(storeBands, inc, incU).distinct()
-          // the round-1 pairs these docs already verified (all below
-          // threshold — they are unresolved) need not verify twice
-          .join(round1, Seq("d1", "d2"), "left_anti"))
-        val n2 = fullCand.count()
-        generatedPairs += n2
-        verifiedPairs += n2
-        if (n2 > 0) {
-          val hit = scorePairs(fullCand, masks, refArrs, arrs, threshold)
-            .select(col("d2").as("doc_id")).distinct().localCheckpoint(true)
-          resolved = resolved.unionByName(hit).localCheckpoint(true)
-        }
+      val incU = inc.join(broadcast(unresolved), Seq("doc_id"), "left_semi")
+      val fullCand = keep(bandCollisions(storeBands, inc, incU).distinct()
+        // the round-1 pairs these docs already verified (all below
+        // threshold — they are unresolved) need not verify twice
+        .join(round1, Seq("d1", "d2"), "left_anti"))
+      val n2 = fullCand.count()
+      generatedPairs += n2
+      verifiedPairs += n2
+      if (n2 > 0) {
+        val hit = scorePairs(fullCand, masks, refArrs, arrs, threshold)
+          .select(col("d2").as("doc_id")).distinct().localCheckpoint(true)
+        resolved = resolved.unionByName(hit).localCheckpoint(true)
       }
       val out = incoming.select(col("doc_id"))
         .join(broadcast(resolved.withColumn("m", lit(true))),

@@ -3601,4 +3601,60 @@ object Extras {
       .select($"doc_id", $"batch", $"keep")
       .orderBy($"doc_id")
   }
+
+  /** x79 — cross-run incremental SEMANTIC dedup (the embedding leg of
+    * the incremental dedup family; x20 = exact keys, x71/x78 = token
+    * near-dup, THIS = embedding cosine): maintain a persistent
+    * cell-partitioned ANN index ([[graft.operators.AnnIndex]]) of all
+    * ingested embeddings, near-dedup each new batch against it with
+    * cell-pruned exact-decimal cosine
+    * ([[graft.operators.AnnIndex.dedupAgainst]]), append only the
+    * KEPT vectors, repeat. The lifecycle mirrors x71: history index →
+    * dedup batch 1 → append its keepers → dedup batch 2 against the
+    * grown index; a batch-2 vector matching only a DROPPED batch-1
+    * vector survives (dropped vectors never enter the index).
+    *
+    * Cell pruning (nprobe = 2 of 16 seed cells) is the IVF serving
+    * approximation, applied DETERMINISTICALLY (x65's argmax and
+    * tie rules), so the verdicts are exact to replay: the oracle
+    * re-derives assignment, probe cells, and the thresholded cosine
+    * census relationally. In-corpus semantic dedup of a single batch
+    * is x61/x62's job — the pipeline runs that first, then THIS
+    * operator enforces the cross-run rule, exactly how the
+    * reference's lake splits in-file vs vs-lake dedup (the
+    * only-ingest-new-objects rule, src/main_extractor.py:400-436).
+    * Scale: probes broadcast, index scan statically cell-pruned,
+    * O(batch) appends, [[graft.operators.AnnIndex.optimize]] as the
+    * occupancy-maintenance hook — the index is never shuffled.
+    */
+  def x79SemdedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ann = graft.operators.AnnIndex
+    val e = emb(s, dir)
+    val cents = e.filter($"vec_id".between(1, 16))
+      .select($"vec_id".as("cid"), $"v".as("c"))
+    // vec_id 0–16 serve as probes/planes/centroids across the x05–x76
+    // family — the ingest pool starts at 17 so the fixture roles stay
+    // disjoint (centroids in the pool would self-assign trivially)
+    val pool = e.filter($"vec_id" >= 17)
+    val hist = pool.filter($"vec_id" % 2 === 0)
+    val b1 = pool.filter($"vec_id" % 4 === 1)
+    val b2 = pool.filter($"vec_id" % 4 === 3)
+    val path = scratchDir(s, "x79", dir) + "/index"
+    ann.build(hist, cents, path)
+    // batch-1 verdicts MATERIALIZE before the append mutates the index
+    // (the x71 ordering rule: the verdict frame is lazy, and both its
+    // static cell filter and its index scan would otherwise see the
+    // post-append layout on recomputation)
+    val v1 = ann.dedupAgainst(s, path, b1, cents, nprobe = 2,
+      EmbedCosThreshold).localCheckpoint(true)
+    ann.append(b1.join(v1.filter($"keep"), Seq("vec_id"), "left_semi"),
+      cents, path)
+    val v2 = ann.dedupAgainst(s, path, b2, cents, nprobe = 2,
+      EmbedCosThreshold)
+    v1.withColumn("batch", lit("b1"))
+      .unionByName(v2.withColumn("batch", lit("b2")))
+      .select($"vec_id", $"batch", $"keep", $"n_dups", $"max_cos")
+      .orderBy($"vec_id")
+  }
 }

@@ -1535,6 +1535,77 @@ object ExtrasOracle {
       s"""SELECT doc_id, batch, keep FROM ($incrementalMinhashSql)
          |ORDER BY doc_id""".stripMargin,
 
+    // x79: cross-run incremental SEMANTIC dedup — replay the x65 IVF
+    // rules exactly (argmax cell assignment, top-2 probe cells, both
+    // by exact decimal dot with smaller-cid ties), then the
+    // thresholded cosine census per batch against history (batch 1)
+    // and history ∪ batch-1 keepers (batch 2: the append assigns by
+    // the same argmax rule, so one shared `assign` serves both runs).
+    // Dropped batch-1 vectors never enter the index. Zero-norm guard
+    // on both sides mirrors the operator (no cosine, never a match).
+    "x79_semdedup_incremental" ->
+      s"""WITH seeds AS (SELECT vec_id AS cid, embedding AS c FROM embeddings
+         |  WHERE vec_id BETWEEN 1 AND 16),
+         |pool AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 17),
+         |sc AS (SELECT e.vec_id, s.cid, ${dot("e.embedding", "s.c")} AS d
+         |  FROM pool e, seeds s, generate_series(1, 64) t(i)
+         |  GROUP BY e.vec_id, s.cid),
+         |ranked AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY d DESC, cid) AS rn FROM sc),
+         |assign AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+         |pcells AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn <= 2),
+         |norms AS (SELECT e.vec_id, ${dot("e.embedding", "e.embedding")} AS nn
+         |  FROM pool e, generate_series(1, 64) t(i) GROUP BY e.vec_id),
+         |hist AS (SELECT vec_id FROM pool WHERE vec_id % 2 = 0),
+         |b1 AS (SELECT vec_id FROM pool WHERE vec_id % 4 = 1),
+         |b2 AS (SELECT vec_id FROM pool WHERE vec_id % 4 = 3),
+         |cos1 AS (SELECT b.vec_id AS d2, h.vec_id AS d1,
+         |    ${dot("e2.embedding", "e1.embedding")} AS dt
+         |  FROM b1 b JOIN pcells pc ON pc.vec_id = b.vec_id
+         |    JOIN assign a ON a.cell = pc.cell
+         |    JOIN hist h ON h.vec_id = a.vec_id
+         |    JOIN pool e1 ON e1.vec_id = h.vec_id
+         |    JOIN pool e2 ON e2.vec_id = b.vec_id,
+         |    generate_series(1, 64) t(i)
+         |  GROUP BY b.vec_id, h.vec_id),
+         |m1 AS (SELECT c.d2 AS vec_id, CAST(COUNT(DISTINCT c.d1) AS BIGINT)
+         |      AS n_dups, MAX(c.dt / (sqrt(n1.nn) * sqrt(n2.nn))) AS max_cos
+         |  FROM cos1 c JOIN norms n1 ON n1.vec_id = c.d1
+         |    JOIN norms n2 ON n2.vec_id = c.d2
+         |  WHERE n1.nn > 0 AND n2.nn > 0
+         |    AND c.dt / (sqrt(n1.nn) * sqrt(n2.nn)) >= ${Extras.EmbedCosThreshold}
+         |  GROUP BY c.d2),
+         |v1 AS (SELECT b.vec_id, m1.n_dups IS NULL AS keep,
+         |    COALESCE(m1.n_dups, 0) AS n_dups,
+         |    COALESCE(m1.max_cos, 0.0) AS max_cos
+         |  FROM b1 b LEFT JOIN m1 ON m1.vec_id = b.vec_id),
+         |store2 AS (SELECT vec_id FROM hist
+         |  UNION ALL SELECT vec_id FROM v1 WHERE keep),
+         |cos2 AS (SELECT b.vec_id AS d2, h.vec_id AS d1,
+         |    ${dot("e2.embedding", "e1.embedding")} AS dt
+         |  FROM b2 b JOIN pcells pc ON pc.vec_id = b.vec_id
+         |    JOIN assign a ON a.cell = pc.cell
+         |    JOIN store2 h ON h.vec_id = a.vec_id
+         |    JOIN pool e1 ON e1.vec_id = h.vec_id
+         |    JOIN pool e2 ON e2.vec_id = b.vec_id,
+         |    generate_series(1, 64) t(i)
+         |  GROUP BY b.vec_id, h.vec_id),
+         |m2 AS (SELECT c.d2 AS vec_id, CAST(COUNT(DISTINCT c.d1) AS BIGINT)
+         |      AS n_dups, MAX(c.dt / (sqrt(n1.nn) * sqrt(n2.nn))) AS max_cos
+         |  FROM cos2 c JOIN norms n1 ON n1.vec_id = c.d1
+         |    JOIN norms n2 ON n2.vec_id = c.d2
+         |  WHERE n1.nn > 0 AND n2.nn > 0
+         |    AND c.dt / (sqrt(n1.nn) * sqrt(n2.nn)) >= ${Extras.EmbedCosThreshold}
+         |  GROUP BY c.d2),
+         |v2 AS (SELECT b.vec_id, m2.n_dups IS NULL AS keep,
+         |    COALESCE(m2.n_dups, 0) AS n_dups,
+         |    COALESCE(m2.max_cos, 0.0) AS max_cos
+         |  FROM b2 b LEFT JOIN m2 ON m2.vec_id = b.vec_id)
+         |SELECT vec_id, 'b1' AS batch, keep, n_dups, max_cos FROM v1
+         |UNION ALL
+         |SELECT vec_id, 'b2' AS batch, keep, n_dups, max_cos FROM v2
+         |ORDER BY vec_id""".stripMargin,
+
     // x77: snapshot drift — per-(label, half, dim) decimal sums, the
     // cross-multiplied per-dim comparison (exact, division-free), the
     // per-label rollup and top-drifting dimension

@@ -368,4 +368,62 @@ class AnnIndexSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(cids == occ.keySet, "refreshed centroids name exactly the live cells")
   }
+
+  test("dedupAgainst: cell-pruned semantic verdicts, dropped vectors " +
+      "never enter the index, re-probe is idempotent") {
+    import spark.implicits._
+    // hand-built geometry in 4 dims: two orthogonal seed directions
+    // become the cells; twins share a direction (cosine 1), the
+    // near-dup is slightly rotated, the keeper is orthogonal to
+    // everything stored in its cell
+    def df(rows: (Long, Seq[Double])*) =
+      rows.toDF("vec_id", "v")
+    val cents = df(1L -> Seq(1.0, 0.0, 0.0, 0.0), 2L -> Seq(0.0, 1.0, 0.0, 0.0))
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+    val hist = df(
+      100L -> Seq(2.0, 0.1, 0.0, 0.0), // cell 1
+      102L -> Seq(0.0, 2.0, 0.0, 0.0)) // cell 2
+    val p = java.nio.file.Files.createTempDirectory("graft-anndedup").toString
+    AnnIndex.build(hist, cents, p)
+    val tau = 0.9
+    // batch 1: a twin of 100 (drop), a near-dup of 102 (drop), a fresh
+    // direction assigned to cell 1 but orthogonal-ish to 100 (keep),
+    // and a zero vector (keep: no cosine)
+    val b1 = df(
+      201L -> Seq(4.0, 0.2, 0.0, 0.0),
+      // 20-degree rotation of 102 in the (y,z) plane: cos = 0.9397
+      203L -> Seq(0.0, 1.879, 0.684, 0.0),
+      205L -> Seq(1.0, 0.0, 3.0, 0.0),
+      207L -> Seq(0.0, 0.0, 0.0, 0.0))
+    val v1 = AnnIndex.dedupAgainst(spark, p, b1, cents, nprobe = 1, tau)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2))))
+      .toMap
+    assert(v1(201L)._1 === false, "twin of a stored vector drops")
+    assert(v1(203L)._1 === false, "near-dup of a stored vector drops")
+    assert(v1(205L)._1 === true && v1(205L)._2 === 0L,
+      "a dissimilar vector in the same cell keeps")
+    assert(v1(207L)._1 === true, "a zero-norm vector has no cosine: keeps")
+    // keepers only enter the index
+    AnnIndex.append(b1.join(
+      Seq(205L).toDF("vec_id"), Seq("vec_id"), "left_semi"), cents, p)
+    // batch 2: a twin of the KEPT 205 drops; a twin of the DROPPED 203
+    // keeps (203 never entered the index and nothing stored matches)
+    val b2 = df(
+      301L -> Seq(0.5, 0.0, 1.5, 0.0),
+      // 20 degrees past 203 (40 from stored 102): cos(303,203)=0.94
+      // would drop it, but 203 never entered - cos(303,102)=0.766 < tau
+      303L -> Seq(0.0, 1.532, 1.286, 0.0))
+    val v2 = AnnIndex.dedupAgainst(spark, p, b2, cents, nprobe = 1, tau)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(v2(301L) === false, "twin of an appended keeper drops")
+    assert(v2(303L) === true,
+      "a vector matching only a DROPPED (never-indexed) vector keeps")
+    // re-probing an ingested vector: the vec_id != p_id guard keeps it
+    // from matching itself (but its true twin in the index still drops it)
+    val again = AnnIndex.dedupAgainst(spark, p,
+        df(205L -> Seq(1.0, 0.0, 3.0, 0.0)), cents, nprobe = 1, tau)
+      .collect().head
+    assert(again.getBoolean(1) === true,
+      "re-probing an ingested vector is idempotent, not self-matching")
+  }
 }
