@@ -138,7 +138,8 @@ object SparkEntry {
     "x76_ann_recall" -> (X.x76AnnRecall _),
     "x77_embedding_drift" -> (X.x77EmbeddingDrift _),
     "x78_dedup_verdicts" -> (X.x78DedupVerdicts _),
-    "x79_semdedup_incremental" -> (X.x79SemdedupIncremental _)
+    "x79_semdedup_incremental" -> (X.x79SemdedupIncremental _),
+    "x80_semdedup_stream" -> (X.x80SemdedupStream _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

@@ -103,6 +103,51 @@ object AnnIndex {
       }
       .start()
 
+  /** STREAMING incremental semantic dedup (the embedding analog of
+    * [[graft.operators.MinhashSignatureStore.dedupStream]]): a
+    * `foreachBatch` sink that runs every micro-batch of (vec_id, v)
+    * rows through [[dedupAgainst]], writes the per-batch verdicts to
+    * `verdictDir/batch-<id>`, and [[append]]s only the KEPT vectors —
+    * the production shape of the x79 lifecycle, where "batch" is
+    * whatever the trigger delivered. Ordering inside a batch is the
+    * x71 rule: verdicts MATERIALIZE (the parquet write) before the
+    * append mutates the index, so the lazy verdict plan never sees the
+    * post-append layout. The [[graft.streaming.StreamLedger]] marker
+    * (written after both the verdict write and the append) makes
+    * replays idempotent — a restarted query re-delivering batch N
+    * skips it, so the drained stream's verdicts AND index equal the
+    * batch-driven lifecycle exactly (x80 hash-gates this against the
+    * x79 oracle). Batch-internal semantic dedup is the caller's
+    * pre-step (x61/x62's job), matching [[dedupAgainst]]'s
+    * index-only contract. Per micro-batch cost: one cell-pruned probe
+    * + O(kept) append + one marker — the index is never shuffled.
+    */
+  def dedupStream(stream: DataFrame, path: String, verdictDir: String,
+      centroids: DataFrame, nprobe: Int, tau: Double,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val root = new org.apache.hadoop.fs.Path(path)
+        val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        graft.streaming.StreamLedger.once(f, root, checkpoint, batchId) {
+          // the micro-batch feeds two actions (verdict write, append's
+          // joins) — persist so source files are read once per batch
+          batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val out = s"$verdictDir/batch-$batchId"
+            dedupAgainst(spark, path, batch, centroids, nprobe, tau)
+              .write.mode("overwrite").parquet(out)
+            val kept = spark.read.parquet(out).filter(col("keep"))
+            append(batch.join(kept, Seq("vec_id"), "left_semi"),
+              centroids, path)
+          } finally batch.unpersist(blocking = false)
+        }
+        ()
+      }
+      .start()
+
   /** The optimize swap's commit marker: an underscore-prefixed FILE in
     * the table root (invisible to parquet readers) whose content is
     * the staging directory name. Publication/recovery/cleanup go

@@ -3657,4 +3657,60 @@ object Extras {
       .select($"vec_id", $"batch", $"keep", $"n_dups", $"max_cos")
       .orderBy($"vec_id")
   }
+
+  /** x80 — x79's lifecycle driven through Structured Streaming (the
+    * embedding analog of x75): the history index is built once, then
+    * each batch ARRIVES as a file in a watched directory and flows
+    * through [[graft.operators.AnnIndex.dedupStream]] — verdicts land
+    * per micro-batch, keepers append, the ledger makes replay
+    * idempotent. Batching is semantics-irrelevant (each micro-batch
+    * probes history ∪ earlier kept batches, exactly the x79 rule), so
+    * the drained stream's verdicts replay against the identical
+    * oracle SQL. This is the production shape of cross-run semantic
+    * dedup: a 100 TB ingest doesn't get handed tidy batch frames — it
+    * watches an arrival directory, and the index, the verdict log,
+    * and the replay ledger all advance exactly once per delivered
+    * batch, crash or no crash.
+    */
+  def x80SemdedupStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ann = graft.operators.AnnIndex
+    val e = emb(s, dir)
+    val cents = e.filter($"vec_id".between(1, 16))
+      .select($"vec_id".as("cid"), $"v".as("c"))
+    val pool = e.filter($"vec_id" >= 17)
+    val root = scratchDir(s, "x80", dir)
+    val path = root + "/index"
+    ann.build(pool.filter($"vec_id" % 2 === 0), cents, path)
+    val feedP = new org.apache.hadoop.fs.Path(root + "/feed")
+    val ffs = feedP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    ffs.mkdirs(feedP)
+    // one-file batch arrival (the x75 pattern): stage elsewhere,
+    // rename the finished part file into the watched dir — rename is
+    // the atomicity boundary the file source's listing needs
+    def arrive(batch: DataFrame, name: String): Unit = {
+      val stage = new org.apache.hadoop.fs.Path(root + s"/stage_$name")
+      batch.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = ffs.listStatus(stage).map(_.getPath)
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"x80: no part file staged for $name"))
+      ffs.rename(part, new org.apache.hadoop.fs.Path(feedP, s"$name.parquet"))
+    }
+    val stream = s.readStream.schema(pool.schema)
+      .option("maxFilesPerTrigger", 1).parquet(feedP.toString)
+    val q = ann.dedupStream(stream, path, root + "/verdicts", cents,
+      nprobe = 2, EmbedCosThreshold, root + "/ckpt")
+    try {
+      arrive(pool.filter($"vec_id" % 4 === 1), "b1")
+      q.processAllAvailable()
+      arrive(pool.filter($"vec_id" % 4 === 3), "b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val v1 = s.read.parquet(root + "/verdicts/batch-0")
+    val v2 = s.read.parquet(root + "/verdicts/batch-1")
+    v1.withColumn("batch", lit("b1"))
+      .unionByName(v2.withColumn("batch", lit("b2")))
+      .select($"vec_id", $"batch", $"keep", $"n_dups", $"max_cos")
+      .orderBy($"vec_id")
+  }
 }

@@ -1543,68 +1543,13 @@ object ExtrasOracle {
     // the same argmax rule, so one shared `assign` serves both runs).
     // Dropped batch-1 vectors never enter the index. Zero-norm guard
     // on both sides mirrors the operator (no cosine, never a match).
-    "x79_semdedup_incremental" ->
-      s"""WITH seeds AS (SELECT vec_id AS cid, embedding AS c FROM embeddings
-         |  WHERE vec_id BETWEEN 1 AND 16),
-         |pool AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 17),
-         |sc AS (SELECT e.vec_id, s.cid, ${dot("e.embedding", "s.c")} AS d
-         |  FROM pool e, seeds s, generate_series(1, 64) t(i)
-         |  GROUP BY e.vec_id, s.cid),
-         |ranked AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY d DESC, cid) AS rn FROM sc),
-         |assign AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
-         |pcells AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn <= 2),
-         |norms AS (SELECT e.vec_id, ${dot("e.embedding", "e.embedding")} AS nn
-         |  FROM pool e, generate_series(1, 64) t(i) GROUP BY e.vec_id),
-         |hist AS (SELECT vec_id FROM pool WHERE vec_id % 2 = 0),
-         |b1 AS (SELECT vec_id FROM pool WHERE vec_id % 4 = 1),
-         |b2 AS (SELECT vec_id FROM pool WHERE vec_id % 4 = 3),
-         |cos1 AS (SELECT b.vec_id AS d2, h.vec_id AS d1,
-         |    ${dot("e2.embedding", "e1.embedding")} AS dt
-         |  FROM b1 b JOIN pcells pc ON pc.vec_id = b.vec_id
-         |    JOIN assign a ON a.cell = pc.cell
-         |    JOIN hist h ON h.vec_id = a.vec_id
-         |    JOIN pool e1 ON e1.vec_id = h.vec_id
-         |    JOIN pool e2 ON e2.vec_id = b.vec_id,
-         |    generate_series(1, 64) t(i)
-         |  GROUP BY b.vec_id, h.vec_id),
-         |m1 AS (SELECT c.d2 AS vec_id, CAST(COUNT(DISTINCT c.d1) AS BIGINT)
-         |      AS n_dups, MAX(c.dt / (sqrt(n1.nn) * sqrt(n2.nn))) AS max_cos
-         |  FROM cos1 c JOIN norms n1 ON n1.vec_id = c.d1
-         |    JOIN norms n2 ON n2.vec_id = c.d2
-         |  WHERE n1.nn > 0 AND n2.nn > 0
-         |    AND c.dt / (sqrt(n1.nn) * sqrt(n2.nn)) >= ${Extras.EmbedCosThreshold}
-         |  GROUP BY c.d2),
-         |v1 AS (SELECT b.vec_id, m1.n_dups IS NULL AS keep,
-         |    COALESCE(m1.n_dups, 0) AS n_dups,
-         |    COALESCE(m1.max_cos, 0.0) AS max_cos
-         |  FROM b1 b LEFT JOIN m1 ON m1.vec_id = b.vec_id),
-         |store2 AS (SELECT vec_id FROM hist
-         |  UNION ALL SELECT vec_id FROM v1 WHERE keep),
-         |cos2 AS (SELECT b.vec_id AS d2, h.vec_id AS d1,
-         |    ${dot("e2.embedding", "e1.embedding")} AS dt
-         |  FROM b2 b JOIN pcells pc ON pc.vec_id = b.vec_id
-         |    JOIN assign a ON a.cell = pc.cell
-         |    JOIN store2 h ON h.vec_id = a.vec_id
-         |    JOIN pool e1 ON e1.vec_id = h.vec_id
-         |    JOIN pool e2 ON e2.vec_id = b.vec_id,
-         |    generate_series(1, 64) t(i)
-         |  GROUP BY b.vec_id, h.vec_id),
-         |m2 AS (SELECT c.d2 AS vec_id, CAST(COUNT(DISTINCT c.d1) AS BIGINT)
-         |      AS n_dups, MAX(c.dt / (sqrt(n1.nn) * sqrt(n2.nn))) AS max_cos
-         |  FROM cos2 c JOIN norms n1 ON n1.vec_id = c.d1
-         |    JOIN norms n2 ON n2.vec_id = c.d2
-         |  WHERE n1.nn > 0 AND n2.nn > 0
-         |    AND c.dt / (sqrt(n1.nn) * sqrt(n2.nn)) >= ${Extras.EmbedCosThreshold}
-         |  GROUP BY c.d2),
-         |v2 AS (SELECT b.vec_id, m2.n_dups IS NULL AS keep,
-         |    COALESCE(m2.n_dups, 0) AS n_dups,
-         |    COALESCE(m2.max_cos, 0.0) AS max_cos
-         |  FROM b2 b LEFT JOIN m2 ON m2.vec_id = b.vec_id)
-         |SELECT vec_id, 'b1' AS batch, keep, n_dups, max_cos FROM v1
-         |UNION ALL
-         |SELECT vec_id, 'b2' AS batch, keep, n_dups, max_cos FROM v2
-         |ORDER BY vec_id""".stripMargin,
+    "x79_semdedup_incremental" -> semdedupIncrementalSql,
+
+    // x80: the SAME lifecycle driven through Structured Streaming —
+    // batching is semantics-irrelevant (each micro-batch probes
+    // history ∪ earlier kept batches, exactly the x79 rule), so the
+    // drained stream's verdicts replay against the identical SQL
+    "x80_semdedup_stream" -> semdedupIncrementalSql,
 
     // x77: snapshot drift — per-(label, half, dim) decimal sums, the
     // cross-multiplied per-dim comparison (exact, division-free), the
@@ -1863,6 +1808,73 @@ object ExtrasOracle {
     * round 1's keepers; verify is exact set Jaccard on band-collision
     * candidates, x02's machinery verbatim.
     */
+  /** Shared by x79 (batch lifecycle) and x80 (streaming): the IVF
+    * replay + two-batch thresholded cosine census, see the x79 map
+    * entry's comment.
+    */
+  private lazy val semdedupIncrementalSql: String =
+    s"""WITH seeds AS (SELECT vec_id AS cid, embedding AS c FROM embeddings
+         |  WHERE vec_id BETWEEN 1 AND 16),
+         |pool AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 17),
+         |sc AS (SELECT e.vec_id, s.cid, ${dot("e.embedding", "s.c")} AS d
+         |  FROM pool e, seeds s, generate_series(1, 64) t(i)
+         |  GROUP BY e.vec_id, s.cid),
+         |ranked AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY d DESC, cid) AS rn FROM sc),
+         |assign AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+         |pcells AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn <= 2),
+         |norms AS (SELECT e.vec_id, ${dot("e.embedding", "e.embedding")} AS nn
+         |  FROM pool e, generate_series(1, 64) t(i) GROUP BY e.vec_id),
+         |hist AS (SELECT vec_id FROM pool WHERE vec_id % 2 = 0),
+         |b1 AS (SELECT vec_id FROM pool WHERE vec_id % 4 = 1),
+         |b2 AS (SELECT vec_id FROM pool WHERE vec_id % 4 = 3),
+         |cos1 AS (SELECT b.vec_id AS d2, h.vec_id AS d1,
+         |    ${dot("e2.embedding", "e1.embedding")} AS dt
+         |  FROM b1 b JOIN pcells pc ON pc.vec_id = b.vec_id
+         |    JOIN assign a ON a.cell = pc.cell
+         |    JOIN hist h ON h.vec_id = a.vec_id
+         |    JOIN pool e1 ON e1.vec_id = h.vec_id
+         |    JOIN pool e2 ON e2.vec_id = b.vec_id,
+         |    generate_series(1, 64) t(i)
+         |  GROUP BY b.vec_id, h.vec_id),
+         |m1 AS (SELECT c.d2 AS vec_id, CAST(COUNT(DISTINCT c.d1) AS BIGINT)
+         |      AS n_dups, MAX(c.dt / (sqrt(n1.nn) * sqrt(n2.nn))) AS max_cos
+         |  FROM cos1 c JOIN norms n1 ON n1.vec_id = c.d1
+         |    JOIN norms n2 ON n2.vec_id = c.d2
+         |  WHERE n1.nn > 0 AND n2.nn > 0
+         |    AND c.dt / (sqrt(n1.nn) * sqrt(n2.nn)) >= ${Extras.EmbedCosThreshold}
+         |  GROUP BY c.d2),
+         |v1 AS (SELECT b.vec_id, m1.n_dups IS NULL AS keep,
+         |    COALESCE(m1.n_dups, 0) AS n_dups,
+         |    COALESCE(m1.max_cos, 0.0) AS max_cos
+         |  FROM b1 b LEFT JOIN m1 ON m1.vec_id = b.vec_id),
+         |store2 AS (SELECT vec_id FROM hist
+         |  UNION ALL SELECT vec_id FROM v1 WHERE keep),
+         |cos2 AS (SELECT b.vec_id AS d2, h.vec_id AS d1,
+         |    ${dot("e2.embedding", "e1.embedding")} AS dt
+         |  FROM b2 b JOIN pcells pc ON pc.vec_id = b.vec_id
+         |    JOIN assign a ON a.cell = pc.cell
+         |    JOIN store2 h ON h.vec_id = a.vec_id
+         |    JOIN pool e1 ON e1.vec_id = h.vec_id
+         |    JOIN pool e2 ON e2.vec_id = b.vec_id,
+         |    generate_series(1, 64) t(i)
+         |  GROUP BY b.vec_id, h.vec_id),
+         |m2 AS (SELECT c.d2 AS vec_id, CAST(COUNT(DISTINCT c.d1) AS BIGINT)
+         |      AS n_dups, MAX(c.dt / (sqrt(n1.nn) * sqrt(n2.nn))) AS max_cos
+         |  FROM cos2 c JOIN norms n1 ON n1.vec_id = c.d1
+         |    JOIN norms n2 ON n2.vec_id = c.d2
+         |  WHERE n1.nn > 0 AND n2.nn > 0
+         |    AND c.dt / (sqrt(n1.nn) * sqrt(n2.nn)) >= ${Extras.EmbedCosThreshold}
+         |  GROUP BY c.d2),
+         |v2 AS (SELECT b.vec_id, m2.n_dups IS NULL AS keep,
+         |    COALESCE(m2.n_dups, 0) AS n_dups,
+         |    COALESCE(m2.max_cos, 0.0) AS max_cos
+         |  FROM b2 b LEFT JOIN m2 ON m2.vec_id = b.vec_id)
+         |SELECT vec_id, 'b1' AS batch, keep, n_dups, max_cos FROM v1
+         |UNION ALL
+         |SELECT vec_id, 'b2' AS batch, keep, n_dups, max_cos FROM v2
+         |ORDER BY vec_id""".stripMargin
+
   private lazy val incrementalMinhashSql: String =
     s"""WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
          |  FROM documents),

@@ -579,4 +579,21 @@ class StreamingSpec extends AnyFunSuite {
           "query's ledger")
     } finally q2.stop()
   }
+
+  test("AnnIndex.dedupStream == the x79 batch dedup lifecycle, row for " +
+      "row (x80: the streaming leg of cross-run semantic dedup)") {
+    import graft.queries.Extras
+    // the two public queries run the IDENTICAL lifecycle — x79 hands
+    // the batches to dedupAgainst/append directly, x80 lands them as
+    // files in a watched dir and lets dedupStream drive the same
+    // probe-write-append sequence per micro-batch; any divergence
+    // (ordering, ledger, verdict materialization) shows up as a row
+    val batchRows = Extras.x79SemdedupIncremental(spark, sf).collect().toSeq
+    val streamRows = Extras.x80SemdedupStream(spark, sf).collect().toSeq
+    assert(streamRows == batchRows,
+      "streaming the ingest batches must not change a single verdict")
+    // non-degenerate: the sf0.001 fixture drops at least one vector
+    assert(batchRows.exists(!_.getBoolean(2)),
+      "fixture must exercise a drop")
+  }
 }
