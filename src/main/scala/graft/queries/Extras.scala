@@ -3217,6 +3217,49 @@ object Extras {
     })
   }
 
+  /** Pristine ANN history index shared by the x79/x80 lifecycles —
+    * the embedding analog of [[pristineStoreFor]] (same adjudication,
+    * VERDICT r13 #6): the even-id half of the ingest pool assigned
+    * and written once per (JVM, dir); deterministic (exact-decimal
+    * argmax), so sharing cannot change a verdict. x80 file-COPIES it
+    * into its own scratch so the streamed appends never touch the
+    * shared fixture; x79 probes it read-only.
+    */
+  private def pristineAnnIndexFor(s: SparkSession, dir: String): String =
+    storeFixtures.computeIfAbsent(dir + "#annidx", _ => {
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id").between(1, 16))
+        .select(col("vec_id").as("cid"), col("v").as("c"))
+      val hist = e.filter(col("vec_id") >= 17 && col("vec_id") % 2 === 0)
+      val path = scratchDir(s, "annfixture", dir) + "/index"
+      graft.operators.AnnIndex.build(hist, cents, path)
+      path
+    })
+
+  /** The ANN index AFTER batch 1's lifecycle step (history + b1's
+    * keepers), shared read-only by x79's second probe leg — the
+    * embedding analog of [[postB1StoreFor]]. The append's argmax
+    * assignment is deterministic, so the fixture equals what any
+    * per-rep lifecycle would have built.
+    */
+  private def postB1AnnIndexFor(s: SparkSession, dir: String): String = {
+    val pristine = pristineAnnIndexFor(s, dir) // resolve OUTSIDE the map
+    storeFixtures.computeIfAbsent(dir + "#annidxb1", _ => {
+      val ann = graft.operators.AnnIndex
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id").between(1, 16))
+        .select(col("vec_id").as("cid"), col("v").as("c"))
+      val b1 = e.filter(col("vec_id") >= 17 && col("vec_id") % 4 === 1)
+      val path = scratchDir(s, "annfixtureb1", dir) + "/index"
+      copyStore(s, pristine, path)
+      val v1 = ann.dedupAgainst(s, path, b1, cents, nprobe = 2,
+        EmbedCosThreshold).localCheckpoint(true)
+      ann.append(b1.join(v1.filter(col("keep")), Seq("vec_id"), "left_semi"),
+        cents, path)
+      path
+    })
+  }
+
   private def copyStore(s: SparkSession, from: String, to: String): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
     val src = new org.apache.hadoop.fs.Path(from)
@@ -3637,21 +3680,19 @@ object Extras {
     // family — the ingest pool starts at 17 so the fixture roles stay
     // disjoint (centroids in the pool would self-assign trivially)
     val pool = e.filter($"vec_id" >= 17)
-    val hist = pool.filter($"vec_id" % 2 === 0)
     val b1 = pool.filter($"vec_id" % 4 === 1)
     val b2 = pool.filter($"vec_id" % 4 === 3)
-    val path = scratchDir(s, "x79", dir) + "/index"
-    ann.build(hist, cents, path)
-    // batch-1 verdicts MATERIALIZE before the append mutates the index
-    // (the x71 ordering rule: the verdict frame is lazy, and both its
-    // static cell filter and its index scan would otherwise see the
-    // post-append layout on recomputation)
-    val v1 = ann.dedupAgainst(s, path, b1, cents, nprobe = 2,
-      EmbedCosThreshold).localCheckpoint(true)
-    ann.append(b1.join(v1.filter($"keep"), Seq("vec_id"), "left_semi"),
-      cents, path)
-    val v2 = ann.dedupAgainst(s, path, b2, cents, nprobe = 2,
-      EmbedCosThreshold)
+    // the two index states are shared READ-ONLY fixtures (probing
+    // never mutates; the x71/x78 adjudication, VERDICT r13 #6): batch
+    // 1 probes pristine history, batch 2 probes the post-append state
+    // [[postB1AnnIndexFor]] — the deterministic mutation between them
+    // builds once per (JVM, dir) instead of once per rep. No ordering
+    // hazard remains (nothing here mutates either fixture), so the
+    // verdict frames stay lazy.
+    val v1 = ann.dedupAgainst(s, pristineAnnIndexFor(s, dir), b1, cents,
+      nprobe = 2, EmbedCosThreshold)
+    val v2 = ann.dedupAgainst(s, postB1AnnIndexFor(s, dir), b2, cents,
+      nprobe = 2, EmbedCosThreshold)
     v1.withColumn("batch", lit("b1"))
       .unionByName(v2.withColumn("batch", lit("b2")))
       .select($"vec_id", $"batch", $"keep", $"n_dups", $"max_cos")
@@ -3681,7 +3722,9 @@ object Extras {
     val pool = e.filter($"vec_id" >= 17)
     val root = scratchDir(s, "x80", dir)
     val path = root + "/index"
-    ann.build(pool.filter($"vec_id" % 2 === 0), cents, path)
+    // the pristine history index is the shared fixture; the streamed
+    // lifecycle appends, so it works on its own file copy
+    copyStore(s, pristineAnnIndexFor(s, dir), path)
     val feedP = new org.apache.hadoop.fs.Path(root + "/feed")
     val ffs = feedP.getFileSystem(s.sparkContext.hadoopConfiguration)
     ffs.mkdirs(feedP)
