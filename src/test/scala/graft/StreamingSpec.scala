@@ -580,6 +580,85 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("optimize between ANN stream runs: the ledger survives the cell " +
+      "swap and the resumed stream probes the post-split layout with " +
+      "the refreshed centroids") {
+    import graft.operators.AnnIndex
+    import graft.queries.Extras
+    val tau = Extras.EmbedCosThreshold
+    val vectors = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val cents = vectors.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+    val pool = vectors.filter(col("vec_id") >= 17)
+    val hist = pool.filter(col("vec_id") % 2 === 0)
+    val b1 = pool.filter(col("vec_id") % 4 === 1)
+    val b2 = pool.filter(col("vec_id") % 4 === 3)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-annoptstream").toString
+    val idx = root + "/index"
+    AnnIndex.build(hist, cents, idx)
+    val feed = root + "/feed"
+    new java.io.File(feed).mkdirs()
+    def startStream(c: org.apache.spark.sql.DataFrame) =
+      AnnIndex.dedupStream(
+        spark.readStream.schema(pool.schema)
+          .option("maxFilesPerTrigger", 1).parquet(feed),
+        idx, root + "/verdicts", c, nprobe = 2, tau, root + "/ckpt")
+    // run 1: batch 0 probes and appends under the 8 seed cells
+    val q1 = startStream(cents)
+    try {
+      b1.coalesce(1).write.mode("append").parquet(feed)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val ledger = new java.io.File(graft.streaming.StreamLedger.dir(
+      org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(idx), root + "/ckpt").toUri.getPath)
+    assert(new java.io.File(ledger, "batch-0").exists)
+    val keptB1 = spark.read.parquet(root + "/verdicts/batch-0")
+      .filter(col("keep")).count()
+    // between-runs maintenance: split the hot cells (the x65c hook)
+    val maxOcc = 16L
+    val refreshed = AnnIndex.optimize(spark, idx, cents, maxOcc)
+      .localCheckpoint(true)
+    assert(refreshed.count() > cents.count(),
+      "fixture must actually split at this occupancy")
+    assert(new java.io.File(ledger, "batch-0").exists,
+      "the optimize swap must not touch the stream ledger")
+    // run 2: SAME checkpoint, REFRESHED centroids (the production
+    // resume contract) — batch 0 is not replayed, batch 1 (b2)
+    // probes the post-split layout
+    val q2 = startStream(refreshed)
+    try {
+      b2.coalesce(1).write.mode("append").parquet(feed)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(root + "/verdicts/batch-0")
+      .filter(col("keep")).count() == keptB1,
+      "the resumed stream must not reprocess the pre-optimize batch")
+    // equivalence oracle: replay the lifecycle in batch — build at the
+    // seed cells over history + b1's keepers, optimize with the same
+    // occupancy (deterministic: same content, same args, same splits),
+    // probe b2 against THAT. Any divergence in the resumed stream's
+    // layout, centroid set, or verdicts shows up row-for-row.
+    val refIdx = root + "/refindex"
+    val keptIds = spark.read.parquet(root + "/verdicts/batch-0")
+      .filter(col("keep")).select(col("vec_id"))
+    AnnIndex.build(
+      hist.unionByName(b1.join(keptIds, Seq("vec_id"), "left_semi")),
+      cents, refIdx)
+    val refCents = AnnIndex.optimize(spark, refIdx, cents, maxOcc)
+    val expected = AnnIndex.dedupAgainst(
+        spark, refIdx, b2, refCents, nprobe = 2, tau)
+      .orderBy(col("vec_id")).collect().toSeq
+    val got = spark.read.parquet(root + "/verdicts/batch-1")
+      .orderBy(col("vec_id")).collect().toSeq
+    assert(got == expected,
+      "the resumed stream's probe must equal a fresh build + optimize")
+  }
+
   test("AnnIndex.dedupStream == the x79 batch dedup lifecycle, row for " +
       "row (x80: the streaming leg of cross-run semantic dedup)") {
     import graft.queries.Extras
