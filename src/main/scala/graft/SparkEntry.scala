@@ -139,7 +139,8 @@ object SparkEntry {
     "x77_embedding_drift" -> (X.x77EmbeddingDrift _),
     "x78_dedup_verdicts" -> (X.x78DedupVerdicts _),
     "x79_semdedup_incremental" -> (X.x79SemdedupIncremental _),
-    "x80_semdedup_stream" -> (X.x80SemdedupStream _)
+    "x80_semdedup_stream" -> (X.x80SemdedupStream _),
+    "x81_semdedup_verdicts" -> (X.x81SemdedupVerdicts _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql ++ ExtrasOracle.sql

@@ -103,6 +103,62 @@ object AnnIndex {
       }
       .start()
 
+  /** Verdict-only incremental semantic dedup — [[dedupAgainst]] minus
+    * the census statistics, the embedding analog of
+    * [[MinhashSignatureStore.dedupVerdicts]] (x78). A production
+    * ingest needs only keep/drop, and dropping the n_dups/max_cos
+    * contract changes the cost class on match-dense corpora:
+    * the census must score EVERY matching pair with the exact-decimal
+    * kernel (max_cos is part of the hash-gated output, and only
+    * decimal is bit-reproducible), so a dup-heavy corpus pays
+    * BigDecimal work proportional to its duplicate-pair volume. The
+    * verdict needs decimal only where double and decimal could
+    * DISAGREE about ≥ τ: the two kernels agree to ~1e-12 relative, so
+    * a pair with double-cosine ≥ τ + 1e-9 is a certain match (codegen
+    * only), < τ − 1e-9 a certain miss (codegen only), and only the
+    * ±1e-9 border band pays the decimal decide — O(ties), not
+    * O(matches). Keep/drop is contract-identical to the census mode
+    * (AnnIndexSpec pins equality); output is the slim
+    * (vec_id, keep) schema.
+    */
+  def dedupVerdicts(spark: SparkSession, path: String, batch: DataFrame,
+      centroids: DataFrame, nprobe: Int, tau: Double): DataFrame = {
+    graft.expressions.DecimalDot.register(spark)
+    recoverForRead(spark, path)
+    val probes = batch.select(col("vec_id").as("p_id"), col("v").as("p"))
+    val rk = row_number().over(
+      Window.partitionBy(col("p_id")).orderBy(col("d").desc, col("cid")))
+    val wanted = probes.crossJoin(broadcast(centroids))
+      .withColumn("d", dot("p", "c"))
+      .withColumn("rk", rk).filter(col("rk") <= nprobe)
+      .select(col("p_id"), col("cid"))
+    val cellIds = wanted.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    graft.expressions.DoubleDot.register(spark)
+    val fdot = graft.functions.VectorFns.dotFast _
+    val index = spark.read.parquet(path)
+      .filter(col("cell").isin(cellIds: _*))
+      .select(col("vec_id").as("d1"), col("v").as("sv"), col("cell"))
+      .withColumn("nvf", fdot("sv", "sv"))
+    val cosf = fdot("p", "sv") /
+      (sqrt(col("npf")) * sqrt(col("nvf")))
+    // certain match by the double margin, OR border band decided by
+    // the exact decimal — the decimal expressions are never evaluated
+    // outside the band (predicate short-circuit), so a 100%-dup cell
+    // costs one codegen pass, not a BigDecimal pass per pair
+    val matched = probes.withColumn("npf", fdot("p", "p"))
+      .join(broadcast(wanted), Seq("p_id"))
+      .join(index, col("cid") === col("cell") && col("d1") =!= col("p_id"))
+      .filter(col("npf") > 0d && col("nvf") > 0d && cosf >= tau - 1e-9)
+      .filter(cosf >= tau + 1e-9 ||
+        dot("p", "sv") / (sqrt(dot("p", "p")) * sqrt(dot("sv", "sv"))) >= tau)
+      .select(col("p_id").as("vec_id")).distinct()
+      .withColumn("hit", lit(true))
+    batch.select(col("vec_id"))
+      .join(broadcast(matched), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("hit").isNull.as("keep"))
+  }
+
   /** STREAMING incremental semantic dedup (the embedding analog of
     * [[graft.operators.MinhashSignatureStore.dedupStream]]): a
     * `foreachBatch` sink that runs every micro-batch of (vec_id, v)
@@ -122,9 +178,21 @@ object AnnIndex {
     * index-only contract. Per micro-batch cost: one cell-pruned probe
     * + O(kept) append + one marker — the index is never shuffled.
     */
+  /** Which probe a [[dedupStream]] micro-batch runs: Census for
+    * audited ingest with match statistics (n_dups, max_cos — every
+    * matching pair pays the exact-decimal kernel), VerdictOnly for
+    * production keep/drop (decimal only on the ±1e-9 border band —
+    * the mode a 100 TB ingest would run, same split as the minhash
+    * store's [[MinhashSignatureStore.ProbeMode]]).
+    */
+  sealed trait ProbeMode
+  case object Census extends ProbeMode
+  case object VerdictOnly extends ProbeMode
+
   def dedupStream(stream: DataFrame, path: String, verdictDir: String,
       centroids: DataFrame, nprobe: Int, tau: Double,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      mode: ProbeMode = Census): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream.outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -137,8 +205,13 @@ object AnnIndex {
           batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
             val out = s"$verdictDir/batch-$batchId"
-            dedupAgainst(spark, path, batch, centroids, nprobe, tau)
-              .write.mode("overwrite").parquet(out)
+            val verdicts = mode match {
+              case Census =>
+                dedupAgainst(spark, path, batch, centroids, nprobe, tau)
+              case VerdictOnly =>
+                dedupVerdicts(spark, path, batch, centroids, nprobe, tau)
+            }
+            verdicts.write.mode("overwrite").parquet(out)
             val kept = spark.read.parquet(out).filter(col("keep"))
             append(batch.join(kept, Seq("vec_id"), "left_semi"),
               centroids, path)

@@ -3756,4 +3756,38 @@ object Extras {
       .select($"vec_id", $"batch", $"keep", $"n_dups", $"max_cos")
       .orderBy($"vec_id")
   }
+
+  /** x81 — verdict-only incremental semantic dedup: x79's lifecycle
+    * through [[graft.operators.AnnIndex.dedupVerdicts]], the x78
+    * analog for embeddings. Keep/drop must equal the census
+    * lifecycle's decisions exactly (the census statistics are the
+    * only thing the mode drops), so the oracle is x79's SQL projected
+    * to the keep column. What the mode buys: the census pays the
+    * exact-decimal kernel on EVERY matching pair (max_cos is part of
+    * its hash-gated output), which on a duplicate-heavy corpus is
+    * BigDecimal work proportional to the dup-pair volume; the verdict
+    * pays decimal only on the ±1e-9 double/decimal disagreement band
+    * — the production keep/drop cost is one codegen pass over the
+    * probed cells regardless of match density.
+    */
+  def x81SemdedupVerdicts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ann = graft.operators.AnnIndex
+    val e = emb(s, dir)
+    val cents = e.filter($"vec_id".between(1, 16))
+      .select($"vec_id".as("cid"), $"v".as("c"))
+    val pool = e.filter($"vec_id" >= 17)
+    val b1 = pool.filter($"vec_id" % 4 === 1)
+    val b2 = pool.filter($"vec_id" % 4 === 3)
+    // same shared read-only index states as x79; the mode under test
+    // is the PROBE, which is exactly what runs here per rep
+    val v1 = ann.dedupVerdicts(s, pristineAnnIndexFor(s, dir), b1, cents,
+      nprobe = 2, EmbedCosThreshold)
+    val v2 = ann.dedupVerdicts(s, postB1AnnIndexFor(s, dir), b2, cents,
+      nprobe = 2, EmbedCosThreshold)
+    v1.withColumn("batch", lit("b1"))
+      .unionByName(v2.withColumn("batch", lit("b2")))
+      .select($"vec_id", $"batch", $"keep")
+      .orderBy($"vec_id")
+  }
 }

@@ -1551,6 +1551,13 @@ object ExtrasOracle {
     // drained stream's verdicts replay against the identical SQL
     "x80_semdedup_stream" -> semdedupIncrementalSql,
 
+    // x81: the verdict-only mode — keep/drop must equal the census
+    // lifecycle exactly (the x78 rule applied to embeddings), so the
+    // oracle is x79's SQL projected to the keep column
+    "x81_semdedup_verdicts" ->
+      s"""SELECT vec_id, batch, keep FROM ($semdedupIncrementalSql)
+         |ORDER BY vec_id""".stripMargin,
+
     // x77: snapshot drift — per-(label, half, dim) decimal sums, the
     // cross-multiplied per-dim comparison (exact, division-free), the
     // per-label rollup and top-drifting dimension

@@ -426,4 +426,18 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(again.getBoolean(1) === true,
       "re-probing an ingested vector is idempotent, not self-matching")
   }
+
+  test("dedupVerdicts == dedupAgainst's keep/drop across the x79/x81 " +
+      "lifecycle (the census statistics are the only thing the mode " +
+      "drops)") {
+    import graft.queries.Extras
+    val census = Extras.x79SemdedupIncremental(spark, sf)
+      .select(col("vec_id"), col("batch"), col("keep"))
+      .collect().toSeq
+    val verdicts = Extras.x81SemdedupVerdicts(spark, sf)
+      .collect().toSeq
+    assert(verdicts == census,
+      "verdict-only keep/drop must equal the census lifecycle exactly")
+    assert(census.exists(!_.getBoolean(2)), "fixture must exercise a drop")
+  }
 }

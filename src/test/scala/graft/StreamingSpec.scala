@@ -675,4 +675,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchRows.exists(!_.getBoolean(2)),
       "fixture must exercise a drop")
   }
+
+  test("AnnIndex.dedupStream in VerdictOnly mode == the x81 batch " +
+      "lifecycle, row for row (the production keep/drop stream for " +
+      "embeddings)") {
+    import graft.operators.AnnIndex
+    import graft.queries.Extras
+    val batchRows = Extras.x81SemdedupVerdicts(spark, sf).collect().toSeq
+    val vectors = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val cents = vectors.filter(col("vec_id").between(1, 16))
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+    val pool = vectors.filter(col("vec_id") >= 17)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-annvstream").toString
+    val idx = root + "/index"
+    AnnIndex.build(pool.filter(col("vec_id") % 2 === 0), cents, idx)
+    val feed = root + "/feed"
+    new java.io.File(feed).mkdirs()
+    val q = AnnIndex.dedupStream(
+      spark.readStream.schema(pool.schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed),
+      idx, root + "/verdicts", cents, nprobe = 2,
+      Extras.EmbedCosThreshold, root + "/ckpt", AnnIndex.VerdictOnly)
+    try {
+      pool.filter(col("vec_id") % 4 === 1).coalesce(1)
+        .write.mode("append").parquet(feed)
+      q.processAllAvailable()
+      pool.filter(col("vec_id") % 4 === 3).coalesce(1)
+        .write.mode("append").parquet(feed)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamRows = spark.read.parquet(root + "/verdicts/batch-0")
+      .withColumn("batch", lit("b1"))
+      .unionByName(spark.read.parquet(root + "/verdicts/batch-1")
+        .withColumn("batch", lit("b2")))
+      .select(col("vec_id"), col("batch"), col("keep"))
+      .orderBy(col("vec_id")).collect().toSeq
+    assert(streamRows == batchRows,
+      "the verdict-only stream must not change a single keep/drop")
+    // the verdict-only schema really is the slim one (no census stats)
+    assert(spark.read.parquet(root + "/verdicts/batch-0")
+      .schema.fieldNames.toSeq == Seq("vec_id", "keep"))
+  }
 }
