@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** x79/x81 scale diagnostic: proves MEASURED (not asserted) that
+  * [[graft.operators.AnnIndex.optimize]] is what bounds the
+  * incremental-dedup probe at scale. The x79/x81 bench fixtures
+  * deliberately keep the 16 SEED cells, so cell occupancy grows
+  * linearly with the corpus and the probe's candidate volume
+  * (batch × occupancy of the probed cells) grows ~quadratically with
+  * sf — that is the cost of an un-MAINTAINED index. Production runs
+  * `optimize(maxOccupancy)` between batches (the x65c hook), which
+  * splits hot cells until occupancy is capped, making candidate
+  * volume ~ batch × nprobe × maxOccupancy — linear in the batch.
+  *
+  * Run: `runMain graft.AnnDiag <sfDir> [<sfDir>...]` — one JSON line
+  * per dir with the history size, cell count / max occupancy /
+  * probe-candidate volume and warm verdict-probe seconds BEFORE and
+  * AFTER `optimize(maxOccupancy = 128)`. The verdict sets are
+  * asserted identical across the two layouts (cell pruning changes
+  * WHICH near-misses are reachable, so nprobe covers the refreshed
+  * centroid set's same top-2 rule — equality here is evidence the
+  * maintenance step preserves this corpus's verdicts, not a general
+  * theorem; the general contract is x65's deterministic argmax).
+  */
+object AnnDiag {
+  private val MaxOccupancy = 128L
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: AnnDiag <sfDir> [<sfDir>...]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Logs.quietNoise()
+    args.toSeq.foreach(dir => one(spark, dir))
+    spark.stop()
+  }
+
+  /** Candidate volume of a top-2-cell probe: sum over probe vectors
+    * of the occupancy of their probed cells — exactly the scoring
+    * join's row count.
+    */
+  private def candVolume(spark: SparkSession, idx: String,
+      probes: DataFrame, cents: DataFrame): Long = {
+    graft.expressions.DecimalDot.register(spark)
+    val d = graft.functions.VectorFns.dotDec("p", "c")
+    val rk = row_number().over(
+      Window.partitionBy(col("p_id")).orderBy(col("d").desc, col("cid")))
+    val wanted = probes.crossJoin(broadcast(cents))
+      .withColumn("d", d)
+      .withColumn("rk", rk).filter(col("rk") <= 2)
+      .select(col("p_id"), col("cid"))
+    val occ = spark.read.parquet(idx).groupBy(col("cell"))
+      .agg(count(lit(1)).as("occ"))
+    wanted.join(occ, col("cid") === col("cell"))
+      .agg(coalesce(sum(col("occ")), lit(0L))).head().getLong(0)
+  }
+
+  private def timedVerdicts(spark: SparkSession, idx: String,
+      batch: DataFrame, cents: DataFrame): (Double, Set[(Long, Boolean)]) = {
+    val ann = graft.operators.AnnIndex
+    def run() = ann.dedupVerdicts(spark, idx, batch, cents, nprobe = 2,
+      graft.queries.Extras.EmbedCosThreshold)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    val verdicts = run() // untimed warm-up (codegen + page cache)
+    val secs = (1 to 2).map { _ =>
+      val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+    }.min
+    (secs, verdicts)
+  }
+
+  private def one(spark: SparkSession, dir: String): Unit = {
+    val ann = graft.operators.AnnIndex
+    val vectors = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val cents = vectors.filter(col("vec_id").between(1, 16))
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+    val pool = vectors.filter(col("vec_id") >= 17)
+    val hist = pool.filter(col("vec_id") % 2 === 0)
+    val b1 = pool.filter(col("vec_id") % 4 === 1)
+    val probes = b1.select(col("vec_id").as("p_id"), col("v").as("p"))
+    val idx = java.nio.file.Files.createTempDirectory("graft-anndiag")
+      .toString + "/index"
+    ann.build(hist, cents, idx)
+    def occStats() = {
+      val occ = spark.read.parquet(idx).groupBy(col("cell"))
+        .agg(count(lit(1)).as("occ"))
+        .agg(count(lit(1)), max(col("occ"))).head()
+      (occ.getLong(0), occ.getLong(1))
+    }
+    val nHist = hist.count()
+    val (cells0, maxOcc0) = occStats()
+    val cand0 = candVolume(spark, idx, probes, cents)
+    val (secs0, v0) = timedVerdicts(spark, idx, b1, cents)
+    // maintenance loop: one optimize() pass splits each hot cell in
+    // two (x65c's contract), so capping occupancy means iterating
+    // with the refreshed centroids until the cap holds or a pass
+    // stops making progress (degenerate identical-vector cells can't
+    // split) — exactly the between-batches loop production runs
+    var refC = cents
+    var rounds = 0
+    var prevCells = cells0
+    var done = false
+    while (!done && rounds < 12) {
+      refC = ann.optimize(spark, idx, refC, MaxOccupancy)
+        .localCheckpoint(true).select(col("cid"), col("c"))
+      rounds += 1
+      val (c, m) = occStats()
+      done = m <= MaxOccupancy || c == prevCells
+      prevCells = c
+    }
+    val (cells1, maxOcc1) = occStats()
+    val cand1 = candVolume(spark, idx, probes, refC)
+    val (secs1, v1) = timedVerdicts(spark, idx, b1, refC)
+    val same = v0 == v1
+    println(s"""{"diag":"ann","dir":"$dir","n_hist":$nHist,""" +
+      s""""max_occupancy_cap":$MaxOccupancy,""" +
+      s""""before":{"cells":$cells0,"max_occ":$maxOcc0,""" +
+      s""""cand_pairs":$cand0,"verdict_secs":$secs0},""" +
+      s""""after_optimize":{"rounds":$rounds,"cells":$cells1,""" +
+      s""""max_occ":$maxOcc1,"cand_pairs":$cand1,""" +
+      s""""verdict_secs":$secs1},""" +
+      s""""verdicts_equal":$same}""")
+    spark.catalog.clearCache()
+  }
+}

@@ -33,14 +33,91 @@ object AnnIndex {
   private def dot(v: String, c: String) =
     graft.functions.VectorFns.dotDec(v, c)
 
-  /** Best-cell assignment: one broadcast of the centroids, one scan of
-    * the vectors, one hash aggregate — no shuffle keyed on anything
-    * bigger than vec_id. Ties go to the smaller cell id; a degenerate
-    * vector (null dot) still gets a cell.
+  /** Exact-decimal top-k cell ranking with a codegen DOUBLE pre-rank
+    * (the bloom-route pattern the scoring side already uses): rank
+    * every (probe, cell) pair by the cheap double kernel, keep only
+    * pairs that could still be in the true decimal top-k — double
+    * rank ≤ k, or double score within a relative 1e-9 margin of the
+    * k-th double score (the kernels agree to ~1e-12 relative, so a
+    * cell below that band cannot beat the k-th place exactly) — and
+    * let the decimal kernel rank ONLY the survivors, with the
+    * contract's tie rules (score desc, nulls last, smaller cid).
+    * Selection is bit-identical to decimal-ranking every cell (the
+    * hash gates on every ANN key pin this), but the decimal cost
+    * drops from |probes| × |cells| to ~|probes| × (k + ties) — the
+    * difference between an un-rankable maintained index (hundreds of
+    * cells after [[optimize]] capping) and a probe whose ranking
+    * stage is one codegen pass (measured in AnnDiag: the all-decimal
+    * ranking DOMINATED the capped index's probe, inverting the win
+    * from 52× fewer candidate pairs).
+    *
+    * Input probes as (p_id, p); output keeps (p_id, p, cid, c), k
+    * rows per probe (fewer only if the index has fewer cells).
+    */
+  /** The double/decimal disagreement margin: the two kernels agree to
+    * ~1e-12 relative, so a double score more than this far below a
+    * reference double score cannot beat it under the decimal kernel
+    * (1000× slack on the agreement bound).
+    */
+  private def margin(s: org.apache.spark.sql.Column,
+      ref: org.apache.spark.sql.Column) =
+    lit(1e-9) * (abs(s) + abs(ref) + 1)
+
+  private def topCells(probes: DataFrame, centroids: DataFrame,
+      k: Int): DataFrame = {
+    graft.expressions.DecimalDot.register(probes.sparkSession)
+    graft.expressions.DoubleDot.register(probes.sparkSession)
+    val fdot = graft.functions.VectorFns.dotFast _
+    val w = Window.partitionBy(col("p_id"))
+    val rkd = row_number().over(w.orderBy(col("sd").desc, col("cid")))
+    val kth = max(when(col("rkd") === k, col("sd"))).over(w)
+    // the double pass drops BOTH vectors before the window exchange —
+    // shuffling (p_id, cid, sd) scalars instead of two 64-double
+    // arrays per (probe, cell) row is what keeps the ranking stage
+    // scan-bound (the vector-carrying window was a 10 GB shuffle at
+    // the 832-cell diag point)
+    val cand = probes.crossJoin(broadcast(centroids))
+      .select(col("p_id"), col("cid"), fdot("p", "c").as("sd"))
+      .withColumn("rkd", rkd)
+      .withColumn("kth", kth)
+      .filter(col("rkd") <= k || col("sd").isNull || col("kth").isNull ||
+        col("sd") >= col("kth") - margin(col("sd"), col("kth")))
+      .select(col("p_id"), col("cid"))
+    val rk = row_number().over(w.orderBy(col("d").desc, col("cid")))
+    cand.join(broadcast(centroids), Seq("cid"))
+      .join(probes, Seq("p_id"))
+      .withColumn("d", dot("p", "c"))
+      .withColumn("rk", rk).filter(col("rk") <= k)
+      .drop("d", "rk")
+  }
+
+  /** Best-cell assignment with the same double-pruned decimal argmax,
+    * shaped for a CORPUS-sized input (build/append assign every
+    * vector, so the probe paths' window — which must co-locate all of
+    * a vector's cell scores — would shuffle n × cells rows): the
+    * double max per vector partial-aggregates map-side (one thin
+    * n-row exchange), candidates are the cells within the margin of
+    * that max, and the decimal kernel scores only those before the
+    * original max_by argmax (score desc, null → MinValue, tie →
+    * smaller cid). Ties go to the smaller cell id; a degenerate
+    * vector (null dots) still gets a cell — its double max is null,
+    * every cell survives the prune, and the tie rule picks the
+    * smallest cid. Selection is bit-identical to decimal-scoring
+    * every (vector, cell) pair; decimal cost drops to ~one dot per
+    * vector.
     */
   private def assign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
     graft.expressions.DecimalDot.register(embeddings.sparkSession)
-    embeddings.crossJoin(broadcast(centroids))
+    graft.expressions.DoubleDot.register(embeddings.sparkSession)
+    val fdot = graft.functions.VectorFns.dotFast _
+    val best = embeddings.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), fdot("v", "c").as("sd"))
+      .groupBy(col("vec_id")).agg(max(col("sd")).as("maxd"))
+    embeddings.join(best, Seq("vec_id"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("sd", fdot("v", "c"))
+      .filter(col("sd").isNull || col("maxd").isNull ||
+        col("sd") >= col("maxd") - margin(col("sd"), col("maxd")))
       .withColumn("d", dot("v", "c"))
       .groupBy(col("vec_id"))
       .agg(max_by(struct(col("v").as("v"), col("cid").as("cid")),
@@ -126,11 +203,7 @@ object AnnIndex {
     graft.expressions.DecimalDot.register(spark)
     recoverForRead(spark, path)
     val probes = batch.select(col("vec_id").as("p_id"), col("v").as("p"))
-    val rk = row_number().over(
-      Window.partitionBy(col("p_id")).orderBy(col("d").desc, col("cid")))
-    val wanted = probes.crossJoin(broadcast(centroids))
-      .withColumn("d", dot("p", "c"))
-      .withColumn("rk", rk).filter(col("rk") <= nprobe)
+    val wanted = topCells(probes, centroids, nprobe)
       .select(col("p_id"), col("cid"))
     val cellIds = wanted.select(col("cid")).distinct()
       .collect().map(_.getLong(0)).toSeq
@@ -521,11 +594,7 @@ object AnnIndex {
     graft.expressions.DecimalDot.register(spark)
     recoverForRead(spark, path)
     val probes = batch.select(col("vec_id").as("p_id"), col("v").as("p"))
-    val rk = row_number().over(
-      Window.partitionBy(col("p_id")).orderBy(col("d").desc, col("cid")))
-    val wanted = probes.crossJoin(broadcast(centroids))
-      .withColumn("d", dot("p", "c"))
-      .withColumn("rk", rk).filter(col("rk") <= nprobe)
+    val wanted = topCells(probes, centroids, nprobe)
       .select(col("p_id"), col("cid"))
     val cellIds = wanted.select(col("cid")).distinct()
       .collect().map(_.getLong(0)).toSeq
@@ -571,11 +640,7 @@ object AnnIndex {
     graft.expressions.DecimalDot.register(spark)
     recoverForRead(spark, path) // never read a half-swapped layout
 
-    val rk = row_number().over(
-      Window.partitionBy(col("p_id")).orderBy(col("d").desc, col("cid")))
-    val wanted = probes.crossJoin(broadcast(centroids))
-      .withColumn("d", dot("p", "c"))
-      .withColumn("rk", rk).filter(col("rk") <= nprobe)
+    val wanted = topCells(probes, centroids, nprobe)
       .select(col("p_id"), col("cid"))
     val cellIds = wanted.select(col("cid")).distinct()
       .collect().map(_.getLong(0)).toSeq
