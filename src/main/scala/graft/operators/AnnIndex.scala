@@ -33,36 +33,43 @@ object AnnIndex {
   private def dot(v: String, c: String) =
     graft.functions.VectorFns.dotDec(v, c)
 
+  /** The double/decimal disagreement margin: double dot error scales
+    * with Σ|x·y| (not the result — near-cancelling large components
+    * can leave |error| ≫ |score|), and Σ|x·y| ≤ |x|·|y| by
+    * Cauchy–Schwarz, so the band is anchored on the MAGNITUDE
+    * `mag` = |x|·|y| of the row's vectors (plus the compared rows' —
+    * callers pass the max magnitude over the compared set). The
+    * kernels agree to ~1e-14 of that magnitude, so 1e-9 is ~10⁵
+    * slack; the |s|+|ref| terms keep the old relative band as a
+    * second floor (ADVICE r14: a pure relative band silently broke
+    * the bit-identical contract for unnormalized near-cancelling
+    * vectors).
+    */
+  private def margin(s: org.apache.spark.sql.Column,
+      ref: org.apache.spark.sql.Column,
+      mag: org.apache.spark.sql.Column) =
+    lit(1e-9) * (abs(s) + abs(ref) + mag + 1)
+
   /** Exact-decimal top-k cell ranking with a codegen DOUBLE pre-rank
     * (the bloom-route pattern the scoring side already uses): rank
     * every (probe, cell) pair by the cheap double kernel, keep only
     * pairs that could still be in the true decimal top-k — double
-    * rank ≤ k, or double score within a relative 1e-9 margin of the
-    * k-th double score (the kernels agree to ~1e-12 relative, so a
-    * cell below that band cannot beat the k-th place exactly) — and
-    * let the decimal kernel rank ONLY the survivors, with the
-    * contract's tie rules (score desc, nulls last, smaller cid).
-    * Selection is bit-identical to decimal-ranking every cell (the
-    * hash gates on every ANN key pin this), but the decimal cost
-    * drops from |probes| × |cells| to ~|probes| × (k + ties) — the
-    * difference between an un-rankable maintained index (hundreds of
-    * cells after [[optimize]] capping) and a probe whose ranking
-    * stage is one codegen pass (measured in AnnDiag: the all-decimal
-    * ranking DOMINATED the capped index's probe, inverting the win
-    * from 52× fewer candidate pairs).
+    * rank ≤ k, or double score within the [[margin]] band of the
+    * k-th double score (a cell below that band cannot beat the k-th
+    * place exactly) — and let the decimal kernel rank ONLY the
+    * survivors, with the contract's tie rules (score desc, nulls
+    * last, smaller cid). Selection is bit-identical to
+    * decimal-ranking every cell (the hash gates on every ANN key pin
+    * this), but the decimal cost drops from |probes| × |cells| to
+    * ~|probes| × (k + ties) — the difference between an un-rankable
+    * maintained index (hundreds of cells after [[optimize]] capping)
+    * and a probe whose ranking stage is one codegen pass (measured in
+    * AnnDiag: the all-decimal ranking DOMINATED the capped index's
+    * probe, inverting the win from 52× fewer candidate pairs).
     *
     * Input probes as (p_id, p); output keeps (p_id, p, cid, c), k
     * rows per probe (fewer only if the index has fewer cells).
     */
-  /** The double/decimal disagreement margin: the two kernels agree to
-    * ~1e-12 relative, so a double score more than this far below a
-    * reference double score cannot beat it under the decimal kernel
-    * (1000× slack on the agreement bound).
-    */
-  private def margin(s: org.apache.spark.sql.Column,
-      ref: org.apache.spark.sql.Column) =
-    lit(1e-9) * (abs(s) + abs(ref) + 1)
-
   private def topCells(probes: DataFrame, centroids: DataFrame,
       k: Int): DataFrame = {
     graft.expressions.DecimalDot.register(probes.sparkSession)
@@ -72,16 +79,21 @@ object AnnIndex {
     val rkd = row_number().over(w.orderBy(col("sd").desc, col("cid")))
     val kth = max(when(col("rkd") === k, col("sd"))).over(w)
     // the double pass drops BOTH vectors before the window exchange —
-    // shuffling (p_id, cid, sd) scalars instead of two 64-double
+    // shuffling (p_id, cid, sd, mag) scalars instead of two 64-double
     // arrays per (probe, cell) row is what keeps the ranking stage
     // scan-bound (the vector-carrying window was a 10 GB shuffle at
-    // the 832-cell diag point)
+    // the 832-cell diag point); mag = |p|·|c| anchors the margin on
+    // the magnitude the double error actually scales with, and the
+    // window max covers the k-th row's own magnitude
     val cand = probes.crossJoin(broadcast(centroids))
-      .select(col("p_id"), col("cid"), fdot("p", "c").as("sd"))
+      .select(col("p_id"), col("cid"), fdot("p", "c").as("sd"),
+        sqrt(fdot("p", "p") * fdot("c", "c")).as("mag"))
       .withColumn("rkd", rkd)
       .withColumn("kth", kth)
+      .withColumn("magx", max(col("mag")).over(w))
       .filter(col("rkd") <= k || col("sd").isNull || col("kth").isNull ||
-        col("sd") >= col("kth") - margin(col("sd"), col("kth")))
+        col("sd") >= col("kth") -
+          margin(col("sd"), col("kth"), col("mag") + col("magx")))
       .select(col("p_id"), col("cid"))
     val rk = row_number().over(w.orderBy(col("d").desc, col("cid")))
     cand.join(broadcast(centroids), Seq("cid"))
@@ -111,13 +123,17 @@ object AnnIndex {
     graft.expressions.DoubleDot.register(embeddings.sparkSession)
     val fdot = graft.functions.VectorFns.dotFast _
     val best = embeddings.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), fdot("v", "c").as("sd"))
-      .groupBy(col("vec_id")).agg(max(col("sd")).as("maxd"))
+      .select(col("vec_id"), fdot("v", "c").as("sd"),
+        sqrt(fdot("v", "v") * fdot("c", "c")).as("mag"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("sd")).as("maxd"), max(col("mag")).as("magx"))
     embeddings.join(best, Seq("vec_id"))
       .crossJoin(broadcast(centroids))
       .withColumn("sd", fdot("v", "c"))
+      .withColumn("mag", sqrt(fdot("v", "v") * fdot("c", "c")))
       .filter(col("sd").isNull || col("maxd").isNull ||
-        col("sd") >= col("maxd") - margin(col("sd"), col("maxd")))
+        col("sd") >= col("maxd") -
+          margin(col("sd"), col("maxd"), col("mag") + col("magx")))
       .withColumn("d", dot("v", "c"))
       .groupBy(col("vec_id"))
       .agg(max_by(struct(col("v").as("v"), col("cid").as("cid")),
@@ -216,15 +232,18 @@ object AnnIndex {
     val cosf = fdot("p", "sv") /
       (sqrt(col("npf")) * sqrt(col("nvf")))
     // certain match by the double margin, OR border band decided by
-    // the exact decimal — the decimal expressions are never evaluated
-    // outside the band (predicate short-circuit), so a 100%-dup cell
-    // costs one codegen pass, not a BigDecimal pass per pair
+    // the exact decimal — the when/otherwise STRUCTURALLY pins the
+    // evaluation order (ADVICE r14: a disjunct's short-circuit is not
+    // guaranteed across predicate reordering/CNF normalization), so
+    // the decimal expressions are never evaluated outside the band
+    // and a 100%-dup cell costs one codegen pass, not a BigDecimal
+    // pass per pair
     val matched = probes.withColumn("npf", fdot("p", "p"))
       .join(broadcast(wanted), Seq("p_id"))
       .join(index, col("cid") === col("cell") && col("d1") =!= col("p_id"))
       .filter(col("npf") > 0d && col("nvf") > 0d && cosf >= tau - 1e-9)
-      .filter(cosf >= tau + 1e-9 ||
-        dot("p", "sv") / (sqrt(dot("p", "p")) * sqrt(dot("sv", "sv"))) >= tau)
+      .filter(when(cosf >= tau + 1e-9, lit(true)).otherwise(
+        dot("p", "sv") / (sqrt(dot("p", "p")) * sqrt(dot("sv", "sv"))) >= tau))
       .select(col("p_id").as("vec_id")).distinct()
       .withColumn("hit", lit(true))
     batch.select(col("vec_id"))
@@ -381,31 +400,52 @@ object AnnIndex {
     * appends a hot cell degrades probe cost toward a full scan of that
     * cell — `nprobe / n_cells` of the data only bounds the read when
     * occupancy stays near-uniform. Every cell holding more than
-    * `maxOccupancy` vectors is split in two:
+    * `maxOccupancy` vectors is split K-WAY in one rewrite, with
+    * `k = ⌈n / maxOccupancy⌉` children (VERDICT r14 #1: the old
+    * two-way split needed ~log₂(n/cap) full rewrites of a hot cell's
+    * shrinking data to reach the cap; k-way reaches it in one or two):
     *
-    *  - **Seeds** are the cell's own extreme members under the
-    *    exact-decimal score against the cell's current centroid — the
-    *    best-aligned vector (max d, tie → smaller vec_id) and the
-    *    worst-aligned (min d, tie → smaller vec_id). Seed VECTORS, not
-    *    float means, become the children's centroids, so the refreshed
-    *    centroid set is bit-reproducible across engines (the same
-    *    property that makes x65 oracle-able); one Lloyd sweep could
-    *    refine them at the cost of that determinism.
+    *  - **Seeds** are k of the cell's own members at evenly-spaced
+    *    ranks under the exact-decimal score against the cell's
+    *    current centroid — rank `1 + ⌊(n−1)·i/(k−1)⌋` for
+    *    `i ∈ 0..k−1` of the (score desc, vec_id asc) ordering (null
+    *    scores rank last), so both EXTREMES are always seeds and
+    *    `k = 2` reproduces the original best/worst-aligned pair. Seed
+    *    VECTORS, not float means, become the children's centroids, so
+    *    the refreshed centroid set is bit-reproducible across engines
+    *    (the same property that makes x65 oracle-able); one Lloyd
+    *    sweep could refine them at the cost of that determinism.
     *  - **Reassignment is local and NEAREST-SEED**: each member joins
-    *    the child whose seed is closer in L2 — argmax(2·x·s − |s|²),
+    *    the child whose seed is closest in L2 — argmax(2·x·s − |s|²),
     *    the inner-product form of argmin |x − s|²; ties (and null
-    *    scores) → the best-aligned child. A raw inner-product compare
-    *    (x·sb > x·sa) would be norm-biased: one long seed vector can
-    *    capture EVERY member including the other seed, leaving the
-    *    kept cell empty with a phantom centroid and occupancy
-    *    unreduced (code-review r11). Under the L2 rule each seed
-    *    strictly prefers itself whenever the seeds differ, so both
-    *    children are provably non-empty and the split always reduces
-    *    the hot cell. No global re-argmax — only the split cells'
-    *    rows move.
-    *  - **Child ids**: the best-aligned child keeps the old cell id
-    *    (its directory is rewritten in place); the other child gets
-    *    `max cid + rank(split cid)` — deterministic and collision-free.
+    *    scores) → the lowest seed index, i.e. the best-aligned child.
+    *    A raw inner-product compare would be norm-biased: one long
+    *    seed vector can capture EVERY member including the other
+    *    seeds, leaving the kept cell empty with a phantom centroid
+    *    and occupancy unreduced (code-review r11). Under the L2 rule
+    *    each seed strictly prefers itself whenever the seeds differ,
+    *    so distinct-seed children are provably non-empty and the
+    *    split always reduces the hot cell. No global re-argmax — only
+    *    the split cells' rows move. The k·n seed scores run through
+    *    the double-kernel pre-prune (the [[margin]] band, magnitude-
+    *    anchored on 2|x||s|+|s|²): only candidates that could still
+    *    win the exact-decimal argmax pay the decimal kernel, with 4×
+    *    slack so a pruned seed can never have tied the surviving
+    *    winner — selection stays bit-identical to decimal-scoring
+    *    every (member, seed) pair.
+    *  - **Child ids**: seed 0 (best-aligned) keeps the old cell id
+    *    (its directory is rewritten in place); seed i ≥ 1 gets
+    *    `max cid + Σ(k−1 of preceding hot cells) + i` — deterministic
+    *    and collision-free, reducing to `max cid + rank(split cid)`
+    *    for the two-way case.
+    *  - **In-swap compaction** (VERDICT r14 #1): the staged rows are
+    *    repartitioned BY CELL before the write, so each split cell
+    *    lands as ⌈expected bytes / 128 MB⌉ files (one, for any sane
+    *    cap) instead of one file per shuffle partition per cell —
+    *    iterated maintenance no longer fragments the layout (the sf10
+    *    diag hit 1386 cell dirs of shuffle-width files, whose per-dir
+    *    open overhead made the maintained index probe SLOWER than the
+    *    unmaintained one).
     *  - **Layout rewrite touches only split cells, crash-atomically**
     *    (VERDICT r11 #3): the reassigned rows land in an
     *    underscore-prefixed staging dir (invisible to parquet readers
@@ -422,11 +462,11 @@ object AnnIndex {
     *    cells. Untouched cells' files stay byte-identical (the spec
     *    pins the file-level claim). A degenerate cell of identical
     *    vectors splits into itself (every member ties to the kept
-    *    child); its never-written child-B directory is detected from
-    *    the staging listing and the child-B centroid is NOT emitted,
-    *    so refreshed centroids always name exactly the live cells
-    *    (ADVICE r11). Occupancy then stays above the threshold, which
-    *    is correct: no layout can thin identical points.
+    *    child); its never-written child directories are detected from
+    *    the staging listing and those children's centroids are NOT
+    *    emitted, so refreshed centroids always name exactly the live
+    *    cells (ADVICE r11). Occupancy then stays above the threshold,
+    *    which is correct: no layout can thin identical points.
     *
     * Returns the refreshed centroid table (cid, c) the caller must
     * use for subsequent [[probe]]/[[append]] calls (after a crash,
@@ -462,46 +502,80 @@ object AnnIndex {
     // partition discovery types `cell=` dirs as INT when the ids are
     // small — normalize to long before collecting
     val hotCells = counts.filter(col("n") > maxOccupancy)
-      .select(col("cell").cast("long"))
-      .collect().map(_.getLong(0)).sorted.toSeq
+      .select(col("cell").cast("long"), col("n").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     if (hotCells.isEmpty) return centroids
     val maxCid = centroids.agg(max(col("cid"))).head().getLong(0)
-    // new id per split cell: max cid + 1-based rank of the cell id
+    // driver-side split plan (scheduler-sized: one row per CHILD, and
+    // children ≈ split rows / cap): k = ceil(n/cap) children per hot
+    // cell; seed i at rank 1 + floor((n−1)·i/(k−1)) of the (score
+    // desc, vec_id) ordering; child 0 keeps the cell id, child i ≥ 1
+    // gets maxCid + (running (k−1) offset of preceding hot cells) + i
     import spark.implicits._
-    val childBDf = hotCells.zipWithIndex
-      .map { case (c, i) => (c, maxCid + i + 1L) }
-      .toDF("cell", "bcid")
+    var childOffset = 0L
+    val seedSpecs = hotCells.flatMap { case (c, n) =>
+      val k = ((n + maxOccupancy - 1) / maxOccupancy).toInt
+      val rows = (0 until k).map { i =>
+        val rank = 1L + (n - 1L) * i / (k - 1L)
+        (c, i, rank, if (i == 0) c else maxCid + childOffset + i)
+      }
+      childOffset += (k - 1).toLong
+      rows
+    }
+    val seedSpecDf = seedSpecs.toDF("cell", "si", "rn", "child")
     // members of split cells, scored against their OWN centroid — the
     // partition filter prunes the scan to the split directories
-    val members = index.filter(col("cell").isin(hotCells: _*))
+    val hotIds = hotCells.map(_._1)
+    val members = index.filter(col("cell").isin(hotIds: _*))
       .join(broadcast(centroids), col("cell") === col("cid"))
       .withColumn("d", dot("v", "c"))
       .drop("cid", "c")
-    val seeds = members.groupBy(col("cell"))
-      .agg(
-        max_by(struct(col("v").as("v"), col("vec_id").as("t")),
-          struct(coalesce(col("d"), lit(Double.MinValue)).as("d"),
-            (-col("vec_id")).as("t"))).as("sa"),
-        min_by(struct(col("v").as("v"), col("vec_id").as("t")),
-          struct(coalesce(col("d"), lit(Double.MaxValue)).as("d"),
-            col("vec_id").as("t"))).as("sb"))
-      .join(broadcast(childBDf), Seq("cell"))
-      .select(col("cell"), col("sa.v").as("va"), col("sb.v").as("vb"),
-        col("bcid"))
-      // seed self-dots for the nearest-seed rule, decimal-exact like
-      // every other score so the oracle replays them bit-identically
-      .withColumn("na2", dot("va", "va"))
-      .withColumn("nb2", dot("vb", "vb"))
-    // nearest-seed in L2 via 2·x·s − |s|²; doubles on both engines run
-    // the same IEEE multiply/subtract on bit-equal inputs, and a null
-    // anywhere makes the comparison null → otherwise → kept child
-    val reassigned = members.join(broadcast(seeds), Seq("cell"))
-      .withColumn("da", dot("v", "va"))
-      .withColumn("db", dot("v", "vb"))
-      .select(col("vec_id"), col("v"),
-        when(lit(2d) * col("db") - col("nb2") >
-            lit(2d) * col("da") - col("na2"),
-          col("bcid")).otherwise(col("cell")).cast(LongType).as("cell"))
+    // seed pick over THIN rows: the (cell, d, vec_id) scalars rank in
+    // one window exchange with the vectors left behind (the topCells
+    // discipline), then the ranked seed rows join members to fetch
+    // their vectors — O(children) rows out
+    val fdot = graft.functions.VectorFns.dotFast _
+    val rankInCell = row_number().over(Window.partitionBy(col("cell"))
+      .orderBy(coalesce(col("d"), lit(Double.MinValue)).desc, col("vec_id")))
+    val seedPick = members.select(col("cell"), col("d"), col("vec_id"))
+      .withColumn("rn", rankInCell)
+      .join(broadcast(seedSpecDf), Seq("cell", "rn"))
+      .select(col("cell"), col("si"), col("child"), col("vec_id").as("svid"))
+    // seed self-dots for the nearest-seed rule, decimal-exact like
+    // every other score so the oracle replays them bit-identically
+    val seeds = members
+      .select(col("cell"), col("vec_id").as("svid"), col("v").as("sv"))
+      .join(broadcast(seedPick), Seq("cell", "svid"))
+      .withColumn("ns2", dot("sv", "sv"))
+      .withColumn("nsf", fdot("sv", "sv"))
+    // nearest-seed in L2 via 2·x·s − |s|², exact-decimal dots combined
+    // in IEEE double arithmetic (bit-equal on both engines) — routed
+    // through the double-kernel pre-prune: a seed whose DOUBLE score
+    // sits below the member's best by more than the magnitude-anchored
+    // margin band (4× slack, so a pruned seed cannot even TIE the
+    // surviving winner) cannot win the exact argmax, so the decimal
+    // kernel prices ~one seed per member instead of k
+    val cand = members.withColumn("nvf", fdot("v", "v"))
+      .join(broadcast(seeds.select(col("cell"), col("si"), col("child"),
+        col("sv"), col("ns2"), col("nsf"))), Seq("cell"))
+      .withColumn("f", lit(2d) * fdot("v", "sv") - col("nsf"))
+      .withColumn("marg", lit(1e-9) *
+        (lit(2d) * sqrt(col("nvf") * col("nsf")) + col("nsf") + lit(3d)))
+    val bestF = cand.groupBy(col("cell"), col("vec_id"))
+      .agg(max(col("f")).as("maxf"), max(col("marg")).as("margx"))
+    // ties (and all-null scores) → the lowest surviving seed index;
+    // seed 0 survives its own prune (its f IS a candidate for maxf),
+    // so an all-null member still routes to the kept child
+    val reassigned = cand.join(bestF, Seq("cell", "vec_id"))
+      .filter(col("f").isNull || col("maxf").isNull ||
+        col("f") >= col("maxf") - lit(4d) * (col("marg") + col("margx")))
+      .withColumn("sdec", lit(2d) * dot("v", "sv") - col("ns2"))
+      .groupBy(col("cell"), col("vec_id"))
+      .agg(max_by(struct(col("v").as("v"), col("child").as("child")),
+        struct(coalesce(col("sdec"), lit(Double.MinValue)).as("s"),
+          (-col("si")).as("t"))).as("w"))
+      .select(col("vec_id"), col("w.v").as("v"),
+        col("w.child").cast(LongType).as("cell"))
     // Stage everything, then commit, then swap (the crash-atomicity
     // story in the scaladoc): reassigned rows land in an
     // underscore-prefixed staging dir — invisible to parquet readers
@@ -510,32 +584,46 @@ object AnnIndex {
     // untouched throughout.
     val stagingName = s"_optimize-${java.util.UUID.randomUUID()}"
     val staging = s"$path/$stagingName"
-    reassigned.write.mode("overwrite").partitionBy("cell").parquet(staging)
+    // in-swap compaction (VERDICT r14 #1): route each cell's rows to
+    // one task so a split cell lands as ceil(expected bytes / 128 MB)
+    // files — one, for any sane cap — instead of one file per shuffle
+    // partition per cell (the fragmentation that made the sf10
+    // maintained index probe slower than the unmaintained one)
+    val dim = centroids.select(size(col("c"))).head().getInt(0)
+    val target = 128L * 1024 * 1024
+    val filesPerCell =
+      (((maxOccupancy * (8L * dim + 24L)) + target - 1) / target).max(1L).toInt
+    val routed =
+      if (filesPerCell == 1) reassigned.repartition(col("cell"))
+      else reassigned.repartition(col("cell"),
+        pmod(col("vec_id"), lit(filesPerCell.toLong)))
+    routed.write.mode("overwrite").partitionBy("cell").parquet(staging)
     val hconf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val f = root.getFileSystem(hconf)
     val stagingPath = new org.apache.hadoop.fs.Path(staging)
     // Cells that actually materialized: a degenerate hot cell of
     // identical vectors routes every member to the kept child, so its
-    // child-B directory is never written — emitting that centroid
-    // anyway would leave a permanent phantom naming no cell and waste
-    // an nprobe slot forever (ADVICE r11). The kept child always
-    // materializes (seed A strictly prefers itself when seeds differ,
-    // and takes the tie when they don't).
+    // other children's directories are never written — emitting those
+    // centroids anyway would leave permanent phantoms naming no cell
+    // and waste nprobe slots forever (ADVICE r11). The kept child
+    // always materializes (seed 0 strictly prefers itself when seeds
+    // differ, and takes the tie when they don't).
     val stagedCells = f.listStatus(stagingPath)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
       .map(_.getPath.getName.stripPrefix("cell=").toLong).toSet
-    val liveB = stagedCells.diff(hotCells.toSet).toSeq.sorted
+    val liveB = stagedCells.diff(hotIds.toSet).toSeq.sorted
     // Materialize the refreshed centroid set BEFORE the swap: its
     // lineage reads the PRE-optimize file listing (seeds come from the
     // split cells' current files), so a lazy return would chase
     // deleted paths on first use. One (cid, 64-double) row per cell —
     // scheduler-sized, the same trade as probe's cell-id collect.
-    val kept = centroids.filter(!col("cid").isin(hotCells: _*))
+    val kept = centroids.filter(!col("cid").isin(hotIds: _*))
     val refreshed = kept
-      .unionByName(seeds.select(col("cell").as("cid"), col("va").as("c")))
-      .unionByName(seeds.filter(col("bcid").isin(liveB: _*))
-        .select(col("bcid").as("cid"), col("vb").as("c")))
+      .unionByName(seeds.filter(col("si") === 0)
+        .select(col("cell").as("cid"), col("sv").as("c")))
+      .unionByName(seeds.filter(col("si") > 0 && col("child").isin(liveB: _*))
+        .select(col("child").as("cid"), col("sv").as("c")))
     val refreshedRows = refreshed.collect().toSeq
     val refreshedDf = spark.createDataFrame(
       spark.sparkContext.parallelize(refreshedRows, 1), refreshed.schema)

@@ -3041,8 +3041,9 @@ object Extras {
     * AnnIndexSpec separately pins per-slice file claims over ten
     * appends), then [[graft.operators.AnnIndex.optimize]] splits
     * every cell above mean occupancy (⌊n/16⌋ — at least one cell must
-    * exceed the mean, so the split path always executes) and the probe
-    * runs against the REFRESHED centroid set. The output carries the
+    * exceed the mean, so the split path always executes, and any cell
+    * above 2× the mean exercises the k-way (k ≥ 3) split in one pass)
+    * and the probe runs against the REFRESHED centroid set. The output carries the
     * probe's top-5 PLUS a layout digest (cell count, max occupancy,
     * total rows) on every row, so the oracle hash-checks both the
     * serving result under the new centroids and the global layout the

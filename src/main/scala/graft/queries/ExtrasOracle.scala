@@ -1718,17 +1718,21 @@ object ExtrasOracle {
          |ORDER BY d.doc_id""".stripMargin,
 
     // x65c: the full maintenance lifecycle — assignment over the 16
-    // seeds, mean-occupancy threshold (⌊n/16⌋), hot cells split into
-    // (best-aligned keeps cid, worst-aligned gets 16 + rank(cell)),
-    // LOCAL nearest-seed (L2: 2·x·s − |s|²) reassignment, probe over the REFRESHED
-    // centroid set, plus the layout digest (n_cells / max_occ /
-    // n_rows) on every row. Mirrors AnnIndex.optimize exactly: every
-    // dot decimal-exact, every tie broken on (score, vec_id).
+    // seeds, mean-occupancy threshold (⌊n/16⌋), each hot cell split
+    // K-WAY (k = ceil(n/t)) in one pass: seed i at rank
+    // 1 + (n−1)·i // (k−1) of the (score DESC, vec_id) ordering
+    // (seed 0 keeps the cell id, seed i ≥ 1 gets 16 + running (k−1)
+    // offset + i), LOCAL nearest-seed (L2: 2·x·s − |s|², argmax with
+    // ties → lowest seed index) reassignment, never-materialized
+    // children's centroids dropped, probe over the REFRESHED centroid
+    // set, plus the layout digest (n_cells / max_occ / n_rows) on
+    // every row. Mirrors AnnIndex.optimize exactly: every dot
+    // decimal-exact, every tie broken on (score, id).
     "x65c_ann_optimize" ->
-      s"""WITH seeds AS (SELECT vec_id AS cid, embedding AS c FROM embeddings
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS c FROM embeddings
          |  WHERE vec_id BETWEEN 1 AND 16),
          |sc AS (SELECT e.vec_id, s.cid, ${dot("e.embedding", "s.c")} AS d
-         |  FROM embeddings e, seeds s, generate_series(1, 64) t(i)
+         |  FROM embeddings e, cents s, generate_series(1, 64) t(i)
          |  WHERE e.vec_id <> 0
          |  GROUP BY e.vec_id, s.cid),
          |assign AS (SELECT vec_id, cid AS cell FROM (
@@ -1737,43 +1741,43 @@ object ExtrasOracle {
          |occ AS (SELECT cell, COUNT(*) AS n FROM assign GROUP BY cell),
          |thr AS (SELECT GREATEST(1, COUNT(*) // 16) AS t FROM embeddings
          |  WHERE vec_id <> 0),
-         |hot AS (SELECT cell, 16 + row_number() OVER (ORDER BY cell) AS bcid
+         |hot AS (SELECT cell, n, (n + t - 1) // t AS k
          |  FROM occ, thr WHERE n > t),
-         |md AS (SELECT a.vec_id, a.cell, sc.d
+         |hoff AS (SELECT cell, n, k,
+         |    16 + COALESCE(SUM(k - 1) OVER (ORDER BY cell
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+         |  FROM hot),
+         |md AS (SELECT a.vec_id, a.cell, sc.d, row_number() OVER (
+         |      PARTITION BY a.cell
+         |      ORDER BY sc.d DESC NULLS LAST, a.vec_id) AS rn
          |  FROM assign a JOIN hot h ON h.cell = a.cell
          |  JOIN sc ON sc.vec_id = a.vec_id AND sc.cid = a.cell),
-         |sa AS (SELECT cell, vec_id AS sa_vid FROM (
-         |    SELECT cell, vec_id, row_number() OVER (PARTITION BY cell
-         |      ORDER BY d DESC, vec_id) AS rn FROM md) WHERE rn = 1),
-         |sb AS (SELECT cell, vec_id AS sb_vid FROM (
-         |    SELECT cell, vec_id, row_number() OVER (PARTITION BY cell
-         |      ORDER BY d ASC, vec_id) AS rn FROM md) WHERE rn = 1),
-         |rd AS (SELECT m.vec_id, m.cell,
-         |    ${dot("e.embedding", "ea.embedding")} AS da,
-         |    ${dot("e.embedding", "eb.embedding")} AS db,
-         |    ${dot("ea.embedding", "ea.embedding")} AS na2,
-         |    ${dot("eb.embedding", "eb.embedding")} AS nb2
-         |  FROM md m
+         |sdef AS (SELECT cell, base, n, k,
+         |    unnest(generate_series(0, k - 1)) AS si FROM hoff),
+         |seeds AS (SELECT s.cell, s.si,
+         |    CASE WHEN s.si = 0 THEN s.cell ELSE s.base + s.si END AS child,
+         |    m.vec_id AS svid
+         |  FROM (SELECT cell, base, si,
+         |      1 + ((n - 1) * si) // (k - 1) AS srank FROM sdef) s
+         |  JOIN md m ON m.cell = s.cell AND m.rn = s.srank),
+         |rd AS (SELECT m.vec_id, m.cell, s.si, s.child,
+         |    2 * ${dot("e.embedding", "es.embedding")}
+         |      - ${dot("es.embedding", "es.embedding")} AS score
+         |  FROM md m JOIN seeds s ON s.cell = m.cell
          |    JOIN embeddings e ON e.vec_id = m.vec_id
-         |    JOIN sa ON sa.cell = m.cell
-         |    JOIN embeddings ea ON ea.vec_id = sa.sa_vid
-         |    JOIN sb ON sb.cell = m.cell
-         |    JOIN embeddings eb ON eb.vec_id = sb.sb_vid,
+         |    JOIN embeddings es ON es.vec_id = s.svid,
          |    generate_series(1, 64) t(i)
-         |  GROUP BY m.vec_id, m.cell),
-         |na AS (SELECT a.vec_id,
-         |    COALESCE(CASE WHEN 2 * rd.db - rd.nb2 > 2 * rd.da - rd.na2
-         |        THEN h.bcid ELSE rd.cell END,
-         |      a.cell) AS cell
-         |  FROM assign a LEFT JOIN rd ON rd.vec_id = a.vec_id
-         |    LEFT JOIN hot h ON h.cell = rd.cell),
+         |  GROUP BY m.vec_id, m.cell, s.si, s.child),
+         |reass AS (SELECT vec_id, child AS cell FROM (
+         |    SELECT vec_id, child, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY score DESC NULLS LAST, si) AS rn FROM rd) WHERE rn = 1),
+         |na AS (SELECT a.vec_id, COALESCE(r.cell, a.cell) AS cell
+         |  FROM assign a LEFT JOIN reass r ON r.vec_id = a.vec_id),
          |newcents AS (
-         |  SELECT cid, c FROM seeds WHERE cid NOT IN (SELECT cell FROM hot)
-         |  UNION ALL SELECT s.cell AS cid, e.embedding AS c
-         |    FROM sa s JOIN embeddings e ON e.vec_id = s.sa_vid
-         |  UNION ALL SELECT h.bcid AS cid, e.embedding AS c
-         |    FROM sb s JOIN hot h ON h.cell = s.cell
-         |    JOIN embeddings e ON e.vec_id = s.sb_vid),
+         |  SELECT cid, c FROM cents WHERE cid NOT IN (SELECT cell FROM hot)
+         |  UNION ALL SELECT s.child AS cid, e.embedding AS c
+         |    FROM seeds s JOIN embeddings e ON e.vec_id = s.svid
+         |    WHERE s.child IN (SELECT cell FROM na)),
          |psc AS (SELECT nc.cid, ${dot("p.embedding", "nc.c")} AS d
          |  FROM embeddings p, newcents nc, generate_series(1, 64) t(i)
          |  WHERE p.vec_id = 0 GROUP BY nc.cid),

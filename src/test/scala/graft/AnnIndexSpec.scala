@@ -369,6 +369,60 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(cids == occ.keySet, "refreshed centroids name exactly the live cells")
   }
 
+  test("k-way split (VERDICT r14 #1): one optimize pass fans a hot cell " +
+      "into ceil(n/cap) children, caps within two passes, and compacts " +
+      "each rewritten cell to one file") {
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("graft-ann-kway").toString
+    val cents = Seq((1L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("cid", "c")
+    // 32 members on a continuum in the (x,y) plane: alignment against
+    // the single centroid ties (d = 1.0 for all), so seed ranks fall
+    // back to the vec_id tie rule — seeds at ranks 1, 11, 21, 32
+    val vecs = (0 until 32).map(i => (100L + i, Seq(1.0, 0.25 * i, 0.0, 0.0)))
+      .toDF("vec_id", "v")
+    AnnIndex.build(vecs, cents, p)
+    val cap = 8L // k = ceil(32/8) = 4 children in ONE rewrite
+    val r1 = AnnIndex.optimize(spark, p, cents, cap)
+    val occ1 = occOf(p)
+    assert(occ1.keySet == Set(1L, 2L, 3L, 4L),
+      s"one k-way pass must fan out to k=4 children (kept id + maxCid+i): $occ1")
+    assert(occ1.values.sum == 32, s"split must conserve rows: $occ1")
+    // in-swap compaction: each rewritten cell is exactly one parquet
+    // file, not one per shuffle partition
+    occ1.keySet.foreach { c =>
+      val files = new java.io.File(p, s"cell=$c").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1,
+        s"cell $c must land compacted as one file, got ${files.length}")
+    }
+    val r1Cids = r1.select(col("cid").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    assert(r1Cids == occ1.keySet, "refreshed centroids name the live cells")
+    // quantile-edge seeds leave interior children slightly above cap on
+    // a uniform continuum; the second pass (k=2 on the residuals) caps
+    val r2 = AnnIndex.optimize(spark, p, r1, cap)
+    val occ2 = occOf(p)
+    assert(occ2.values.max <= cap,
+      s"occupancy cap must hold after at most two passes: $occ2")
+    assert(occ2.values.sum == 32)
+    val r2Cids = r2.select(col("cid").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    assert(r2Cids == occ2.keySet)
+    // full-coverage probe over the twice-optimized layout stays exact
+    val probes = Seq((1L, Seq(1.0, 3.1, 0.0, 0.0))).toDF("p_id", "p")
+    val got = AnnIndex.probe(spark, p, probes, r2,
+        nprobe = occ2.size, k = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val brute = probes.crossJoin(vecs)
+      .withColumn("score", dot("p", "v"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("p_id")).orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("rank") <= 4)
+      .select(col("rank").cast("long"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, "full-coverage probe over the k-way layout is exact")
+  }
+
   test("dedupAgainst: cell-pruned semantic verdicts, dropped vectors " +
       "never enter the index, re-probe is idempotent") {
     import spark.implicits._
