@@ -103,12 +103,11 @@ object AnnDiag {
     val (cells0, maxOcc0) = occStats()
     val cand0 = candVolume(spark, idx, probes, cents)
     val (secs0, v0) = timedVerdicts(spark, idx, b1, cents)
-    // maintenance loop: one optimize() pass splits each hot cell
-    // k-way (k = ceil(n/cap), x65c's contract), so the cap normally
-    // holds after one or two passes; the loop keeps iterating with
-    // the refreshed centroids until the cap holds or a pass stops
-    // making progress (degenerate identical-vector cells can't
-    // split) — exactly the between-batches loop production runs
+    // maintenance loop: one optimize() pass caps occupancy
+    // unconditionally (k-way Voronoi split + rank-slice overflow,
+    // x65c's contract), so this loop normally runs ONE round; it
+    // stays a loop as a safety net (and to surface any regression of
+    // the one-pass guarantee in the reported round count)
     var refC = cents
     var rounds = 0
     var prevCells = cells0

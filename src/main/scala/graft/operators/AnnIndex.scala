@@ -438,6 +438,24 @@ object AnnIndex {
     *    `max cid + Σ(k−1 of preceding hot cells) + i` — deterministic
     *    and collision-free, reducing to `max cid + rank(split cid)`
     *    for the two-way case.
+    *  - **Rank-slice overflow (one-pass cap guarantee)**: a Voronoi
+    *    child can still exceed the cap — quantile seeds are a 1-D
+    *    shadow of the member distribution, and high-dimensional or
+    *    duplicate-heavy cells split arbitrarily unevenly (the sf1
+    *    diag needed SEVEN seed-split rounds to reach cap 128 before
+    *    this stage). So within the same rewrite, any child above the
+    *    cap is sliced by rank of the members' parent-alignment score
+    *    (d desc nulls last, vec_id) into ⌈m/cap⌉ cells of ≤ cap rows
+    *    each: slice 0 keeps the child id, later slices take fresh ids
+    *    after the Voronoi block (ordered by (child, slice)). After
+    *    ANY single optimize call, `max occupancy ≤ maxOccupancy` —
+    *    unconditionally. Identical-vector cells slice like any other
+    *    (the slices carry identical centroids and adjacent ranking,
+    *    so nprobe spans them); each final cell's centroid is its own
+    *    best-parent-aligned member (rank-1 of the same ordering) —
+    *    still a member vector, so the layout stays bit-reproducible.
+    *    Never-materialized Voronoi children simply have no rows, so
+    *    no phantom centroids can arise.
     *  - **In-swap compaction** (VERDICT r14 #1): the staged rows are
     *    repartitioned BY CELL before the write, so each split cell
     *    lands as ⌈expected bytes / 128 MB⌉ files (one, for any sane
@@ -460,13 +478,11 @@ object AnnIndex {
     *    operation) rolls the swap forward — so index readers observe
     *    the pre-split or post-split layout, never a tree missing
     *    cells. Untouched cells' files stay byte-identical (the spec
-    *    pins the file-level claim). A degenerate cell of identical
-    *    vectors splits into itself (every member ties to the kept
-    *    child); its never-written child directories are detected from
-    *    the staging listing and those children's centroids are NOT
-    *    emitted, so refreshed centroids always name exactly the live
-    *    cells (ADVICE r11). Occupancy then stays above the threshold,
-    *    which is correct: no layout can thin identical points.
+    *    pins the file-level claim). Refreshed centroids are derived
+    *    from the rows that actually materialized (rank-1 member per
+    *    final cell), so they always name exactly the live cells and
+    *    a degenerate Voronoi child that captured no members leaves no
+    *    phantom centroid behind (ADVICE r11).
     *
     * Returns the refreshed centroid table (cid, c) the caller must
     * use for subsequent [[probe]]/[[append]] calls (after a crash,
@@ -566,16 +582,44 @@ object AnnIndex {
     // ties (and all-null scores) → the lowest surviving seed index;
     // seed 0 survives its own prune (its f IS a candidate for maxf),
     // so an all-null member still routes to the kept child
-    val reassigned = cand.join(bestF, Seq("cell", "vec_id"))
+    val voronoi = cand.join(bestF, Seq("cell", "vec_id"))
       .filter(col("f").isNull || col("maxf").isNull ||
         col("f") >= col("maxf") - lit(4d) * (col("marg") + col("margx")))
       .withColumn("sdec", lit(2d) * dot("v", "sv") - col("ns2"))
       .groupBy(col("cell"), col("vec_id"))
       .agg(max_by(struct(col("v").as("v"), col("child").as("child")),
         struct(coalesce(col("sdec"), lit(Double.MinValue)).as("s"),
-          (-col("si")).as("t"))).as("w"))
+          (-col("si")).as("t"))).as("w"),
+        max(col("d")).as("d"))
       .select(col("vec_id"), col("w.v").as("v"),
-        col("w.child").cast(LongType).as("cell"))
+        col("w.child").cast(LongType).as("child"), col("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // rank-slice overflow (the one-pass cap guarantee): Voronoi child
+    // sizes come back scheduler-sized, the driver numbers ⌈m/cap⌉
+    // slices per child, and a thin window routes each member to its
+    // slice by (parent-alignment d, vec_id) rank. Slice 0 keeps the
+    // child id; later slices take fresh ids after the Voronoi block,
+    // ordered by (child, slice) — deterministic and collision-free.
+    val sizes = voronoi.groupBy(col("child")).agg(count(lit(1)).as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val sliceBase = maxCid + childOffset
+    var sliceSeq = 0L
+    val subSpecs = sizes.flatMap { case (child, m) =>
+      val s = ((m + maxOccupancy - 1) / maxOccupancy).toInt
+      (0 until s).map { j =>
+        val fcell = if (j == 0) child else { sliceSeq += 1; sliceBase + sliceSeq }
+        (child, j, fcell)
+      }
+    }
+    val subSpecDf = subSpecs.toDF("child", "sub", "fcell")
+    val sliceRank = row_number().over(Window.partitionBy(col("child"))
+      .orderBy(coalesce(col("d"), lit(Double.MinValue)).desc, col("vec_id")))
+    val reassigned = voronoi
+      .withColumn("sub",
+        floor((sliceRank - lit(1)) / lit(maxOccupancy.toDouble)).cast("int"))
+      .join(broadcast(subSpecDf), Seq("child", "sub"))
+      .select(col("vec_id"), col("v"), col("fcell").cast(LongType).as("cell"),
+        col("d"))
     // Stage everything, then commit, then swap (the crash-atomicity
     // story in the scaladoc): reassigned rows land in an
     // underscore-prefixed staging dir — invisible to parquet readers
@@ -594,37 +638,33 @@ object AnnIndex {
     val filesPerCell =
       (((maxOccupancy * (8L * dim + 24L)) + target - 1) / target).max(1L).toInt
     val routed =
-      if (filesPerCell == 1) reassigned.repartition(col("cell"))
-      else reassigned.repartition(col("cell"),
+      if (filesPerCell == 1) reassigned.drop("d").repartition(col("cell"))
+      else reassigned.drop("d").repartition(col("cell"),
         pmod(col("vec_id"), lit(filesPerCell.toLong)))
     routed.write.mode("overwrite").partitionBy("cell").parquet(staging)
     val hconf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val f = root.getFileSystem(hconf)
     val stagingPath = new org.apache.hadoop.fs.Path(staging)
-    // Cells that actually materialized: a degenerate hot cell of
-    // identical vectors routes every member to the kept child, so its
-    // other children's directories are never written — emitting those
-    // centroids anyway would leave permanent phantoms naming no cell
-    // and waste nprobe slots forever (ADVICE r11). The kept child
-    // always materializes (seed 0 strictly prefers itself when seeds
-    // differ, and takes the tie when they don't).
-    val stagedCells = f.listStatus(stagingPath)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
-      .map(_.getPath.getName.stripPrefix("cell=").toLong).toSet
-    val liveB = stagedCells.diff(hotIds.toSet).toSeq.sorted
     // Materialize the refreshed centroid set BEFORE the swap: its
-    // lineage reads the PRE-optimize file listing (seeds come from the
-    // split cells' current files), so a lazy return would chase
-    // deleted paths on first use. One (cid, 64-double) row per cell —
-    // scheduler-sized, the same trade as probe's cell-id collect.
+    // lineage reads the PRE-optimize file listing (via the persisted
+    // Voronoi frame over the split cells' current files), so a lazy
+    // return would chase deleted paths on first use. One (cid,
+    // 64-double) row per cell — scheduler-sized, the same trade as
+    // probe's cell-id collect. Each final cell's centroid is its own
+    // rank-1 member under the slice ordering; deriving centroids from
+    // the rows that MATERIALIZED means a Voronoi child that captured
+    // no members contributes nothing — no phantom centroids (ADVICE
+    // r11), no staging-listing check needed.
     val kept = centroids.filter(!col("cid").isin(hotIds: _*))
-    val refreshed = kept
-      .unionByName(seeds.filter(col("si") === 0)
-        .select(col("cell").as("cid"), col("sv").as("c")))
-      .unionByName(seeds.filter(col("si") > 0 && col("child").isin(liveB: _*))
-        .select(col("child").as("cid"), col("sv").as("c")))
+    val refreshed = kept.unionByName(
+      reassigned.groupBy(col("cell"))
+        .agg(max_by(col("v"),
+          struct(coalesce(col("d"), lit(Double.MinValue)).as("d"),
+            (-col("vec_id")).as("t"))).as("c"))
+        .select(col("cell").as("cid"), col("c")))
     val refreshedRows = refreshed.collect().toSeq
+    voronoi.unpersist(blocking = false)
     val refreshedDf = spark.createDataFrame(
       spark.sparkContext.parallelize(refreshedRows, 1), refreshed.schema)
     // Stage the refreshed centroids beside the data (recovery needs

@@ -1723,11 +1723,17 @@ object ExtrasOracle {
     // 1 + (n−1)·i // (k−1) of the (score DESC, vec_id) ordering
     // (seed 0 keeps the cell id, seed i ≥ 1 gets 16 + running (k−1)
     // offset + i), LOCAL nearest-seed (L2: 2·x·s − |s|², argmax with
-    // ties → lowest seed index) reassignment, never-materialized
-    // children's centroids dropped, probe over the REFRESHED centroid
-    // set, plus the layout digest (n_cells / max_occ / n_rows) on
-    // every row. Mirrors AnnIndex.optimize exactly: every dot
-    // decimal-exact, every tie broken on (score, id).
+    // ties → lowest seed index) reassignment, then the rank-slice
+    // overflow stage: a Voronoi child above t slices by
+    // (d DESC, vec_id) rank into ⌈m/t⌉ cells (slice 0 keeps the child
+    // id, later slices number after the Voronoi block by (child,
+    // slice)). Each final cell's centroid is its rank-1 member under
+    // the same ordering — centroids derive from materialized rows, so
+    // empty Voronoi children leave no phantom. Probe over the
+    // REFRESHED centroid set, plus the layout digest (n_cells /
+    // max_occ / n_rows) on every row. Mirrors AnnIndex.optimize
+    // exactly: every dot decimal-exact, every tie broken on
+    // (score, id).
     "x65c_ann_optimize" ->
       s"""WITH cents AS (SELECT vec_id AS cid, embedding AS c FROM embeddings
          |  WHERE vec_id BETWEEN 1 AND 16),
@@ -1768,16 +1774,32 @@ object ExtrasOracle {
          |    JOIN embeddings es ON es.vec_id = s.svid,
          |    generate_series(1, 64) t(i)
          |  GROUP BY m.vec_id, m.cell, s.si, s.child),
-         |reass AS (SELECT vec_id, child AS cell FROM (
+         |reass AS (SELECT vec_id, child FROM (
          |    SELECT vec_id, child, row_number() OVER (PARTITION BY vec_id
          |      ORDER BY score DESC NULLS LAST, si) AS rn FROM rd) WHERE rn = 1),
-         |na AS (SELECT a.vec_id, COALESCE(r.cell, a.cell) AS cell
-         |  FROM assign a LEFT JOIN reass r ON r.vec_id = a.vec_id),
+         |slice AS (SELECT r.vec_id, r.child,
+         |    (row_number() OVER (PARTITION BY r.child
+         |      ORDER BY m.d DESC NULLS LAST, r.vec_id) - 1) // t AS sub
+         |  FROM reass r JOIN md m ON m.vec_id = r.vec_id, thr),
+         |subsd AS (SELECT DISTINCT child, sub FROM slice),
+         |subs AS (SELECT child, sub, child AS fcell FROM subsd WHERE sub = 0
+         |  UNION ALL SELECT child, sub,
+         |    (SELECT 16 + SUM(k - 1) FROM hot) + row_number() OVER (
+         |      ORDER BY child, sub) AS fcell
+         |  FROM subsd WHERE sub > 0),
+         |na AS (SELECT a.vec_id, COALESCE(sb.fcell, a.cell) AS cell
+         |  FROM assign a
+         |    LEFT JOIN slice s ON s.vec_id = a.vec_id
+         |    LEFT JOIN subs sb ON sb.child = s.child AND sb.sub = s.sub),
+         |fcseed AS (SELECT cell, vec_id FROM (
+         |    SELECT n.cell, n.vec_id, row_number() OVER (PARTITION BY n.cell
+         |      ORDER BY m.d DESC NULLS LAST, n.vec_id) AS rn
+         |    FROM na n JOIN slice s ON s.vec_id = n.vec_id
+         |      JOIN md m ON m.vec_id = n.vec_id) WHERE rn = 1),
          |newcents AS (
          |  SELECT cid, c FROM cents WHERE cid NOT IN (SELECT cell FROM hot)
-         |  UNION ALL SELECT s.child AS cid, e.embedding AS c
-         |    FROM seeds s JOIN embeddings e ON e.vec_id = s.svid
-         |    WHERE s.child IN (SELECT cell FROM na)),
+         |  UNION ALL SELECT f.cell AS cid, e.embedding AS c
+         |    FROM fcseed f JOIN embeddings e ON e.vec_id = f.vec_id),
          |psc AS (SELECT nc.cid, ${dot("p.embedding", "nc.c")} AS d
          |  FROM embeddings p, newcents nc, generate_series(1, 64) t(i)
          |  WHERE p.vec_id = 0 GROUP BY nc.cid),

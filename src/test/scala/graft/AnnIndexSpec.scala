@@ -315,30 +315,38 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(AnnIndex.recover(spark, p).isEmpty)
   }
 
-  test("a degenerate identical-vector hot cell emits no phantom child-B " +
-      "centroid") {
+  test("a degenerate identical-vector hot cell rank-slices under the " +
+      "cap with identical centroids and no phantom children") {
     import spark.implicits._
     val p = java.nio.file.Files.createTempDirectory("graft-ann-ident").toString
     val cents = Seq((1L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("cid", "c")
-    // every member identical: sa == sb, every member ties to the kept
-    // child, the child-B directory is never written
+    // every member identical: both Voronoi seeds coincide, every
+    // member ties to the kept child (so the Voronoi child id 2 is
+    // never written — and must leave no phantom centroid), and the
+    // rank-slice stage thins the 6-member child into (4, 2) cells
+    // that share the identical centroid vector
     val vecs = (0 until 6).map(i => (10L + i, Seq(1.0, 2.0, 0.0, 0.0)))
       .toDF("vec_id", "v")
     AnnIndex.build(vecs, cents, p)
     val refreshed = AnnIndex.optimize(spark, p, cents, maxOccupancy = 4L)
     val occ = occOf(p)
-    assert(occ == Map(1L -> 6L),
-      s"identical points cannot be thinned; they stay in the kept cell: $occ")
+    assert(occ == Map(1L -> 4L, 3L -> 2L),
+      s"identical points slice by (d, vec_id) rank under the cap: $occ")
     val cids = refreshed.select(col("cid").cast("long"))
       .collect().map(_.getLong(0)).toSet
     assert(cids == occ.keySet,
-      s"no phantom centroid for the never-written child: $cids vs ${occ.keySet}")
-    // probing with the refreshed set must not throw on the phantom-free
-    // layout and must see every member
+      s"no phantom centroid for the never-written Voronoi child: " +
+        s"$cids vs ${occ.keySet}")
+    // both slices carry the same (identical) centroid vector, so the
+    // cell ranking ties and nprobe = 2 spans them: every member found
     val probes = Seq((99L, Seq(1.0, 2.0, 0.0, 0.0))).toDF("p_id", "p")
-    val hits = AnnIndex.probe(spark, p, probes, refreshed, nprobe = 1, k = 10)
+    val hits = AnnIndex.probe(spark, p, probes, refreshed, nprobe = 2, k = 10)
       .collect()
     assert(hits.length == 6)
+    // a 1-cell probe reads only the first slice (cap-bounded read)
+    val one = AnnIndex.probe(spark, p, probes, refreshed, nprobe = 1, k = 10)
+      .collect()
+    assert(one.length == 4)
   }
 
   test("optimize's nearest-seed rule keeps both children non-empty on " +
@@ -369,24 +377,30 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(cids == occ.keySet, "refreshed centroids name exactly the live cells")
   }
 
-  test("k-way split (VERDICT r14 #1): one optimize pass fans a hot cell " +
-      "into ceil(n/cap) children, caps within two passes, and compacts " +
-      "each rewritten cell to one file") {
+  test("k-way split + rank-slice (VERDICT r14 #1): ONE optimize pass " +
+      "caps a hot cell at maxOccupancy and compacts each rewritten " +
+      "cell to one file") {
     import spark.implicits._
     val p = java.nio.file.Files.createTempDirectory("graft-ann-kway").toString
     val cents = Seq((1L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("cid", "c")
     // 32 members on a continuum in the (x,y) plane: alignment against
     // the single centroid ties (d = 1.0 for all), so seed ranks fall
     // back to the vec_id tie rule — seeds at ranks 1, 11, 21, 32
+    // (members y = 0, 2.5, 5.0, 7.75). Voronoi children take 6, 10,
+    // 10, 6 members (boundary ties → lower seed index), and the two
+    // 10-member children each rank-slice into (8, 2) — so one pass
+    // must produce six cells, all ≤ cap.
     val vecs = (0 until 32).map(i => (100L + i, Seq(1.0, 0.25 * i, 0.0, 0.0)))
       .toDF("vec_id", "v")
     AnnIndex.build(vecs, cents, p)
-    val cap = 8L // k = ceil(32/8) = 4 children in ONE rewrite
+    val cap = 8L // k = ceil(32/8) = 4 Voronoi children in ONE rewrite
     val r1 = AnnIndex.optimize(spark, p, cents, cap)
     val occ1 = occOf(p)
-    assert(occ1.keySet == Set(1L, 2L, 3L, 4L),
-      s"one k-way pass must fan out to k=4 children (kept id + maxCid+i): $occ1")
-    assert(occ1.values.sum == 32, s"split must conserve rows: $occ1")
+    assert(occ1.values.max <= cap,
+      s"ONE optimize pass must cap occupancy unconditionally: $occ1")
+    assert(occ1 == Map(1L -> 6L, 2L -> 8L, 3L -> 8L, 4L -> 6L,
+        5L -> 2L, 6L -> 2L),
+      s"k-way children + rank slices with deterministic ids: $occ1")
     // in-swap compaction: each rewritten cell is exactly one parquet
     // file, not one per shuffle partition
     occ1.keySet.foreach { c =>
@@ -398,20 +412,13 @@ class AnnIndexSpec extends AnyFunSuite {
     val r1Cids = r1.select(col("cid").cast("long"))
       .collect().map(_.getLong(0)).toSet
     assert(r1Cids == occ1.keySet, "refreshed centroids name the live cells")
-    // quantile-edge seeds leave interior children slightly above cap on
-    // a uniform continuum; the second pass (k=2 on the residuals) caps
+    // nothing is hot any more: a second pass is a no-op
     val r2 = AnnIndex.optimize(spark, p, r1, cap)
-    val occ2 = occOf(p)
-    assert(occ2.values.max <= cap,
-      s"occupancy cap must hold after at most two passes: $occ2")
-    assert(occ2.values.sum == 32)
-    val r2Cids = r2.select(col("cid").cast("long"))
-      .collect().map(_.getLong(0)).toSet
-    assert(r2Cids == occ2.keySet)
-    // full-coverage probe over the twice-optimized layout stays exact
+    assert(r2.collect().toSet == r1.collect().toSet)
+    // full-coverage probe over the optimized layout stays exact
     val probes = Seq((1L, Seq(1.0, 3.1, 0.0, 0.0))).toDF("p_id", "p")
-    val got = AnnIndex.probe(spark, p, probes, r2,
-        nprobe = occ2.size, k = 4)
+    val got = AnnIndex.probe(spark, p, probes, r1,
+        nprobe = occ1.size, k = 4)
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
     val brute = probes.crossJoin(vecs)
       .withColumn("score", dot("p", "v"))
