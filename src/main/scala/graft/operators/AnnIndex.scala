@@ -33,6 +33,38 @@ object AnnIndex {
   private def dot(v: String, c: String) =
     graft.functions.VectorFns.dotDec(v, c)
 
+  /** How many wanted-cell ids inline as a literal IN-list (static
+    * partition pruning) before the probe paths switch to a
+    * broadcast-semi-join filter (runtime partition pruning via DPP):
+    * a 10⁴–10⁵-cell index would otherwise bloat every probe plan with
+    * a 10⁴-literal predicate — plan size and compile time grow with
+    * the index instead of the probe (VERDICT r14 #4). Overridable for
+    * tests via -Dgraft.ann.isin.limit.
+    */
+  private def isinCellLimit: Int =
+    Integer.getInteger("graft.ann.isin.limit", 256)
+
+  /** The index scan restricted to `cellIds`, pruned BEFORE any row is
+    * read: small id sets inline as a static partition filter; large
+    * ones become a broadcast left-semi join against a one-column
+    * cell-id frame, which dynamic partition pruning turns into a
+    * runtime partition filter on the scan (the id frame is cast to
+    * the discovered partition-column type so the scan side stays a
+    * bare attribute — a cast there would defeat DPP).
+    */
+  private def wantedCellScan(spark: SparkSession, path: String,
+      cellIds: Seq[Long]): DataFrame = {
+    val index = spark.read.parquet(path)
+    if (cellIds.lengthCompare(isinCellLimit) <= 0)
+      index.filter(col("cell").isin(cellIds: _*))
+    else {
+      import spark.implicits._
+      val ids = cellIds.toDF("cell")
+        .select(col("cell").cast(index.schema("cell").dataType).as("cell"))
+      index.join(broadcast(ids), Seq("cell"), "left_semi")
+    }
+  }
+
   /** The double/decimal disagreement margin: double dot error scales
     * with Σ|x·y| (not the result — near-cancelling large components
     * can leave |error| ≫ |score|), and Σ|x·y| ≤ |x|·|y| by
@@ -96,11 +128,15 @@ object AnnIndex {
           margin(col("sd"), col("kth"), col("mag") + col("magx")))
       .select(col("p_id"), col("cid"))
     val rk = row_number().over(w.orderBy(col("d").desc, col("cid")))
+    // the decimal rank survives in the output (`rk`): rank 1 IS the
+    // assignment cell under build/append's argmax rule (max d, tie →
+    // smaller cid), which lets [[dedupStream]] route kept vectors
+    // without a second ranking pass
     cand.join(broadcast(centroids), Seq("cid"))
       .join(probes, Seq("p_id"))
       .withColumn("d", dot("p", "c"))
       .withColumn("rk", rk).filter(col("rk") <= k)
-      .drop("d", "rk")
+      .drop("d")
   }
 
   /** Best-cell assignment with the same double-pruned decimal argmax,
@@ -219,14 +255,26 @@ object AnnIndex {
     graft.expressions.DecimalDot.register(spark)
     recoverForRead(spark, path)
     val probes = batch.select(col("vec_id").as("p_id"), col("v").as("p"))
-    val wanted = topCells(probes, centroids, nprobe)
-      .select(col("p_id"), col("cid"))
+    dedupVerdictsFrom(spark, path, batch, topCells(probes, centroids, nprobe),
+      tau)
+  }
+
+  /** [[dedupVerdicts]] over a precomputed [[topCells]] ranking — the
+    * streaming path ([[dedupStream]]) materializes the ranking once
+    * and reuses rank 1 as the kept vectors' append assignment, saving
+    * a second decimal ranking pass per micro-batch. Assumes the
+    * caller already ran swap recovery.
+    */
+  private def dedupVerdictsFrom(spark: SparkSession, path: String,
+      batch: DataFrame, ranked: DataFrame, tau: Double): DataFrame = {
+    graft.expressions.DecimalDot.register(spark)
+    val probes = batch.select(col("vec_id").as("p_id"), col("v").as("p"))
+    val wanted = ranked.select(col("p_id"), col("cid"))
     val cellIds = wanted.select(col("cid")).distinct()
       .collect().map(_.getLong(0)).toSeq
     graft.expressions.DoubleDot.register(spark)
     val fdot = graft.functions.VectorFns.dotFast _
-    val index = spark.read.parquet(path)
-      .filter(col("cell").isin(cellIds: _*))
+    val index = wantedCellScan(spark, path, cellIds)
       .select(col("vec_id").as("d1"), col("v").as("sv"), col("cell"))
       .withColumn("nvf", fdot("sv", "sv"))
     val cosf = fdot("p", "sv") /
@@ -292,21 +340,40 @@ object AnnIndex {
         val root = new org.apache.hadoop.fs.Path(path)
         val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
         graft.streaming.StreamLedger.once(f, root, checkpoint, batchId) {
-          // the micro-batch feeds two actions (verdict write, append's
-          // joins) — persist so source files are read once per batch
+          // the micro-batch feeds two actions (verdict write, the kept
+          // append) — persist so source files are read once per batch
           batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
+            graft.expressions.DecimalDot.register(spark)
+            recover(spark, path) // writer entry: roll any swap forward
             val out = s"$verdictDir/batch-$batchId"
+            // ONE decimal cell-ranking pass per micro-batch (VERDICT
+            // r14 #5): the materialized ranking feeds the probe's
+            // wanted-cells AND, at rank 1, the kept vectors' append
+            // assignment (identical to build/append's argmax rule —
+            // max d, tie → smaller cid), which previously re-ranked
+            // the whole batch against the centroids a second time
+            val probes = batch.select(col("vec_id").as("p_id"),
+              col("v").as("p"))
+            val ranked = topCells(probes, centroids, nprobe)
+              .localCheckpoint(true)
             val verdicts = mode match {
               case Census =>
-                dedupAgainst(spark, path, batch, centroids, nprobe, tau)
+                dedupAgainstFrom(spark, path, batch, ranked, tau)
               case VerdictOnly =>
-                dedupVerdicts(spark, path, batch, centroids, nprobe, tau)
+                dedupVerdictsFrom(spark, path, batch, ranked, tau)
             }
             verdicts.write.mode("overwrite").parquet(out)
             val kept = spark.read.parquet(out).filter(col("keep"))
-            append(batch.join(kept, Seq("vec_id"), "left_semi"),
-              centroids, path)
+            // route directly off the checkpointed ranking: the append
+            // plan reads NOTHING from the index, so the
+            // verdicts-before-append ordering is structural here
+            ranked.filter(col("rk") === 1)
+              .join(kept.select(col("vec_id").as("p_id")),
+                Seq("p_id"), "left_semi")
+              .select(col("p_id").as("vec_id"), col("p").as("v"),
+                col("cid").cast("long").as("cell"))
+              .write.mode("append").partitionBy("cell").parquet(path)
           } finally batch.unpersist(blocking = false)
         }
         ()
@@ -722,14 +789,23 @@ object AnnIndex {
     graft.expressions.DecimalDot.register(spark)
     recoverForRead(spark, path)
     val probes = batch.select(col("vec_id").as("p_id"), col("v").as("p"))
-    val wanted = topCells(probes, centroids, nprobe)
-      .select(col("p_id"), col("cid"))
+    dedupAgainstFrom(spark, path, batch, topCells(probes, centroids, nprobe),
+      tau)
+  }
+
+  /** [[dedupAgainst]] over a precomputed [[topCells]] ranking — see
+    * [[dedupVerdictsFrom]]. Assumes the caller already ran recovery.
+    */
+  private def dedupAgainstFrom(spark: SparkSession, path: String,
+      batch: DataFrame, ranked: DataFrame, tau: Double): DataFrame = {
+    graft.expressions.DecimalDot.register(spark)
+    val probes = batch.select(col("vec_id").as("p_id"), col("v").as("p"))
+    val wanted = ranked.select(col("p_id"), col("cid"))
     val cellIds = wanted.select(col("cid")).distinct()
       .collect().map(_.getLong(0)).toSeq
     graft.expressions.DoubleDot.register(spark)
     val fdot = graft.functions.VectorFns.dotFast _
-    val index = spark.read.parquet(path)
-      .filter(col("cell").isin(cellIds: _*))
+    val index = wantedCellScan(spark, path, cellIds)
       .select(col("vec_id").as("d1"), col("v").as("sv"), col("cell"))
       // norms are PER-VECTOR columns (double for the route, decimal
       // for the exact pass), computed once per row/probe — never per
@@ -772,8 +848,7 @@ object AnnIndex {
       .select(col("p_id"), col("cid"))
     val cellIds = wanted.select(col("cid")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val index = spark.read.parquet(path)
-      .filter(col("cell").isin(cellIds: _*))
+    val index = wantedCellScan(spark, path, cellIds)
     val scoreRk = row_number().over(
       Window.partitionBy(col("p_id")).orderBy(col("score").desc, col("vec_id")))
     probes.join(broadcast(wanted), Seq("p_id"))

@@ -708,12 +708,21 @@ object MinhashSignatureStore {
       // the candidate jobs run HERE (eager localCheckpoint), inside a
       // scope that sizes their exchanges (VERDICT r13 #3 + the r14
       // foreachBatch OOM): only the cheap batch-sized verdict join is
-      // left lazy for the caller's action
-      val perDoc = withCensusExchangeConf(spark,
-          bandCollisions(storeBands, inc).count()) {
-        censusPerDoc(spark, arrs, inc, storeDocs, storeBands, threshold)
-          .localCheckpoint(true)
-      }
+      // left lazy for the caller's action. The collision pairs
+      // persist ONCE (VERDICT r14 #2): the band join is broadcast-
+      // only, so materializing it crosses no exchange; the sizing
+      // count then reads the cached columnar blocks and the census
+      // reuses them — the r14 shape ran the whole DPP-pruned store
+      // scan twice per probe, a fixed cost x75's streaming lifecycle
+      // paid per micro-batch (the +34% sf0.1 regression).
+      val cand0 = bandCollisions(storeBands, inc)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val perDoc = try {
+        withCensusExchangeConf(spark, cand0.count()) {
+          censusPerDocFrom(spark, arrs, cand0, storeDocs, threshold)
+            .localCheckpoint(true)
+        }
+      } finally cand0.unpersist(blocking = false)
       verdictFrame(incoming, perDoc)
     } finally arrs.unpersist(blocking = false)
   }
@@ -724,9 +733,10 @@ object MinhashSignatureStore {
   private val PairsPerStaticPartition = 1L << 20
 
   /** Exchange sizing for the census probe's candidate jobs, derived
-    * from the MEASURED candidate count — one extra shuffle-free pass
-    * over the band join (broadcast join + count), bought back many
-    * times over on match-dense corpora:
+    * from the MEASURED candidate count — since r15 the count reads
+    * the PERSISTED collision frame (one band join total, the count
+    * job just scans cached columnar blocks), so the measurement's
+    * marginal cost is one short job, not a second store scan:
     *  - `spark.sql.shuffle.partitions` is raised (never lowered) to
     *    candidates / [[PairsPerStaticPartition]], capped at 4096. With
     *    AQE on this is just a bigger initial partition count that
@@ -778,13 +788,23 @@ object MinhashSignatureStore {
     */
   private def censusPerDoc(spark: SparkSession, arrs: DataFrame,
       inc: DataFrame, storeDocs: DataFrame, storeBands: DataFrame,
+      threshold: Double): DataFrame =
+    censusPerDocFrom(spark, arrs, bandCollisions(storeBands, inc),
+      storeDocs, threshold)
+
+  /** [[censusPerDoc]] over an already-derived (possibly persisted)
+    * collision frame — the eager probe path hands in the cached
+    * pairs so the sizing count and the census share one band join.
+    */
+  private def censusPerDocFrom(spark: SparkSession, arrs: DataFrame,
+      collisions: DataFrame, storeDocs: DataFrame,
       threshold: Double): DataFrame = {
     // multi-band collisions: the candidate sliver pays the distinct,
     // not the store (store-side rows never reach an exchange); its
     // two consumers (the scored pairs and the d1Ids verify-fetch
     // pruning) share the distinct's exchange via ReusedExchange — a
     // r12 persist experiment measured no gain over the reuse
-    val cand = bandCollisions(storeBands, inc).distinct()
+    val cand = collisions.distinct()
     val matches = verifiedMatches(spark, cand, arrs, storeDocs,
       threshold, batchVocabCount(arrs))
     // countDistinct(d1), not count(*): identical when the store is

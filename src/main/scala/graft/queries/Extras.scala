@@ -3439,7 +3439,11 @@ object Extras {
       val part = ffs.listStatus(stage).map(_.getPath)
         .find(_.getName.endsWith(".parquet"))
         .getOrElse(sys.error(s"x75: no part file staged for $name"))
-      ffs.rename(part, new org.apache.hadoop.fs.Path(feedP, s"$name.parquet"))
+      val dest = new org.apache.hadoop.fs.Path(feedP, s"$name.parquet")
+      // a false return (e.g. stale destination) would silently deliver
+      // no batch and surface later as a baffling missing-verdict read
+      if (!ffs.rename(part, dest))
+        sys.error(s"x75: rename $part -> $dest failed")
     }
     val stream = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(feedP.toString)
@@ -3531,6 +3535,86 @@ object Extras {
         .orderBy($"p_id", $"nprobe")
     }
   }
+  /** x76b — the x76 recall/cost audit ACROSS MAINTENANCE (VERDICT r14
+    * #3): the x65c lifecycle (build at 16 seed cells, one
+    * `optimize(⌊n/16⌋)` pass) runs for real on a scratch index, the
+    * pre- and post-optimize layouts are snapshotted, and both phases
+    * run the identical recall@3 / scanned-rows audit against the
+    * exhaustive decimal truth. The output hash-gates the exact recall
+    * delta an optimize causes at each nprobe — the number that was
+    * folklore while x76 audited only the static 16-cell scheme
+    * (splitting changes which cells rank top-nprobe, so verdicts and
+    * recall MAY shift across maintenance; this key measures instead
+    * of assuming). Scale shape: the audit is the same
+    * brute-force-bounded shape as x76 (it exists to certify the
+    * approximation, so it pays one corpus × probes decimal pass by
+    * design); the lifecycle under audit is the production operator
+    * itself, not a simulation.
+    */
+  def x76bAnnRecallMaintained(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val cents = e.filter($"vec_id".between(1, 16))
+      .select($"vec_id".as("cid"), $"v".as("c"))
+    val corpus = e.filter($"vec_id" >= 10)
+    val probes = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("p_id"), $"v".as("p"))
+    val path = scratchDir(s, "x76b", dir) + "/index"
+    graft.operators.AnnIndex.build(corpus.select($"vec_id", $"v"), cents, path)
+    // pre-optimize assignment snapshot: EAGER — a lazy read would
+    // chase the post-swap file listing after optimize rewrites cells
+    val assign0 = s.read.parquet(path)
+      .select($"vec_id", $"cell".cast(LongType).as("cell"))
+      .localCheckpoint(true)
+    val nC = corpus.count()
+    val refreshed = graft.operators.AnnIndex.optimize(
+      s, path, cents, math.max(1L, nC / 16))
+    val assign1 = s.read.parquet(path)
+      .select($"vec_id", $"cell".cast(LongType).as("cell"))
+    val scoredAll0 = corpus.crossJoin(broadcast(probes))
+      .withColumn("score", VectorFns.dotDec("v", "p"))
+      .select($"p_id", $"vec_id", $"score")
+    graft.Caching.withPersisted(scoredAll0) { scoredAll =>
+      val tw = Window.partitionBy($"p_id").orderBy($"score".desc, $"vec_id".asc)
+      val truth = scoredAll.withColumn("rk", row_number().over(tw))
+        .filter($"rk" <= 3).select($"p_id", $"vec_id")
+      // one phase of the x76 audit over a given (assignment, centroid
+      // set) pair — `pre` is the built 16-cell layout, `post` the
+      // optimize-refreshed one
+      def phase(name: String, assign: DataFrame, cs: DataFrame): DataFrame = {
+        val pw = Window.partitionBy($"p_id").orderBy($"d".desc, $"cid".asc)
+        val pcells = probes.crossJoin(broadcast(cs))
+          .withColumn("d", VectorFns.dotDec("p", "c"))
+          .withColumn("pcrank", row_number().over(pw)).filter($"pcrank" <= 4)
+          .select($"p_id", $"cid".as("cell"), $"pcrank")
+        val cand = scoredAll
+          .join(assign, Seq("vec_id"))
+          .join(pcells, Seq("p_id", "cell"))
+          .select($"p_id", $"vec_id", $"score", $"pcrank",
+            explode(typedLit(Seq(1L, 2L, 4L))).as("nprobe"))
+          .filter($"pcrank" <= $"nprobe")
+        val scanned = cand.groupBy($"p_id", $"nprobe").agg(cnt.as("n_scanned"))
+        val iw = Window.partitionBy($"p_id", $"nprobe")
+          .orderBy($"score".desc, $"vec_id".asc)
+        val ivf3 = cand.withColumn("rk", row_number().over(iw))
+          .filter($"rk" <= 3).select($"p_id", $"nprobe", $"vec_id")
+        val hits = ivf3.join(truth, Seq("p_id", "vec_id"), "left_semi")
+          .groupBy($"p_id", $"nprobe").agg(cnt.as("n_hits"))
+        probes.select($"p_id")
+          .crossJoin(broadcast(Seq(1L, 2L, 4L).toDF("nprobe")))
+          .join(scanned, Seq("p_id", "nprobe"), "left")
+          .join(hits, Seq("p_id", "nprobe"), "left")
+          .select($"p_id", lit(name).as("phase"), $"nprobe",
+            coalesce($"n_scanned", lit(0L)).as("n_scanned"),
+            coalesce($"n_hits", lit(0L)).as("n_hits"),
+            round(coalesce($"n_hits", lit(0L)) / lit(3.0), 6).as("recall"))
+      }
+      phase("pre", assign0, cents)
+        .unionByName(phase("post", assign1, refreshed.select($"cid", $"c")))
+        .orderBy($"p_id", $"phase", $"nprobe")
+    }
+  }
+
   /** x77 — embedding-space drift monitor: the snapshot-over-snapshot
     * audit an embedding pipeline runs when the encoder, the corpus
     * mix, or an upstream filter changes. The even/odd vec_id halves
@@ -3738,7 +3822,11 @@ object Extras {
       val part = ffs.listStatus(stage).map(_.getPath)
         .find(_.getName.endsWith(".parquet"))
         .getOrElse(sys.error(s"x80: no part file staged for $name"))
-      ffs.rename(part, new org.apache.hadoop.fs.Path(feedP, s"$name.parquet"))
+      val dest = new org.apache.hadoop.fs.Path(feedP, s"$name.parquet")
+      // a false return (e.g. stale destination) would silently deliver
+      // no batch and surface later as a baffling missing-verdict read
+      if (!ffs.rename(part, dest))
+        sys.error(s"x80: rename $part -> $dest failed")
     }
     val stream = s.readStream.schema(pool.schema)
       .option("maxFilesPerTrigger", 1).parquet(feedP.toString)

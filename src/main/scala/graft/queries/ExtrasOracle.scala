@@ -26,6 +26,88 @@ object ExtrasOracle {
     s"CAST(CAST(SUM(CAST(CAST(CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE) AS VARCHAR)" +
       s" AS DECIMAL(30,20))) AS VARCHAR) AS DOUBLE)"
 
+  /** Shared AnnIndex maintenance replay (x65c / x76b): the
+    * build→optimize lifecycle expressed relationally over the corpus
+    * rows `vec_id <corpusPred>` — 16-seed decimal-argmax assignment,
+    * mean-occupancy threshold t = ⌊n/16⌋, k-way quantile-seed Voronoi
+    * split (k = ⌈n/t⌉, seed i at rank 1 + (n−1)·i // (k−1), ties on
+    * (score, id), seed 0 keeps the cell id, seed i ≥ 1 numbers after
+    * 16 by running (k−1) offset), nearest-seed (L2: 2·x·s − |s|²)
+    * reassignment, rank-slice overflow (slices of ≤ t rows by
+    * (d DESC, vec_id), slice 0 keeps the child id, later slices
+    * number after the Voronoi block by (child, slice)). Leaves the
+    * final assignment `na(vec_id, cell)`, the refreshed centroids
+    * `newcents(cid, c)` (rank-1 member per materialized cell — no
+    * phantom children), and the intermediate `assign(vec_id, cell)`
+    * (the PRE-optimize layout) in scope. No leading WITH.
+    */
+  private def annMaintCtes(corpusPred: String): String =
+    s"""cents AS (SELECT vec_id AS cid, embedding AS c FROM embeddings
+       |  WHERE vec_id BETWEEN 1 AND 16),
+       |sc AS (SELECT e.vec_id, s.cid, ${dot("e.embedding", "s.c")} AS d
+       |  FROM embeddings e, cents s, generate_series(1, 64) t(i)
+       |  WHERE e.vec_id $corpusPred
+       |  GROUP BY e.vec_id, s.cid),
+       |assign AS (SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY d DESC, cid) AS rn FROM sc) WHERE rn = 1),
+       |occ AS (SELECT cell, COUNT(*) AS n FROM assign GROUP BY cell),
+       |thr AS (SELECT GREATEST(1, COUNT(*) // 16) AS t FROM embeddings
+       |  WHERE vec_id $corpusPred),
+       |hot AS (SELECT cell, n, (n + t - 1) // t AS k
+       |  FROM occ, thr WHERE n > t),
+       |hoff AS (SELECT cell, n, k,
+       |    16 + COALESCE(SUM(k - 1) OVER (ORDER BY cell
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+       |  FROM hot),
+       |md AS (SELECT a.vec_id, a.cell, sc.d, row_number() OVER (
+       |      PARTITION BY a.cell
+       |      ORDER BY sc.d DESC NULLS LAST, a.vec_id) AS rn
+       |  FROM assign a JOIN hot h ON h.cell = a.cell
+       |  JOIN sc ON sc.vec_id = a.vec_id AND sc.cid = a.cell),
+       |sdef AS (SELECT cell, base, n, k,
+       |    unnest(generate_series(0, k - 1)) AS si FROM hoff),
+       |seeds AS (SELECT s.cell, s.si,
+       |    CASE WHEN s.si = 0 THEN s.cell ELSE s.base + s.si END AS child,
+       |    m.vec_id AS svid
+       |  FROM (SELECT cell, base, si,
+       |      1 + ((n - 1) * si) // (k - 1) AS srank FROM sdef) s
+       |  JOIN md m ON m.cell = s.cell AND m.rn = s.srank),
+       |rd AS (SELECT m.vec_id, m.cell, s.si, s.child,
+       |    2 * ${dot("e.embedding", "es.embedding")}
+       |      - ${dot("es.embedding", "es.embedding")} AS score
+       |  FROM md m JOIN seeds s ON s.cell = m.cell
+       |    JOIN embeddings e ON e.vec_id = m.vec_id
+       |    JOIN embeddings es ON es.vec_id = s.svid,
+       |    generate_series(1, 64) t(i)
+       |  GROUP BY m.vec_id, m.cell, s.si, s.child),
+       |reass AS (SELECT vec_id, child FROM (
+       |    SELECT vec_id, child, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY score DESC NULLS LAST, si) AS rn FROM rd) WHERE rn = 1),
+       |slice AS (SELECT r.vec_id, r.child,
+       |    (row_number() OVER (PARTITION BY r.child
+       |      ORDER BY m.d DESC NULLS LAST, r.vec_id) - 1) // t AS sub
+       |  FROM reass r JOIN md m ON m.vec_id = r.vec_id, thr),
+       |subsd AS (SELECT DISTINCT child, sub FROM slice),
+       |subs AS (SELECT child, sub, child AS fcell FROM subsd WHERE sub = 0
+       |  UNION ALL SELECT child, sub,
+       |    (SELECT 16 + SUM(k - 1) FROM hot) + row_number() OVER (
+       |      ORDER BY child, sub) AS fcell
+       |  FROM subsd WHERE sub > 0),
+       |na AS (SELECT a.vec_id, COALESCE(sb.fcell, a.cell) AS cell
+       |  FROM assign a
+       |    LEFT JOIN slice s ON s.vec_id = a.vec_id
+       |    LEFT JOIN subs sb ON sb.child = s.child AND sb.sub = s.sub),
+       |fcseed AS (SELECT cell, vec_id FROM (
+       |    SELECT n.cell, n.vec_id, row_number() OVER (PARTITION BY n.cell
+       |      ORDER BY m.d DESC NULLS LAST, n.vec_id) AS rn
+       |    FROM na n JOIN slice s ON s.vec_id = n.vec_id
+       |      JOIN md m ON m.vec_id = n.vec_id) WHERE rn = 1),
+       |newcents AS (
+       |  SELECT cid, c FROM cents WHERE cid NOT IN (SELECT cell FROM hot)
+       |  UNION ALL SELECT f.cell AS cid, e.embedding AS c
+       |    FROM fcseed f JOIN embeddings e ON e.vec_id = f.vec_id)""".stripMargin
+
   /** Shared recursive-CTE clustering prefix (x14 / x29): simhash- and
     * leading-8-token-fingerprint identity edges, min-label connected
     * components, ending at `lab(doc_id, cluster_id)`.
@@ -1735,71 +1817,7 @@ object ExtrasOracle {
     // exactly: every dot decimal-exact, every tie broken on
     // (score, id).
     "x65c_ann_optimize" ->
-      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS c FROM embeddings
-         |  WHERE vec_id BETWEEN 1 AND 16),
-         |sc AS (SELECT e.vec_id, s.cid, ${dot("e.embedding", "s.c")} AS d
-         |  FROM embeddings e, cents s, generate_series(1, 64) t(i)
-         |  WHERE e.vec_id <> 0
-         |  GROUP BY e.vec_id, s.cid),
-         |assign AS (SELECT vec_id, cid AS cell FROM (
-         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY d DESC, cid) AS rn FROM sc) WHERE rn = 1),
-         |occ AS (SELECT cell, COUNT(*) AS n FROM assign GROUP BY cell),
-         |thr AS (SELECT GREATEST(1, COUNT(*) // 16) AS t FROM embeddings
-         |  WHERE vec_id <> 0),
-         |hot AS (SELECT cell, n, (n + t - 1) // t AS k
-         |  FROM occ, thr WHERE n > t),
-         |hoff AS (SELECT cell, n, k,
-         |    16 + COALESCE(SUM(k - 1) OVER (ORDER BY cell
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
-         |  FROM hot),
-         |md AS (SELECT a.vec_id, a.cell, sc.d, row_number() OVER (
-         |      PARTITION BY a.cell
-         |      ORDER BY sc.d DESC NULLS LAST, a.vec_id) AS rn
-         |  FROM assign a JOIN hot h ON h.cell = a.cell
-         |  JOIN sc ON sc.vec_id = a.vec_id AND sc.cid = a.cell),
-         |sdef AS (SELECT cell, base, n, k,
-         |    unnest(generate_series(0, k - 1)) AS si FROM hoff),
-         |seeds AS (SELECT s.cell, s.si,
-         |    CASE WHEN s.si = 0 THEN s.cell ELSE s.base + s.si END AS child,
-         |    m.vec_id AS svid
-         |  FROM (SELECT cell, base, si,
-         |      1 + ((n - 1) * si) // (k - 1) AS srank FROM sdef) s
-         |  JOIN md m ON m.cell = s.cell AND m.rn = s.srank),
-         |rd AS (SELECT m.vec_id, m.cell, s.si, s.child,
-         |    2 * ${dot("e.embedding", "es.embedding")}
-         |      - ${dot("es.embedding", "es.embedding")} AS score
-         |  FROM md m JOIN seeds s ON s.cell = m.cell
-         |    JOIN embeddings e ON e.vec_id = m.vec_id
-         |    JOIN embeddings es ON es.vec_id = s.svid,
-         |    generate_series(1, 64) t(i)
-         |  GROUP BY m.vec_id, m.cell, s.si, s.child),
-         |reass AS (SELECT vec_id, child FROM (
-         |    SELECT vec_id, child, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY score DESC NULLS LAST, si) AS rn FROM rd) WHERE rn = 1),
-         |slice AS (SELECT r.vec_id, r.child,
-         |    (row_number() OVER (PARTITION BY r.child
-         |      ORDER BY m.d DESC NULLS LAST, r.vec_id) - 1) // t AS sub
-         |  FROM reass r JOIN md m ON m.vec_id = r.vec_id, thr),
-         |subsd AS (SELECT DISTINCT child, sub FROM slice),
-         |subs AS (SELECT child, sub, child AS fcell FROM subsd WHERE sub = 0
-         |  UNION ALL SELECT child, sub,
-         |    (SELECT 16 + SUM(k - 1) FROM hot) + row_number() OVER (
-         |      ORDER BY child, sub) AS fcell
-         |  FROM subsd WHERE sub > 0),
-         |na AS (SELECT a.vec_id, COALESCE(sb.fcell, a.cell) AS cell
-         |  FROM assign a
-         |    LEFT JOIN slice s ON s.vec_id = a.vec_id
-         |    LEFT JOIN subs sb ON sb.child = s.child AND sb.sub = s.sub),
-         |fcseed AS (SELECT cell, vec_id FROM (
-         |    SELECT n.cell, n.vec_id, row_number() OVER (PARTITION BY n.cell
-         |      ORDER BY m.d DESC NULLS LAST, n.vec_id) AS rn
-         |    FROM na n JOIN slice s ON s.vec_id = n.vec_id
-         |      JOIN md m ON m.vec_id = n.vec_id) WHERE rn = 1),
-         |newcents AS (
-         |  SELECT cid, c FROM cents WHERE cid NOT IN (SELECT cell FROM hot)
-         |  UNION ALL SELECT f.cell AS cid, e.embedding AS c
-         |    FROM fcseed f JOIN embeddings e ON e.vec_id = f.vec_id),
+      s"""WITH ${annMaintCtes("<> 0")},
          |psc AS (SELECT nc.cid, ${dot("p.embedding", "nc.c")} AS d
          |  FROM embeddings p, newcents nc, generate_series(1, 64) t(i)
          |  WHERE p.vec_id = 0 GROUP BY nc.cid),
@@ -1818,7 +1836,71 @@ object ExtrasOracle {
          |  CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT) AS rank,
          |  vec_id, score, n_cells, max_occ, n_rows
          |FROM (SELECT * FROM fin ORDER BY score DESC, vec_id LIMIT 5), digest
-         |ORDER BY p_id, rank""".stripMargin
+         |ORDER BY p_id, rank""".stripMargin,
+
+    // x76b: x76's recall/cost audit replayed across the x65c
+    // maintenance chain — `assign`/`cents` are the PRE-optimize
+    // layout, `na`/`newcents` the POST one; both phases share the
+    // exhaustive decimal truth, so the output hash-pins the recall
+    // delta one optimize pass causes at each nprobe
+    "x76b_ann_recall_maintained" ->
+      s"""WITH ${annMaintCtes(">= 10")},
+         |scq AS (SELECT p.vec_id AS p_id, c.vec_id,
+         |    ${dot("c.embedding", "p.embedding")} AS score
+         |  FROM embeddings c, embeddings p, generate_series(1, 64) t(i)
+         |  WHERE c.vec_id >= 10 AND p.vec_id < 10
+         |  GROUP BY p.vec_id, c.vec_id),
+         |truth AS (SELECT p_id, vec_id FROM (
+         |    SELECT p_id, vec_id, row_number() OVER (PARTITION BY p_id
+         |      ORDER BY score DESC, vec_id) AS rk FROM scq) WHERE rk <= 3),
+         |pd0 AS (SELECT p.vec_id AS p_id, s.cid,
+         |    ${dot("p.embedding", "s.c")} AS d
+         |  FROM embeddings p, cents s, generate_series(1, 64) t(i)
+         |  WHERE p.vec_id < 10 GROUP BY p.vec_id, s.cid),
+         |pc0 AS (SELECT p_id, cid AS cell, pcrank FROM (
+         |    SELECT p_id, cid, row_number() OVER (PARTITION BY p_id
+         |      ORDER BY d DESC, cid) AS pcrank FROM pd0) WHERE pcrank <= 4),
+         |pd1 AS (SELECT p.vec_id AS p_id, nc.cid,
+         |    ${dot("p.embedding", "nc.c")} AS d
+         |  FROM embeddings p, newcents nc, generate_series(1, 64) t(i)
+         |  WHERE p.vec_id < 10 GROUP BY p.vec_id, nc.cid),
+         |pc1 AS (SELECT p_id, cid AS cell, pcrank FROM (
+         |    SELECT p_id, cid, row_number() OVER (PARTITION BY p_id
+         |      ORDER BY d DESC, cid) AS pcrank FROM pd1) WHERE pcrank <= 4),
+         |np(nprobe) AS (VALUES (1), (2), (4)),
+         |cand AS (
+         |  SELECT 'pre' AS phase, s.p_id, s.vec_id, s.score, np.nprobe
+         |    FROM scq s JOIN assign a ON s.vec_id = a.vec_id
+         |      JOIN pc0 pc ON s.p_id = pc.p_id AND a.cell = pc.cell, np
+         |    WHERE pc.pcrank <= np.nprobe
+         |  UNION ALL
+         |  SELECT 'post' AS phase, s.p_id, s.vec_id, s.score, np.nprobe
+         |    FROM scq s JOIN na a ON s.vec_id = a.vec_id
+         |      JOIN pc1 pc ON s.p_id = pc.p_id AND a.cell = pc.cell, np
+         |    WHERE pc.pcrank <= np.nprobe),
+         |scanned AS (SELECT phase, p_id, nprobe,
+         |    CAST(COUNT(*) AS BIGINT) AS n_scanned
+         |  FROM cand GROUP BY 1, 2, 3),
+         |ivf3 AS (SELECT phase, p_id, nprobe, vec_id FROM (
+         |    SELECT phase, p_id, nprobe, vec_id, row_number() OVER (
+         |      PARTITION BY phase, p_id, nprobe
+         |      ORDER BY score DESC, vec_id) AS rk FROM cand) WHERE rk <= 3),
+         |hits AS (SELECT i.phase, i.p_id, i.nprobe,
+         |    CAST(COUNT(*) AS BIGINT) AS n_hits
+         |  FROM ivf3 i JOIN truth t ON i.p_id = t.p_id AND i.vec_id = t.vec_id
+         |  GROUP BY 1, 2, 3)
+         |SELECT b.p_id, b.phase, CAST(b.nprobe AS BIGINT) AS nprobe,
+         |  CAST(coalesce(s.n_scanned, 0) AS BIGINT) AS n_scanned,
+         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  round(coalesce(h.n_hits, 0) / 3.0, 6) AS recall
+         |FROM (SELECT p.vec_id AS p_id, ph.phase, np.nprobe
+         |  FROM embeddings p, (VALUES ('pre'), ('post')) ph(phase), np
+         |  WHERE p.vec_id < 10) b
+         |LEFT JOIN scanned s ON b.p_id = s.p_id AND b.phase = s.phase
+         |  AND b.nprobe = s.nprobe
+         |LEFT JOIN hits h ON b.p_id = h.p_id AND b.phase = h.phase
+         |  AND b.nprobe = h.nprobe
+         |ORDER BY b.p_id, b.phase, b.nprobe""".stripMargin
   )
 
   /** Shared by x11b (batch binaryFile decode) and x69 (the same

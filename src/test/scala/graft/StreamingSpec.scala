@@ -508,6 +508,64 @@ class StreamingSpec extends AnyFunSuite {
       "the resumed stream's probe must equal a fresh build at the new scheme")
   }
 
+  test("rebuildIfOutgrown between stream runs keeps a VerdictOnly " +
+      "stream on the cheap verdict-only probe under the new scheme " +
+      "(VERDICT r14 #7)") {
+    import graft.operators.MinhashSignatureStore
+    import graft.queries.Extras
+    val T = Extras.MinhashJaccardThreshold
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val hist = docs.filter(col("doc_id") % 4 === 0)
+    val b1 = docs.filter(col("doc_id") % 8 === 1)
+    val b2 = docs.filter(col("doc_id") % 8 === 5)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mssrebuildv").toString
+    val store = root + "/store"
+    MinhashSignatureStore.build(spark, hist, store, 16, 4, Extras.Perms)
+    val feed = root + "/feed"
+    new java.io.File(feed).mkdirs()
+    def startStream() = MinhashSignatureStore.dedupStream(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed),
+      store, root + "/verdicts", Extras.Perms, T, root + "/ckpt",
+      MinhashSignatureStore.VerdictOnly)
+    val q1 = startStream()
+    try {
+      b1.coalesce(1).write.mode("append").parquet(feed)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val policy = (n: Long) => if (n <= 2) (16, 4) else (48, 8)
+    assert(MinhashSignatureStore.rebuildIfOutgrown(
+      spark, store, Extras.Perms, policy), "the store must rebuild")
+    assert(MinhashSignatureStore.readScheme(spark, store) === ((48, 8)))
+    val q2 = startStream()
+    try {
+      b2.coalesce(1).write.mode("append").parquet(feed)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    // the post-rebuild micro-batch stayed on the verdict-only probe:
+    // its output is the slim schema, not the census one
+    assert(spark.read.parquet(root + "/verdicts/batch-1")
+      .schema.fieldNames.toSeq == Seq("doc_id", "keep"),
+      "a VerdictOnly stream must stay verdict-only across a rebuild")
+    // equivalence oracle: verdict-only probe against a fresh 48/8
+    // store over history + b1's keepers gives b2 the same verdicts
+    val refStore = root + "/refstore"
+    val keptIds = spark.read.parquet(root + "/verdicts/batch-0")
+      .filter(col("keep")).select(col("doc_id"))
+    MinhashSignatureStore.build(spark,
+      hist.unionByName(b1.join(keptIds, Seq("doc_id"), "left_semi")),
+      refStore, 48, 8, Extras.Perms)
+    val expected = MinhashSignatureStore.dedupVerdicts(
+        spark, b2, refStore, Extras.Perms, T)
+      .orderBy(col("doc_id")).collect().toSeq
+    val got = spark.read.parquet(root + "/verdicts/batch-1")
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(got == expected,
+      "post-rebuild VerdictOnly probe must equal a fresh build's verdicts")
+  }
+
   test("dedupStream's batch-id ledger skips replayed batches; unmarked " +
       "batches land normally") {
     import graft.operators.MinhashSignatureStore
