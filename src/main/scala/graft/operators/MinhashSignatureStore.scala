@@ -708,23 +708,51 @@ object MinhashSignatureStore {
       // the candidate jobs run HERE (eager localCheckpoint), inside a
       // scope that sizes their exchanges (VERDICT r13 #3 + the r14
       // foreachBatch OOM): only the cheap batch-sized verdict join is
-      // left lazy for the caller's action. The collision pairs
-      // persist ONCE (VERDICT r14 #2): the band join is broadcast-
-      // only, so materializing it crosses no exchange; the sizing
-      // count then reads the cached columnar blocks and the census
-      // reuses them — the r14 shape ran the whole DPP-pruned store
-      // scan twice per probe, a fixed cost x75's streaming lifecycle
-      // paid per micro-batch (the +34% sf0.1 regression).
-      val cand0 = bandCollisions(storeBands, inc)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val perDoc = try {
-        withCensusExchangeConf(spark, cand0.count()) {
-          censusPerDocFrom(spark, arrs, cand0, storeDocs, threshold)
-            .localCheckpoint(true)
-        }
-      } finally cand0.unpersist(blocking = false)
+      // left lazy for the caller's action
+      val perDoc = withCensusExchangeConf(spark,
+          candidateUpperBound(spark, storeDir, inc)) {
+        censusPerDoc(spark, arrs, inc, storeDocs, storeBands, threshold)
+          .localCheckpoint(true)
+      }
       verdictFrame(incoming, perDoc)
     } finally arrs.unpersist(blocking = false)
+  }
+
+  /** Upper bound on the probe's band-collision pair count, computed
+    * WITHOUT touching the store (VERDICT r14 #2: the measured count
+    * re-ran the whole band join per probe — a fixed store-scan cost
+    * x75's streaming lifecycle paid per micro-batch; a cached-pairs
+    * variant measured even slower than the double scan, losing the
+    * distinct's exchange reuse):
+    *
+    *  - in-batch pairs are EXACT: the self-join on (band, sig) with
+    *    d1 < d2 yields Σ_g C(m_g, 2) over the batch's collision-group
+    *    multiplicities — one batch-sized aggregate, no store access.
+    *  - store-side pairs are ≤ store_band_rows × max_g m_g; the row
+    *    count is over-estimated from the bands directory's FS byte
+    *    size at 2 bytes/row (a dup-heavy store compresses far below
+    *    its ~40-byte raw width, and the sizing must only ever err
+    *    HIGH — it feeds a partition count that is capped at 4096 and
+    *    never lowered below the session default, so overshooting
+    *    costs idle-ish tasks, undershooting cost the r14 sf10 heap).
+    *
+    * On the r14 OOM case (sf10 census: 185M measured pairs) the bound
+    * lands ~3× over the true count — same partition-count decade; at
+    * sf0.1 it stays under one partition quantum, leaving the default
+    * exchange untouched. Cost: one aggregate job over the batch's
+    * band rows + one filesystem listing.
+    */
+  private def candidateUpperBound(spark: SparkSession, storeDir: String,
+      inc: DataFrame): Long = {
+    val st = inc.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("m"))
+      .agg(coalesce(max(col("m")), lit(0L)).as("maxm"),
+        coalesce(sum(col("m") * (col("m") - lit(1L))), lit(0L)).as("sp2"))
+      .head()
+    val bandsBytes = fs(spark, storeDir)
+      .getContentSummary(new org.apache.hadoop.fs.Path(storeDir, "bands"))
+      .getLength
+    (bandsBytes / 2 + 1) * st.getLong(0) + st.getLong(1) / 2
   }
 
   /** ~1M two-long pair rows per static post-shuffle partition keeps a
@@ -733,10 +761,9 @@ object MinhashSignatureStore {
   private val PairsPerStaticPartition = 1L << 20
 
   /** Exchange sizing for the census probe's candidate jobs, derived
-    * from the MEASURED candidate count — since r15 the count reads
-    * the PERSISTED collision frame (one band join total, the count
-    * job just scans cached columnar blocks), so the measurement's
-    * marginal cost is one short job, not a second store scan:
+    * from the candidate-count signal the caller supplies — the probe
+    * path passes [[candidateUpperBound]] (store-free, errs only
+    * high), the diagnostics pass a measured count:
     *  - `spark.sql.shuffle.partitions` is raised (never lowered) to
     *    candidates / [[PairsPerStaticPartition]], capped at 4096. With
     *    AQE on this is just a bigger initial partition count that
