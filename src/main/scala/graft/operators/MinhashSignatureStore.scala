@@ -708,9 +708,24 @@ object MinhashSignatureStore {
       // the candidate jobs run HERE (eager localCheckpoint), inside a
       // scope that sizes their exchanges (VERDICT r13 #3 + the r14
       // foreachBatch OOM): only the cheap batch-sized verdict join is
-      // left lazy for the caller's action
+      // left lazy for the caller's action. Two-stage sizing (VERDICT
+      // r14 #2): the store-free upper bound GATES the measurement —
+      // when even the bound fits the session default's exchange
+      // capacity the count job is skipped outright (the common small
+      // probe, and the per-micro-batch fixed cost x75 paid at sf0.1);
+      // only a probe the bound can't clear pays the r14 measured
+      // count, whose precision matters exactly there (the bound is
+      // maxm-loose on dup-dense batches — sizing FROM it directly
+      // re-benched 2× slower at the ×10 decade, thousands of near-idle
+      // tasks per exchange).
+      val bound = candidateUpperBound(spark, storeDir, inc)
+      val fits = bound / PairsPerStaticPartition + 1 <=
+        spark.conf.get("spark.sql.shuffle.partitions").toLong
+      if (java.lang.Boolean.getBoolean("graft.debug.sizing"))
+        // scheduler-sized debug line, opt-in via sysprop
+        println(s"[mss-sizing] bound=$bound fits=$fits")
       val perDoc = withCensusExchangeConf(spark,
-          candidateUpperBound(spark, storeDir, inc)) {
+          if (fits) bound else bandCollisions(storeBands, inc).count()) {
         censusPerDoc(spark, arrs, inc, storeDocs, storeBands, threshold)
           .localCheckpoint(true)
       }
@@ -719,11 +734,16 @@ object MinhashSignatureStore {
   }
 
   /** Upper bound on the probe's band-collision pair count, computed
-    * WITHOUT touching the store (VERDICT r14 #2: the measured count
-    * re-ran the whole band join per probe — a fixed store-scan cost
-    * x75's streaming lifecycle paid per micro-batch; a cached-pairs
-    * variant measured even slower than the double scan, losing the
-    * distinct's exchange reuse):
+    * WITHOUT touching the store — the gate that decides whether the
+    * measured-count job is worth paying at all (VERDICT r14 #2: the
+    * measured count re-ran the whole band join per probe — a fixed
+    * store-scan cost x75's streaming lifecycle paid per micro-batch
+    * even when the answer was always "default is fine"; a
+    * cached-pairs variant measured even slower than the double scan,
+    * losing the distinct's exchange reuse; and sizing directly from
+    * this bound re-benched 2× slower at the ×10 decade — it is
+    * maxm-loose on dup-dense batches, so it gates, never sizes, above
+    * the default):
     *
     *  - in-batch pairs are EXACT: the self-join on (band, sig) with
     *    d1 < d2 yields Σ_g C(m_g, 2) over the batch's collision-group
@@ -731,16 +751,12 @@ object MinhashSignatureStore {
     *  - store-side pairs are ≤ store_band_rows × max_g m_g; the row
     *    count is over-estimated from the bands directory's FS byte
     *    size at 2 bytes/row (a dup-heavy store compresses far below
-    *    its ~40-byte raw width, and the sizing must only ever err
-    *    HIGH — it feeds a partition count that is capped at 4096 and
-    *    never lowered below the session default, so overshooting
-    *    costs idle-ish tasks, undershooting cost the r14 sf10 heap).
+    *    its ~40-byte raw width, and the gate must only ever err HIGH:
+    *    a false "doesn't fit" costs one count job, a false "fits"
+    *    would under-size the exchanges — the r14 sf10 heap kill).
     *
-    * On the r14 OOM case (sf10 census: 185M measured pairs) the bound
-    * lands ~3× over the true count — same partition-count decade; at
-    * sf0.1 it stays under one partition quantum, leaving the default
-    * exchange untouched. Cost: one aggregate job over the batch's
-    * band rows + one filesystem listing.
+    * Cost: one aggregate job over the batch's band rows + one
+    * filesystem listing.
     */
   private def candidateUpperBound(spark: SparkSession, storeDir: String,
       inc: DataFrame): Long = {
