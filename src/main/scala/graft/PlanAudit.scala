@@ -26,8 +26,8 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
 
     var failures = 0
-    def audit(name: String)(expect: (String, String => Boolean)*): Unit = {
-      val df = SparkEntry.queries(name)(spark, sfDir)
+    def auditDf(name: String, df: => org.apache.spark.sql.DataFrame)(
+        expect: (String, String => Boolean)*): Unit = {
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       println(s"\n========== $name ==========")
@@ -38,6 +38,8 @@ object PlanAudit {
         println(s"  [${if (ok) "PASS" else "FAIL"}] $desc")
       }
     }
+    def audit(name: String)(expect: (String, String => Boolean)*): Unit =
+      auditDf(name, SparkEntry.queries(name)(spark, sfDir))(expect: _*)
 
     // Q01: projection pruned to 2 columns at the scan
     audit("q01_scan")(
@@ -354,9 +356,25 @@ object PlanAudit {
     // x71: the signature-store probe must never shuffle the store —
     // the bands scan is DPP-pruned on bkt and every join builds the
     // batch side (broadcast); an SMJ anywhere means a store-sized
-    // exchange crept in. (The audited plan is the round-2 probe, the
-    // one that runs against the grown store.)
-    audit("x71_incremental_minhash")(
+    // exchange crept in. The PUBLIC key materializes its census
+    // eagerly and returns a checkpoint-truncated frame (r13 #3 — no
+    // store scan left in that plan), so the probe SHAPE is audited on
+    // dedupAgainstLazy: the one lazy plan the eager entry point
+    // executes (its scaladoc contract; MinhashStoreSpec pins the same
+    // claims).
+    auditDf("x71_incremental_minhash (lazy probe plan)", {
+      import org.apache.spark.sql.functions.col
+      val mss = graft.operators.MinhashSignatureStore
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-audit-mss").toString + "/store"
+      mss.build(spark, docs.filter(col("doc_id") % 4 === 0), store, 16, 4,
+        graft.queries.Extras.Perms)
+      mss.dedupAgainstLazy(spark, docs.filter(col("doc_id") % 8 === 1),
+        store, graft.queries.Extras.Perms,
+        graft.queries.Extras.MinhashJaccardThreshold)
+    })(
       "store bands scan armed with dynamic partition pruning" ->
         (_.contains("dynamicpruning")),
       "store side never shuffles (no sort-merge join)" ->
