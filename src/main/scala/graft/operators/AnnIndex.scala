@@ -588,7 +588,11 @@ object AnnIndex {
       .select(col("cell").cast("long"), col("n").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     if (hotCells.isEmpty) return centroids
-    val maxCid = centroids.agg(max(col("cid"))).head().getLong(0)
+    // one scheduler-sized agg serves both the child-id base and the
+    // compaction sizing's vector width
+    val idsRow = centroids.agg(max(col("cid")), max(size(col("c")))).head()
+    val maxCid = idsRow.getLong(0)
+    val dim = idsRow.getInt(1)
     // driver-side split plan (scheduler-sized: one row per CHILD, and
     // children ≈ split rows / cap): k = ceil(n/cap) children per hot
     // cell; seed i at rank 1 + floor((n−1)·i/(k−1)) of the (score
@@ -700,7 +704,6 @@ object AnnIndex {
     // files — one, for any sane cap — instead of one file per shuffle
     // partition per cell (the fragmentation that made the sf10
     // maintained index probe slower than the unmaintained one)
-    val dim = centroids.select(size(col("c"))).head().getInt(0)
     val target = 128L * 1024 * 1024
     val filesPerCell =
       (((maxOccupancy * (8L * dim + 24L)) + target - 1) / target).max(1L).toInt
