@@ -611,9 +611,10 @@ object AnnIndex {
     }
     val seedSpecDf = seedSpecs.toDF("cell", "si", "rn", "child")
     // members of split cells, scored against their OWN centroid — the
-    // partition filter prunes the scan to the split directories
+    // scan prunes to the split directories (static partition filter,
+    // or the broadcast-semi DPP fallback when the hot set is wide)
     val hotIds = hotCells.map(_._1)
-    val members = index.filter(col("cell").isin(hotIds: _*))
+    val members = wantedCellScan(spark, path, hotIds)
       .join(broadcast(centroids), col("cell") === col("cid"))
       .withColumn("d", dot("v", "c"))
       .drop("cid", "c")
@@ -726,7 +727,11 @@ object AnnIndex {
     // the rows that MATERIALIZED means a Voronoi child that captured
     // no members contributes nothing — no phantom centroids (ADVICE
     // r11), no staging-listing check needed.
-    val kept = centroids.filter(!col("cid").isin(hotIds: _*))
+    // anti-join instead of a NOT-IN literal list: centroids is
+    // scheduler-sized, but a 10⁵-id literal would still bloat the plan
+    val kept = centroids.join(
+      seedSpecDf.select(col("cell").as("cid")).distinct(),
+      Seq("cid"), "left_anti")
     val refreshed = kept.unionByName(
       reassigned.groupBy(col("cell"))
         .agg(max_by(col("v"),
