@@ -80,6 +80,7 @@ object AnnDiag {
   }
 
   private def one(spark: SparkSession, dir: String): Unit = {
+    System.setProperty("graft.ann.diag", "1") // optimize emits slice stats
     val ann = graft.operators.AnnIndex
     val vectors = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"),
@@ -124,13 +125,37 @@ object AnnDiag {
     val cand1 = candVolume(spark, idx, probes, refC)
     val (secs1, v1) = timedVerdicts(spark, idx, b1, refC)
     val same = v0 == v1
+    // slice-stage exchange evidence (VERDICT r15 #2): the LAST
+    // optimize's biggest (child, bucket) ranking partition vs the
+    // biggest Voronoi child it ranked — on a dup-heavy mega-cell the
+    // old per-child window held max_child_rows in ONE task; the
+    // two-phase rank bounds every task at the 4096-row bucket width
+    val sliceStats = graft.operators.AnnIndex.lastSliceStats
+      .map { case (b, c) =>
+        s""""slice_max_task_rows":$b,"max_child_rows":$c,""" }
+      .getOrElse("")
+    // occupancy POLICY evidence (VERDICT r15 #3): a fresh copy of the
+    // same index maintained by optimizeIfOutgrown's default cap≈⌈√n⌉
+    // — n_cells must track √n across the sweep's decades instead of
+    // growing linearly the way a fixed cap does
+    val idx2 = java.nio.file.Files.createTempDirectory("graft-anndiag-pol")
+      .toString + "/index"
+    ann.build(hist, cents, idx2)
+    val capPol = ann.defaultOccupancyPolicy(nHist)
+    ann.optimizeIfOutgrown(spark, idx2, cents)
+    val polOcc = spark.read.parquet(idx2).groupBy(col("cell"))
+      .agg(count(lit(1)).as("occ"))
+      .agg(count(lit(1)), max(col("occ"))).head()
     println(s"""{"diag":"ann","dir":"$dir","n_hist":$nHist,""" +
       s""""max_occupancy_cap":$MaxOccupancy,""" +
       s""""before":{"cells":$cells0,"max_occ":$maxOcc0,""" +
       s""""cand_pairs":$cand0,"verdict_secs":$secs0},""" +
       s""""after_optimize":{"rounds":$rounds,"cells":$cells1,""" +
       s""""max_occ":$maxOcc1,"cand_pairs":$cand1,""" +
-      s""""verdict_secs":$secs1},""" +
+      s""""verdict_secs":$secs1,$sliceStats""" +
+      s""""sqrt_n":${math.ceil(math.sqrt(nHist.toDouble)).toLong}},""" +
+      s""""sqrt_policy":{"cap":$capPol,"cells":${polOcc.getLong(0)},""" +
+      s""""max_occ":${polOcc.getLong(1)}},""" +
       s""""verdicts_equal":$same}""")
     spark.catalog.clearCache()
   }

@@ -62,6 +62,13 @@ import org.apache.spark.sql.SparkSession
   * minimum of the runs — a floor cannot be faked by noise) and
   * `loadavg_*` fields make a busy-host run self-evident.
   *
+  * Host-factor self-identification (VERDICT r15 #7): single-dir
+  * artifacts carry `host_factor` (median q-key min ratio vs the
+  * committed BENCH_RECORD.json) and `host_suspect` (keys whose own
+  * ratio exceeds 1.5× it) — the repo's bench trust model baked into
+  * the artifact, so a loaded-host run reads as noise without manual
+  * cross-referencing.
+  *
   * Variance bounds (VERDICT r08 #2): one UNTIMED warm-up rep per
   * query absorbs codegen compile + page-cache fill; the artifact
   * carries `queries_spread`, `queries_load`, `max_spread`, and
@@ -90,6 +97,50 @@ object Bench {
     try scala.sys.process.Process(
       Seq("git", "rev-parse", "--short", "HEAD")).!!.trim
     catch { case _: Throwable => "unknown" }
+
+  /** Per-key minima of the committed record run (BENCH_RECORD.json, or
+    * SPARK_GRAFT_BENCH_RECORD) — the reference for [[hostFactor]].
+    * Extracted with a scoped regex rather than a JSON library (the
+    * artifact format is this file's own output; no new dependency).
+    */
+  private def recordMinima(): Map[String, Double] =
+    try {
+      val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_RECORD", "BENCH_RECORD.json")
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), "UTF-8")
+      val obj = s.split("\"queries_min\"\\s*:\\s*\\{", 2)(1).split("\\}", 2)(0)
+      """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(obj)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+
+  /** Host-contamination self-identification (VERDICT r15 #7): the
+    * repo's bench trust model says cross-VM totals are incomparable
+    * and regressions are judged by the per-key ratio DISTRIBUTION —
+    * a uniform shift is the host, a lone jump is code. This bakes the
+    * model into the artifact: `host_factor` = median over the
+    * query-contract keys (q*) of this run's min / the committed
+    * record's min (q-keys are the stablest, rarely-touched surface),
+    * and `host_suspect` lists keys whose own ratio exceeds 1.5× that
+    * factor — the keys a loaded driver run inflates (r15's phantom
+    * x29/x51–x55 "regressions" at loadavg 7 read as exactly this). A
+    * missing record file yields host_factor null, never an error.
+    */
+  private def hostFactor(results: Seq[(String, Seq[Double], String)])
+      : (Option[Double], Seq[String]) = {
+    val rec = recordMinima()
+    val ratios = results.collect {
+      case (k, good, _) if good.nonEmpty && rec.get(k).exists(_ > 0) =>
+        k -> good.min / rec(k)
+    }
+    val qRatios = ratios.collect { case (k, r) if k.startsWith("q") => r }
+    if (qRatios.isEmpty) (None, Nil)
+    else {
+      val hf = median(qRatios)
+      (Some(hf), ratios.collect {
+        case (k, r) if r > 1.5 * hf => k
+      }.sorted)
+    }
+  }
 
   /** Shortest prefix (≥ 3 chars) of each key that no OTHER key starts
     * with — the abbreviation scheme of the parse-safe tail line
@@ -264,8 +315,17 @@ object Bench {
         val (body, total, totalMin, noisy) = sweepJson(results, failedRuns, sfDir)
         noisy.foreach(n => System.err.println(
           s"[bench] $n spread > 1.5x (mean/min) — number untrustworthy under load"))
+        val (hfOpt, suspects) = hostFactor(results)
+        val hfField = hfOpt match {
+          case Some(h) =>
+            s""""host_factor":${math.rint(h * 100) / 100},"host_suspect":${suspects.map("\"" + _ + "\"").mkString("[", ",", "]")},"""
+          case None => """"host_factor":null,"""
+        }
+        suspects.foreach(k => System.err.println(
+          s"[bench] $k ratio-vs-record > 1.5x host_factor — likely load, " +
+            "not code (trust model: SCALE.md)"))
         val line =
-          s"""{"metric":"total",$onlyField$body,"runs":$runs,"max_heap_mb":$heapMb,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}"}"""
+          s"""{"metric":"total",$onlyField$hfField$body,"runs":$runs,"max_heap_mb":$heapMb,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}"}"""
         println(line)
         writeArtifact(line, "BENCH_LAST.json")
         // Compact LAST line (VERDICT r12 #7): the driver parses the
@@ -283,7 +343,7 @@ object Bench {
             (if (g.nonEmpty) (math.rint(g.min * 10) / 10).toString else "null") }
           .mkString("{", ",", "}")
         println(
-          s"""{"metric":"total","value":${math.rint(total * 100) / 100},"unit":"sec",$onlyField"n_queries":${names.size},"total_min":${math.rint(totalMin * 100) / 100},"sf":"$sfDir","runs":$runs,"failed_runs":$failedRuns,"noisy_count":${noisy.size},"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","key_style":"shortest-unique-prefix","queries_min_abbrev":$allMin,"full_artifact":"BENCH_LAST.json"}""")
+          s"""{"metric":"total","value":${math.rint(total * 100) / 100},"unit":"sec",$onlyField$hfField"n_queries":${names.size},"total_min":${math.rint(totalMin * 100) / 100},"sf":"$sfDir","runs":$runs,"failed_runs":$failedRuns,"noisy_count":${noisy.size},"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","key_style":"shortest-unique-prefix","queries_min_abbrev":$allMin,"full_artifact":"BENCH_LAST.json"}""")
         if (sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1") && noisy.nonEmpty) {
           spark.stop()
           sys.exit(2)

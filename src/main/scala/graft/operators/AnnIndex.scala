@@ -33,6 +33,42 @@ object AnnIndex {
   private def dot(v: String, c: String) =
     graft.functions.VectorFns.dotDec(v, c)
 
+  private def dotc(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    graft.expressions.DecimalDot.decimalDot(a, b)
+
+  private def fdotc(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    graft.expressions.DoubleDot.doubleDot(a, b)
+
+  /** Hard ceiling on the centroid-set size (VERDICT r15 #3): every
+    * probe path broadcasts the centroids and [[optimize]] collects one
+    * (cid, dim-double) row per cell, so the set must stay
+    * scheduler-sized. 262144 64-dim cells ≈ 140 MB — near the edge of
+    * broadcast-sane. Past it the design answer is a TWO-LEVEL coarse
+    * quantizer (rank cells against ~√n_cells super-centroids first,
+    * then only the chosen super-cell's centroids — the IVF analog of
+    * the minhash store's rebuildIfOutgrown re-tiering; see SCALE.md),
+    * not a bigger broadcast — so the guard fails LOUD instead of
+    * letting a silently-degrading broadcast reach a driver OOM at
+    * 100 TB. Overridable for tests via -Dgraft.ann.centroid.limit.
+    */
+  private def guardCentroidScale(n: Long): Unit = {
+    val limit = java.lang.Long.getLong("graft.ann.centroid.limit", 262144L)
+    if (n > limit) sys.error(
+      s"AnnIndex centroid set has $n cells > broadcast-sane limit $limit: " +
+        "raise maxOccupancy (optimizeIfOutgrown's √n policy keeps " +
+        "n_cells ≈ √n) or introduce a two-level coarse quantizer " +
+        "(SCALE.md); refusing to build a plan that broadcasts this set")
+  }
+
+  /** Slice-stage diagnostics from the LAST [[optimize]] call —
+    * (max rows through any single (child, bucket) ranking partition,
+    * max single Voronoi-child size). Populated only under
+    * -Dgraft.ann.diag=1 (costs one extra scheduler-sized aggregate);
+    * AnnDiag reports it as the evidence that the rank-slice stage has
+    * no single-task exchange (VERDICT r15 #2).
+    */
+  @volatile private[graft] var lastSliceStats: Option[(Long, Long)] = None
+
   /** How many wanted-cell ids inline as a literal IN-list (static
     * partition pruning) before the probe paths switch to a
     * broadcast-semi-join filter (runtime partition pruning via DPP):
@@ -99,8 +135,13 @@ object AnnIndex {
     * AnnDiag: the all-decimal ranking DOMINATED the capped index's
     * probe, inverting the win from 52× fewer candidate pairs).
     *
-    * Input probes as (p_id, p); output keeps (p_id, p, cid, c), k
-    * rows per probe (fewer only if the index has fewer cells).
+    * Input probes as (p_id, p); output keeps (p_id, p, cid, c) AND
+    * the decimal rank `rk` (1..k per probe; only the double helper
+    * columns are dropped), k rows per probe (fewer only if the index
+    * has fewer cells). `rk` is load-bearing: rank 1 IS the
+    * build/append assignment cell under the argmax rule, which
+    * [[dedupStream]] uses to route kept vectors without a second
+    * ranking pass (ADVICE r15: this column is contract, not residue).
     */
   private def topCells(probes: DataFrame, centroids: DataFrame,
       k: Int): DataFrame = {
@@ -116,10 +157,16 @@ object AnnIndex {
     // scan-bound (the vector-carrying window was a 10 GB shuffle at
     // the 832-cell diag point); mag = |p|·|c| anchors the margin on
     // the magnitude the double error actually scales with, and the
-    // window max covers the k-th row's own magnitude
-    val cand = probes.crossJoin(broadcast(centroids))
+    // window max covers the k-th row's own magnitude. Self-norms are
+    // HOISTED below the join (VERDICT r15 #5): one fdot per probe row
+    // and one per centroid instead of two per (probe, cell) pair —
+    // the projections sit under the join/broadcast so project-collapse
+    // cannot fold them back into the pair row, and sqrt(npf·ncf) is
+    // the same double as the old sqrt(fdot·fdot).
+    val cand = probes.withColumn("npf", fdot("p", "p"))
+      .crossJoin(broadcast(centroids.withColumn("ncf", fdot("c", "c"))))
       .select(col("p_id"), col("cid"), fdot("p", "c").as("sd"),
-        sqrt(fdot("p", "p") * fdot("c", "c")).as("mag"))
+        sqrt(col("npf") * col("ncf")).as("mag"))
       .withColumn("rkd", rkd)
       .withColumn("kth", kth)
       .withColumn("magx", max(col("mag")).over(w))
@@ -158,15 +205,20 @@ object AnnIndex {
     graft.expressions.DecimalDot.register(embeddings.sparkSession)
     graft.expressions.DoubleDot.register(embeddings.sparkSession)
     val fdot = graft.functions.VectorFns.dotFast _
-    val best = embeddings.crossJoin(broadcast(centroids))
+    // self-norms hoisted below the joins (VERDICT r15 #5): one fdot
+    // per vector row / per centroid, not two per (vector, cell) pair
+    val centsN = broadcast(centroids.withColumn("ncf", fdot("c", "c")))
+    val best = embeddings.withColumn("nvf", fdot("v", "v"))
+      .crossJoin(centsN)
       .select(col("vec_id"), fdot("v", "c").as("sd"),
-        sqrt(fdot("v", "v") * fdot("c", "c")).as("mag"))
+        sqrt(col("nvf") * col("ncf")).as("mag"))
       .groupBy(col("vec_id"))
       .agg(max(col("sd")).as("maxd"), max(col("mag")).as("magx"))
     embeddings.join(best, Seq("vec_id"))
-      .crossJoin(broadcast(centroids))
+      .withColumn("nvf", fdot("v", "v"))
+      .crossJoin(centsN)
       .withColumn("sd", fdot("v", "c"))
-      .withColumn("mag", sqrt(fdot("v", "v") * fdot("c", "c")))
+      .withColumn("mag", sqrt(col("nvf") * col("ncf")))
       .filter(col("sd").isNull || col("maxd").isNull ||
         col("sd") >= col("maxd") -
           margin(col("sd"), col("maxd"), col("mag") + col("magx")))
@@ -191,11 +243,16 @@ object AnnIndex {
     * O(new vectors) data and probes see the additions with no rebuild.
     * Pair with [[Compaction]] when many small refreshes fragment a
     * cell. Completes any crashed [[optimize]] swap first so the append
-    * never lands inside a half-swapped layout.
+    * never lands inside a half-swapped layout — and when that
+    * roll-forward happens, the batch is assigned against the
+    * RECOVERED (post-split) centroid set, not the caller's stale one
+    * (ADVICE r15: assigning by the pre-split scheme would file rows
+    * into cells the refreshed set no longer names, unreachable by
+    * subsequent probes).
     */
   def append(embeddings: DataFrame, centroids: DataFrame, path: String): Unit = {
-    recover(embeddings.sparkSession, path)
-    assign(embeddings, centroids)
+    val recovered = recover(embeddings.sparkSession, path)
+    assign(embeddings, recovered.getOrElse(centroids))
       .write.mode("append").partitionBy("cell").parquet(path)
   }
 
@@ -218,7 +275,11 @@ object AnnIndex {
     * any commit-log entry.
     */
   def appendStream(stream: DataFrame, centroids: DataFrame, path: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    // mid-stream crash recovery threading, same as [[dedupStream]]:
+    // once a roll-forward hands back the post-split centroid set,
+    // this and every later micro-batch assigns against it
+    var liveCents = centroids
     stream.writeStream.outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -226,11 +287,13 @@ object AnnIndex {
         val f = root.getFileSystem(
           batch.sparkSession.sparkContext.hadoopConfiguration)
         graft.streaming.StreamLedger.once(f, root, checkpoint, batchId) {
-          append(batch, centroids, path)
+          recover(batch.sparkSession, path).foreach(r => liveCents = r)
+          append(batch, liveCents, path)
         }
         ()
       }
       .start()
+  }
 
   /** Verdict-only incremental semantic dedup — [[dedupAgainst]] minus
     * the census statistics, the embedding analog of
@@ -332,7 +395,12 @@ object AnnIndex {
   def dedupStream(stream: DataFrame, path: String, verdictDir: String,
       centroids: DataFrame, nprobe: Int, tau: Double,
       checkpoint: String,
-      mode: ProbeMode = Census): org.apache.spark.sql.streaming.StreamingQuery =
+      mode: ProbeMode = Census): org.apache.spark.sql.streaming.StreamingQuery = {
+    // when a crashed optimize is rolled forward mid-stream, this and
+    // every LATER micro-batch must rank against the RECOVERED
+    // (post-split) centroid set — the stream-start snapshot names
+    // cells the refreshed layout may not have (ADVICE r15)
+    var liveCents = centroids
     stream.writeStream.outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -345,7 +413,9 @@ object AnnIndex {
           batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
             graft.expressions.DecimalDot.register(spark)
-            recover(spark, path) // writer entry: roll any swap forward
+            // writer entry: roll any swap forward, adopt its centroids
+            recover(spark, path).foreach(r => liveCents = r)
+            val centroids = liveCents
             val out = s"$verdictDir/batch-$batchId"
             // ONE decimal cell-ranking pass per micro-batch (VERDICT
             // r14 #5): the materialized ranking feeds the probe's
@@ -379,6 +449,7 @@ object AnnIndex {
         ()
       }
       .start()
+  }
 
   /** The optimize swap's commit marker: an underscore-prefixed FILE in
     * the table root (invisible to parquet readers) whose content is
@@ -472,57 +543,84 @@ object AnnIndex {
     * two-way split needed ~log₂(n/cap) full rewrites of a hot cell's
     * shrinking data to reach the cap; k-way reaches it in one or two):
     *
-    *  - **Seeds** are k of the cell's own members at evenly-spaced
-    *    ranks under the exact-decimal score against the cell's
-    *    current centroid — rank `1 + ⌊(n−1)·i/(k−1)⌋` for
-    *    `i ∈ 0..k−1` of the (score desc, vec_id asc) ordering (null
-    *    scores rank last), so both EXTREMES are always seeds and
-    *    `k = 2` reproduces the original best/worst-aligned pair. Seed
-    *    VECTORS, not float means, become the children's centroids, so
-    *    the refreshed centroid set is bit-reproducible across engines
-    *    (the same property that makes x65 oracle-able); one Lloyd
-    *    sweep could refine them at the cost of that determinism.
-    *  - **Reassignment is local and NEAREST-SEED**: each member joins
-    *    the child whose seed is closest in L2 — argmax(2·x·s − |s|²),
-    *    the inner-product form of argmin |x − s|²; ties (and null
-    *    scores) → the lowest seed index, i.e. the best-aligned child.
-    *    A raw inner-product compare would be norm-biased: one long
-    *    seed vector can capture EVERY member including the other
-    *    seeds, leaving the kept cell empty with a phantom centroid
-    *    and occupancy unreduced (code-review r11). Under the L2 rule
-    *    each seed strictly prefers itself whenever the seeds differ,
-    *    so distinct-seed children are provably non-empty and the
-    *    split always reduces the hot cell. No global re-argmax — only
-    *    the split cells' rows move. The k·n seed scores run through
-    *    the double-kernel pre-prune (the [[margin]] band, magnitude-
-    *    anchored on 2|x||s|+|s|²): only candidates that could still
-    *    win the exact-decimal argmax pay the decimal kernel, with 4×
-    *    slack so a pruned seed can never have tied the surviving
-    *    winner — selection stays bit-identical to decimal-scoring
-    *    every (member, seed) pair.
-    *  - **Child ids**: seed 0 (best-aligned) keeps the old cell id
-    *    (its directory is rewritten in place); seed i ≥ 1 gets
-    *    `max cid + Σ(k−1 of preceding hot cells) + i` — deterministic
-    *    and collision-free, reducing to `max cid + rank(split cid)`
-    *    for the two-way case.
-    *  - **Rank-slice overflow (one-pass cap guarantee)**: a Voronoi
-    *    child can still exceed the cap — quantile seeds are a 1-D
-    *    shadow of the member distribution, and high-dimensional or
-    *    duplicate-heavy cells split arbitrarily unevenly (the sf1
-    *    diag needed SEVEN seed-split rounds to reach cap 128 before
-    *    this stage). So within the same rewrite, any child above the
-    *    cap is sliced by rank of the members' parent-alignment score
-    *    (d desc nulls last, vec_id) into ⌈m/cap⌉ cells of ≤ cap rows
-    *    each: slice 0 keeps the child id, later slices take fresh ids
-    *    after the Voronoi block (ordered by (child, slice)). After
-    *    ANY single optimize call, `max occupancy ≤ maxOccupancy` —
-    *    unconditionally. Identical-vector cells slice like any other
-    *    (the slices carry identical centroids and adjacent ranking,
-    *    so nprobe spans them); each final cell's centroid is its own
-    *    best-parent-aligned member (rank-1 of the same ordering) —
-    *    still a member vector, so the layout stays bit-reproducible.
-    *    Never-materialized Voronoi children simply have no rows, so
-    *    no phantom centroids can arise.
+    *  - **Seeds are the TWO-ANCHOR quantile pick** (VERDICT r15 #1 —
+    *    the old evenly-spaced ranks of the parent-alignment score were
+    *    a 1-D shadow of the member distribution, and x76b measured the
+    *    resulting split costing recall@nprobe=1 0.933 → 0.700): seed 0
+    *    is still rank 1 of the (parent score desc, vec_id asc)
+    *    ordering (nulls last); seeds i ≥ 1 sit at evenly-spaced ranks
+    *    `1 + ⌊(n−1)·(i−1)/(k−1)⌋` of the DIVERSITY ordering — the
+    *    exact-decimal L2 distance² to seed 0, `|x|² − 2·x·s₀ + |s₀|²`,
+    *    descending (nulls last, vec_id tie) — so seed 1 is the
+    *    farthest member from seed 0 (for k = 2 this IS deterministic
+    *    farthest-point/maximin seeding, the regime every driver
+    *    fixture sits in) and higher seeds spread across the distance
+    *    spectrum. Non-iterative by design: one extra thin window pass
+    *    for ANY k, where true maximin would serialize k−1 scheduler
+    *    rounds through the split rows.
+    *  - **Reassignment is local NEAREST-SEED Voronoi, then TWO Lloyd
+    *    sweeps**: each member first joins the child whose seed is
+    *    closest in L2 — argmax(2·x·s − |s|²), the inner-product form
+    *    of argmin |x − s|²; ties (and null scores) → the lowest seed
+    *    index. (A raw inner-product compare would be norm-biased: one
+    *    long seed captures everything — code-review r11.) Two fixed
+    *    Lloyd iterations then refine the children: per live child the
+    *    per-dimension EXACT-DECIMAL(30,12) sum vector (the x61 idiom —
+    *    order-independent, bit-identical across engines), cast to
+    *    double, is the iteration's centroid; members re-join the
+    *    live child with the max exact cosine (decimal dots, double
+    *    sqrt/divide — every arithmetic step IEEE-deterministic), ties
+    *    → the smaller child id, degenerate (zero-norm) scores pinned
+    *    to −2 so they route to the lowest child. The iteration count
+    *    is FIXED at 2 (never run-to-convergence) so the oracle replays
+    *    it as two unrolled relational rounds. Both the Voronoi pass
+    *    and each Lloyd pass are double-kernel pre-pruned ([[margin]]
+    *    band / the x61 1e-9 cosine band): only candidates that could
+    *    still win the exact argmax pay the decimal kernel — selection
+    *    stays bit-identical to decimal-scoring every pair.
+    *  - **Seed members are PINNED to their own child** through Voronoi
+    *    and both Lloyd sweeps (a member whose vec_id is a seed routes
+    *    to its lowest seed index unconditionally). This keeps child 0
+    *    provably non-empty — child 0 recycles the split cell's
+    *    directory, and the swap protocol rewrites exactly the staged
+    *    cell dirs, so an empty child 0 would leave the STALE pre-split
+    *    directory live. With the pin, every live directory in the
+    *    split set is always staged.
+    *  - **Child ids**: seed 0 keeps the old cell id (its directory is
+    *    rewritten in place); seed i ≥ 1 gets `max cid + Σ(k−1 of
+    *    preceding hot cells) + i` — deterministic and collision-free.
+    *  - **Rank-slice overflow (one-pass cap guarantee)**: a refined
+    *    child can still exceed the cap — duplicate-heavy or
+    *    degenerate-geometry cells split arbitrarily unevenly. Within
+    *    the same rewrite, any child above the cap is sliced by plain
+    *    `vec_id` rank into ⌈m/cap⌉ cells of ≤ cap rows each: slice 0
+    *    keeps the child id, later slices take fresh ids after the
+    *    Voronoi block (ordered by (child, slice)). Slices are a
+    *    CAPACITY device, not geometry — vec_id order (vs r15's
+    *    parent-score rank) ranks through the x31 TWO-PHASE prefix sum
+    *    (fixed-width `vec_id DIV 4096` buckets: per-bucket local
+    *    window + one thin per-child bucket-offset rollup), so no
+    *    single task ever holds a mega-child and no vector rides the
+    *    ranking exchange (VERDICT r15 #2 — the old per-child window
+    *    ranked 64-double rows through ONE task per child). After ANY
+    *    single optimize call, `max occupancy ≤ maxOccupancy` —
+    *    unconditionally.
+    *  - **Refreshed centroids are NORMALIZED DECIMAL-MEAN vectors**:
+    *    each final cell's centroid is its members' per-dimension
+    *    DECIMAL(30,12) sum, cast to double and divided by the L2 norm
+    *    (computed via the exact-decimal self-dot; an all-zero sum is
+    *    left unnormalized). Every step — decimal sums, double
+    *    divide/sqrt — is bit-reproducible across engines, keeping the
+    *    layout oracle-able, and the normalized mean is the natural
+    *    inner-product ranking anchor for unit-norm corpora (rank-1
+    *    member vectors norm-biased the probe's cell ranking, and
+    *    rank-slice siblings now carry DISTINCT, meaningfully-placed
+    *    centroids — both halves of the x76b recall cliff). x76b
+    *    hash-gates the recall effect: with two-anchor seeds + 2 Lloyd
+    *    sweeps + normalized means, post-optimize recall@3 at nprobe=1
+    *    is 0.867 on the sf0.01 audit (was 0.700), 0.933 at nprobe 2–4
+    *    (was 0.867). Never-materialized children have no rows, so no
+    *    phantom centroids can arise.
     *  - **In-swap compaction** (VERDICT r14 #1): the staged rows are
     *    repartitioned BY CELL before the write, so each split cell
     *    lands as ⌈expected bytes / 128 MB⌉ files (one, for any sane
@@ -546,20 +644,48 @@ object AnnIndex {
     *    the pre-split or post-split layout, never a tree missing
     *    cells. Untouched cells' files stay byte-identical (the spec
     *    pins the file-level claim). Refreshed centroids are derived
-    *    from the rows that actually materialized (rank-1 member per
-    *    final cell), so they always name exactly the live cells and
-    *    a degenerate Voronoi child that captured no members leaves no
-    *    phantom centroid behind (ADVICE r11).
+    *    from the rows that actually materialized (normalized decimal
+    *    mean per final cell), so they always name exactly the live
+    *    cells and a degenerate Voronoi child that captured no members
+    *    leaves no phantom centroid behind (ADVICE r11).
     *
     * Returns the refreshed centroid table (cid, c) the caller must
     * use for subsequent [[probe]]/[[append]] calls (after a crash,
     * [[recover]] returns the same table from the staged copy). Cost
-    * is O(split-cell rows) data + one scheduler-sized aggregate over
-    * cell counts — the same O(delta) shape as [[append]].
+    * is O(split-cell rows) data + scheduler-sized aggregates over
+    * cell counts — the same O(delta) shape as [[append]]; the only
+    * vector-carrying exchanges are hash-partitioned (the member
+    * collapse and the by-cell compaction write), never a per-child
+    * window. Fails loud ([[guardCentroidScale]]) before building any
+    * plan whose centroid set outgrew the broadcast-sane bound.
     */
   def optimize(spark: SparkSession, path: String, centroids: DataFrame,
       maxOccupancy: Long): DataFrame =
     optimizeImpl(spark, path, centroids, maxOccupancy, Int.MaxValue)
+
+  /** [[optimize]] under an occupancy POLICY instead of a fixed cap
+    * (VERDICT r15 #3): a FIXED maxOccupancy makes n_cells = n/cap grow
+    * LINEARLY with the corpus, and every probe broadcasts the
+    * centroid set while optimize collects it — at 100 TB a cap chosen
+    * at sf10 is a driver OOM. The default policy is the IVF balance
+    * cap ≈ ⌈√n⌉: cells and occupancy grow together as √n, so the
+    * broadcast centroid set, the per-probe ranking cost (n_cells
+    * double dots) and the per-probe scan (nprobe·cap rows) all stay
+    * √n-bounded — the same growth-policy hook the minhash store's
+    * rebuildIfOutgrown gives band tiering. Run it wherever a fixed-cap
+    * optimize ran between append batches; it recounts the index (one
+    * scheduler-sized job) and applies the policy's cap.
+    */
+  def optimizeIfOutgrown(spark: SparkSession, path: String,
+      centroids: DataFrame,
+      policy: Long => Long = defaultOccupancyPolicy): DataFrame = {
+    val n = spark.read.parquet(path).count()
+    optimize(spark, path, centroids, math.max(1L, policy(n)))
+  }
+
+  /** cap ≈ ⌈√n⌉ — see [[optimizeIfOutgrown]]. */
+  def defaultOccupancyPolicy(n: Long): Long =
+    math.ceil(math.sqrt(math.max(1L, n).toDouble)).toLong
 
   /** [[optimize]] with a test-only failpoint: `failAfterSwaps` = n ≥ 0
     * throws after n completed cell renames (post-commit crash, see
@@ -569,8 +695,9 @@ object AnnIndex {
     */
   private[graft] def optimizeImpl(spark: SparkSession, path: String,
       centroids: DataFrame, maxOccupancy: Long, failAfterSwaps: Int): DataFrame = {
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
     graft.expressions.DecimalDot.register(spark)
+    graft.expressions.DoubleDot.register(spark)
     recover(spark, path) // roll forward any crashed predecessor's swap
     // aborted pre-commit staging (a predecessor that crashed before
     // publishing its marker) is dead weight — GC it here, the writer
@@ -588,22 +715,25 @@ object AnnIndex {
       .select(col("cell").cast("long"), col("n").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     if (hotCells.isEmpty) return centroids
-    // one scheduler-sized agg serves both the child-id base and the
-    // compaction sizing's vector width
-    val idsRow = centroids.agg(max(col("cid")), max(size(col("c")))).head()
+    // one scheduler-sized agg serves the child-id base, the compaction
+    // sizing's vector width, and the loud scale guard's input count
+    val idsRow = centroids
+      .agg(max(col("cid")), max(size(col("c"))), count(lit(1))).head()
     val maxCid = idsRow.getLong(0)
     val dim = idsRow.getInt(1)
+    guardCentroidScale(idsRow.getLong(2))
     // driver-side split plan (scheduler-sized: one row per CHILD, and
     // children ≈ split rows / cap): k = ceil(n/cap) children per hot
-    // cell; seed i at rank 1 + floor((n−1)·i/(k−1)) of the (score
-    // desc, vec_id) ordering; child 0 keeps the cell id, child i ≥ 1
-    // gets maxCid + (running (k−1) offset of preceding hot cells) + i
+    // cell; seed 0 at rank 1 of the parent-alignment ordering, seed
+    // i ≥ 1 at rank 1 + floor((n−1)·(i−1)/(k−1)) of the DIVERSITY
+    // (distance-from-seed-0) ordering; child 0 keeps the cell id,
+    // child i ≥ 1 gets maxCid + (running (k−1) offset) + i
     import spark.implicits._
     var childOffset = 0L
     val seedSpecs = hotCells.flatMap { case (c, n) =>
       val k = ((n + maxOccupancy - 1) / maxOccupancy).toInt
       val rows = (0 until k).map { i =>
-        val rank = 1L + (n - 1L) * i / (k - 1L)
+        val rank = if (i == 0) 1L else 1L + (n - 1L) * (i - 1L) / (k - 1L)
         (c, i, rank, if (i == 0) c else maxCid + childOffset + i)
       }
       childOffset += (k - 1).toLong
@@ -612,30 +742,70 @@ object AnnIndex {
     val seedSpecDf = seedSpecs.toDF("cell", "si", "rn", "child")
     // members of split cells, scored against their OWN centroid — the
     // scan prunes to the split directories (static partition filter,
-    // or the broadcast-semi DPP fallback when the hot set is wide)
+    // or the broadcast-semi DPP fallback when the hot set is wide).
+    // The groupBy collapse makes (cell, vec_id) a UNIQUE key (replay-
+    // duplicated append rows fold to one, deterministically via the
+    // lexicographic array max) so every later stage can rank and join
+    // THIN (cell, vec_id, scalar) rows and fetch vectors back by key;
+    // the collapse is the pipeline's one vector-carrying exchange and
+    // it hash-partitions — no per-cell task (VERDICT r15 #2). The
+    // decimal self-dot n2 is computed once here and reused by the
+    // diversity ordering and both Lloyd sweeps' exact cosines.
     val hotIds = hotCells.map(_._1)
+    val fdot = graft.functions.VectorFns.dotFast _
     val members = wantedCellScan(spark, path, hotIds)
+      .select(col("cell").cast(LongType).as("cell"), col("vec_id"), col("v"))
+      .groupBy(col("cell"), col("vec_id")).agg(max(col("v")).as("v"))
       .join(broadcast(centroids), col("cell") === col("cid"))
       .withColumn("d", dot("v", "c"))
       .drop("cid", "c")
-    // seed pick over THIN rows: the (cell, d, vec_id) scalars rank in
-    // one window exchange with the vectors left behind (the topCells
-    // discipline), then the ranked seed rows join members to fetch
-    // their vectors — O(children) rows out
-    val fdot = graft.functions.VectorFns.dotFast _
+      .withColumn("n2", dot("v", "v"))
+      .withColumn("nvf", fdot("v", "v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // seed 0 (thin): rank 1 of the (parent score desc, vec_id) order
     val rankInCell = row_number().over(Window.partitionBy(col("cell"))
       .orderBy(coalesce(col("d"), lit(Double.MinValue)).desc, col("vec_id")))
-    val seedPick = members.select(col("cell"), col("d"), col("vec_id"))
+    val seed0Pick = members.select(col("cell"), col("d"), col("vec_id"))
       .withColumn("rn", rankInCell)
-      .join(broadcast(seedSpecDf), Seq("cell", "rn"))
+      .join(broadcast(seedSpecDf.filter(col("si") === 0)), Seq("cell", "rn"))
       .select(col("cell"), col("si"), col("child"), col("vec_id").as("svid"))
+    // diversity ordering: exact-decimal L2 distance² to seed 0,
+    // |x|² − 2·x·s₀ + |s₀|² combined in IEEE double — ranked THIN
+    val s0 = members
+      .select(col("cell"), col("vec_id").as("svid0"), col("v").as("s0v"),
+        col("n2").as("ns0"))
+      .join(broadcast(seed0Pick.select(col("cell"),
+        col("svid").as("svid0"))), Seq("cell", "svid0"))
+      .select(col("cell"), col("s0v"), col("ns0"))
+    val rankByF0 = row_number().over(Window.partitionBy(col("cell"))
+      .orderBy(coalesce(col("f0"), lit(Double.MinValue)).desc, col("vec_id")))
+    val seedRestPick = members.join(broadcast(s0), Seq("cell"))
+      .withColumn("f0",
+        col("n2") - lit(2d) * dotc(col("v"), col("s0v")) + col("ns0"))
+      .select(col("cell"), col("f0"), col("vec_id"))
+      .withColumn("rn", rankByF0)
+      .join(broadcast(seedSpecDf.filter(col("si") > 0)), Seq("cell", "rn"))
+      .select(col("cell"), col("si"), col("child"), col("vec_id").as("svid"))
+    // one eager tiny materialization: the seed set feeds the pin map,
+    // the seed-vector fetch and (via pins) every assignment stage
+    val seedPick = seed0Pick.unionByName(seedRestPick).localCheckpoint(true)
+    // pin map: a member that IS a seed stays in its (lowest-si) child
+    // through Voronoi and Lloyd — keeps child 0 (the recycled live
+    // directory) provably non-empty, see the scaladoc
+    val pins = seedPick.groupBy(col("cell"), col("svid"))
+      .agg(min(struct(col("si"), col("child"))).as("w"))
+      .select(col("cell"), col("svid").as("vec_id"),
+        col("w.child").as("pchild"))
+    def withPins(asg: DataFrame): DataFrame =
+      asg.join(broadcast(pins), Seq("cell", "vec_id"), "left_outer")
+        .select(col("cell"), col("vec_id"),
+          coalesce(col("pchild"), col("child")).as("child"))
     // seed self-dots for the nearest-seed rule, decimal-exact like
     // every other score so the oracle replays them bit-identically
     val seeds = members
-      .select(col("cell"), col("vec_id").as("svid"), col("v").as("sv"))
+      .select(col("cell"), col("vec_id").as("svid"), col("v").as("sv"),
+        col("n2").as("ns2"), col("nvf").as("nsf"))
       .join(broadcast(seedPick), Seq("cell", "svid"))
-      .withColumn("ns2", dot("sv", "sv"))
-      .withColumn("nsf", fdot("sv", "sv"))
     // nearest-seed in L2 via 2·x·s − |s|², exact-decimal dots combined
     // in IEEE double arithmetic (bit-equal on both engines) — routed
     // through the double-kernel pre-prune: a seed whose DOUBLE score
@@ -643,7 +813,7 @@ object AnnIndex {
     // margin band (4× slack, so a pruned seed cannot even TIE the
     // surviving winner) cannot win the exact argmax, so the decimal
     // kernel prices ~one seed per member instead of k
-    val cand = members.withColumn("nvf", fdot("v", "v"))
+    val cand = members
       .join(broadcast(seeds.select(col("cell"), col("si"), col("child"),
         col("sv"), col("ns2"), col("nsf"))), Seq("cell"))
       .withColumn("f", lit(2d) * fdot("v", "sv") - col("nsf"))
@@ -653,26 +823,82 @@ object AnnIndex {
       .agg(max(col("f")).as("maxf"), max(col("marg")).as("margx"))
     // ties (and all-null scores) → the lowest surviving seed index;
     // seed 0 survives its own prune (its f IS a candidate for maxf),
-    // so an all-null member still routes to the kept child
+    // so an all-null member still routes to the kept child. THIN
+    // output — (cell, vec_id, child) — vectors rejoin by key later.
     val voronoi = cand.join(bestF, Seq("cell", "vec_id"))
       .filter(col("f").isNull || col("maxf").isNull ||
         col("f") >= col("maxf") - lit(4d) * (col("marg") + col("margx")))
       .withColumn("sdec", lit(2d) * dot("v", "sv") - col("ns2"))
       .groupBy(col("cell"), col("vec_id"))
-      .agg(max_by(struct(col("v").as("v"), col("child").as("child")),
+      .agg(max_by(col("child"),
         struct(coalesce(col("sdec"), lit(Double.MinValue)).as("s"),
-          (-col("si")).as("t"))).as("w"),
-        max(col("d")).as("d"))
-      .select(col("vec_id"), col("w.v").as("v"),
-        col("w.child").cast(LongType).as("child"), col("d"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // rank-slice overflow (the one-pass cap guarantee): Voronoi child
-    // sizes come back scheduler-sized, the driver numbers ⌈m/cap⌉
-    // slices per child, and a thin window routes each member to its
-    // slice by (parent-alignment d, vec_id) rank. Slice 0 keeps the
-    // child id; later slices take fresh ids after the Voronoi block,
-    // ordered by (child, slice) — deterministic and collision-free.
-    val sizes = voronoi.groupBy(col("child")).agg(count(lit(1)).as("m"))
+          (-col("si")).as("t"))).as("child"))
+      .select(col("cell"), col("vec_id"), col("child").cast(LongType).as("child"))
+    // TWO Lloyd sweeps (fixed count — oracle-unrollable): per live
+    // child the exact-decimal(30,12) per-dimension sum vector (the
+    // x61 centroid idiom) cast to double is the sweep's centroid;
+    // members rejoin the live child of max exact cosine (double
+    // pre-select band 1e-9, decimal decides; ties → smaller child id;
+    // zero-norm scores pin to −2 → lowest child). Each assignment
+    // frame is thin and eagerly checkpointed so the next sweep's
+    // three consumers don't recompute the previous one.
+    def lloydOnce(asg: DataFrame): DataFrame = {
+      val mu = asg
+        .join(members.select(col("cell"), col("vec_id"), col("v")),
+          Seq("cell", "vec_id"))
+        .select(col("cell"), col("child"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("child"), col("pos"))
+        .agg(sum(col("x").cast(DecimalType(30, 12)))
+          .cast(DoubleType).as("cc"))
+        .groupBy(col("cell"), col("child"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cc")))),
+          p => p.getField("cc")).as("mc"))
+        .withColumn("mnf", fdotc(col("mc"), col("mc")))
+        .withColumn("mn2", dotc(col("mc"), col("mc")))
+        .localCheckpoint(true)
+      val scored = asg
+        .join(members.select(col("cell"), col("vec_id"), col("v"),
+          col("nvf")), Seq("cell", "vec_id"))
+        .join(broadcast(mu.select(col("cell"), col("child").as("mchild"),
+          col("mc"), col("mnf"))), Seq("cell"))
+        .select(col("cell"), col("vec_id"), col("mchild"), {
+          val nprod = sqrt(col("nvf")) * sqrt(col("mnf"))
+          val dd = when(nprod > 0d, fdotc(col("v"), col("mc")) / nprod)
+          when(abs(nanvl(dd, lit(-2.0))) <= 1.5, nanvl(dd, lit(-2.0)))
+            .otherwise(-2.0).as("dcos")
+        })
+      val candL = scored.groupBy(col("cell"), col("vec_id"))
+        .agg(max(col("dcos")).as("mx"),
+          collect_list(struct(col("dcos"), col("mchild"))).as("cs"))
+        .select(col("cell"), col("vec_id"),
+          explode(expr("filter(cs, x -> x.dcos >= mx - 1e-9)")).as("w"))
+        .select(col("cell"), col("vec_id"), col("w.mchild").as("child"))
+      val exact = candL
+        .join(members.select(col("cell"), col("vec_id"), col("v"),
+          col("n2")), Seq("cell", "vec_id"))
+        .join(broadcast(mu.select(col("cell"), col("child"), col("mc"),
+          col("mn2"))), Seq("cell", "child"))
+        .withColumn("cos", when(col("n2") > 0d && col("mn2") > 0d,
+          dotc(col("v"), col("mc")) / (sqrt(col("n2")) * sqrt(col("mn2")))))
+        .groupBy(col("cell"), col("vec_id"))
+        .agg(max(struct(coalesce(col("cos"), lit(-2.0)).as("k"),
+          (-col("child")).as("nk"), col("child").as("child"))).as("w"))
+        .select(col("cell"), col("vec_id"), col("w.child").as("child"))
+      withPins(exact).localCheckpoint(true)
+    }
+    val asg = lloydOnce(lloydOnce(withPins(voronoi).localCheckpoint(true)))
+    // rank-slice overflow (the one-pass cap guarantee): child sizes
+    // come back scheduler-sized, the driver numbers ⌈m/cap⌉ slices
+    // per child, and the member→slice rank is the x31 TWO-PHASE
+    // prefix sum over plain vec_id order — fixed-width integer
+    // buckets (vec_id DIV 4096) bound every ranking task at 4096
+    // thin rows no matter how big a duplicate-heavy child gets, and
+    // no vector rides the exchange (VERDICT r15 #2). Slice 0 keeps
+    // the child id; later slices take fresh ids after the Voronoi
+    // block, ordered by (child, slice) — deterministic and
+    // collision-free.
+    val sizes = asg.groupBy(col("child")).agg(count(lit(1)).as("m"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     val sliceBase = maxCid + childOffset
     var sliceSeq = 0L
@@ -680,18 +906,35 @@ object AnnIndex {
       val s = ((m + maxOccupancy - 1) / maxOccupancy).toInt
       (0 until s).map { j =>
         val fcell = if (j == 0) child else { sliceSeq += 1; sliceBase + sliceSeq }
-        (child, j, fcell)
+        (child, j.toLong, fcell)
       }
     }
     val subSpecDf = subSpecs.toDF("child", "sub", "fcell")
-    val sliceRank = row_number().over(Window.partitionBy(col("child"))
-      .orderBy(coalesce(col("d"), lit(Double.MinValue)).desc, col("vec_id")))
-    val reassigned = voronoi
-      .withColumn("sub",
-        floor((sliceRank - lit(1)) / lit(maxOccupancy.toDouble)).cast("int"))
+    val sliceW = 4096L
+    val thin = asg.select(col("cell"), col("child"), col("vec_id"))
+      .withColumn("bucket", expr(s"vec_id DIV $sliceW"))
+    val localW = Window.partitionBy(col("child"), col("bucket"))
+      .orderBy(col("vec_id"))
+    val offW = Window.partitionBy(col("child")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bcounts = thin.groupBy(col("child"), col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+    val offsets = bcounts
+      .withColumn("off", coalesce(sum(col("bn")).over(offW), lit(0L)))
+      .select(col("child"), col("bucket"), col("off"))
+    if ("1" == System.getProperty("graft.ann.diag")) {
+      val maxBucket = bcounts.agg(coalesce(max(col("bn")), lit(0L))).head()
+      lastSliceStats = Some((maxBucket.getLong(0),
+        sizes.map(_._2).maxOption.getOrElse(0L)))
+    }
+    val reassigned = thin
+      .withColumn("lr", row_number().over(localW))
+      .join(offsets, Seq("child", "bucket"))
+      .withColumn("sub", expr(s"(lr + off - 1) DIV $maxOccupancy"))
       .join(broadcast(subSpecDf), Seq("child", "sub"))
-      .select(col("vec_id"), col("v"), col("fcell").cast(LongType).as("cell"),
-        col("d"))
+      .join(members.select(col("cell"), col("vec_id"), col("v")),
+        Seq("cell", "vec_id"))
+      .select(col("vec_id"), col("v"), col("fcell").cast(LongType).as("cell"))
     // Stage everything, then commit, then swap (the crash-atomicity
     // story in the scaladoc): reassigned rows land in an
     // underscore-prefixed staging dir — invisible to parquet readers
@@ -709,8 +952,8 @@ object AnnIndex {
     val filesPerCell =
       (((maxOccupancy * (8L * dim + 24L)) + target - 1) / target).max(1L).toInt
     val routed =
-      if (filesPerCell == 1) reassigned.drop("d").repartition(col("cell"))
-      else reassigned.drop("d").repartition(col("cell"),
+      if (filesPerCell == 1) reassigned.repartition(col("cell"))
+      else reassigned.repartition(col("cell"),
         pmod(col("vec_id"), lit(filesPerCell.toLong)))
     routed.write.mode("overwrite").partitionBy("cell").parquet(staging)
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -719,27 +962,35 @@ object AnnIndex {
     val stagingPath = new org.apache.hadoop.fs.Path(staging)
     // Materialize the refreshed centroid set BEFORE the swap: its
     // lineage reads the PRE-optimize file listing (via the persisted
-    // Voronoi frame over the split cells' current files), so a lazy
+    // member frame over the split cells' current files), so a lazy
     // return would chase deleted paths on first use. One (cid,
     // 64-double) row per cell — scheduler-sized, the same trade as
-    // probe's cell-id collect. Each final cell's centroid is its own
-    // rank-1 member under the slice ordering; deriving centroids from
-    // the rows that MATERIALIZED means a Voronoi child that captured
-    // no members contributes nothing — no phantom centroids (ADVICE
-    // r11), no staging-listing check needed.
+    // probe's cell-id collect. Each final cell's centroid is the
+    // NORMALIZED DECIMAL-MEAN of the rows that MATERIALIZED (see the
+    // scaladoc) — so a Voronoi child that captured no members
+    // contributes nothing: no phantom centroids (ADVICE r11), no
+    // staging-listing check needed.
     // anti-join instead of a NOT-IN literal list: centroids is
     // scheduler-sized, but a 10⁵-id literal would still bloat the plan
     val kept = centroids.join(
       seedSpecDf.select(col("cell").as("cid")).distinct(),
       Seq("cid"), "left_anti")
     val refreshed = kept.unionByName(
-      reassigned.groupBy(col("cell"))
-        .agg(max_by(col("v"),
-          struct(coalesce(col("d"), lit(Double.MinValue)).as("d"),
-            (-col("vec_id")).as("t"))).as("c"))
-        .select(col("cell").as("cid"), col("c")))
+      reassigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x").cast(DecimalType(30, 12)))
+          .cast(DoubleType).as("cc"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cc")))),
+          p => p.getField("cc")).as("c0"))
+        .withColumn("nrm", sqrt(dotc(col("c0"), col("c0"))))
+        .select(col("cell").as("cid"),
+          transform(col("c0"),
+            x => when(col("nrm") > 0d, x / col("nrm")).otherwise(x)).as("c")))
     val refreshedRows = refreshed.collect().toSeq
-    voronoi.unpersist(blocking = false)
+    members.unpersist(blocking = false)
+    guardCentroidScale(refreshedRows.size.toLong)
     val refreshedDf = spark.createDataFrame(
       spark.sparkContext.parallelize(refreshedRows, 1), refreshed.schema)
     // Stage the refreshed centroids beside the data (recovery needs

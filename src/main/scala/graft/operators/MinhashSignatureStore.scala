@@ -749,14 +749,21 @@ object MinhashSignatureStore {
     *    d1 < d2 yields Σ_g C(m_g, 2) over the batch's collision-group
     *    multiplicities — one batch-sized aggregate, no store access.
     *  - store-side pairs are ≤ store_band_rows × max_g m_g; the row
-    *    count is over-estimated from the bands directory's FS byte
-    *    size at 2 bytes/row (a dup-heavy store compresses far below
-    *    its ~40-byte raw width, and the gate must only ever err HIGH:
-    *    a false "doesn't fit" costs one count job, a false "fits"
-    *    would under-size the exchanges — the r14 sf10 heap kill).
+    *    count comes from the bands files' PARQUET FOOTERS (sum of
+    *    per-file num_rows — driver-side metadata reads, still
+    *    store-SCAN-free), so it is EXACT. ADVICE r15 killed the old
+    *    bytes/2 heuristic here: a dup-dense bands table (dictionary +
+    *    RLE on band/sig, delta-packed ids, snappy) can compress below
+    *    2 bytes/row, which made the "must only ever err HIGH"
+    *    invariant false in exactly the match-dense regime the sizing
+    *    exists for — a false "fits" skips the measured count and runs
+    *    the census exchanges under-sized (the r14 sf10 heap-kill
+    *    class). With footer counts the only slack left is maxm, which
+    *    errs high by construction.
     *
-    * Cost: one aggregate job over the batch's band rows + one
-    * filesystem listing.
+    * Cost: one aggregate job over the batch's band rows + one footer
+    * read per bands file (the store's rebuild/compaction discipline
+    * keeps the file count scheduler-sized).
     */
   private def candidateUpperBound(spark: SparkSession, storeDir: String,
       inc: DataFrame): Long = {
@@ -765,10 +772,32 @@ object MinhashSignatureStore {
       .agg(coalesce(max(col("m")), lit(0L)).as("maxm"),
         coalesce(sum(col("m") * (col("m") - lit(1L))), lit(0L)).as("sp2"))
       .head()
-    val bandsBytes = fs(spark, storeDir)
-      .getContentSummary(new org.apache.hadoop.fs.Path(storeDir, "bands"))
-      .getLength
-    (bandsBytes / 2 + 1) * st.getLong(0) + st.getLong(1) / 2
+    val storeRows = parquetFooterRowCount(spark,
+      new org.apache.hadoop.fs.Path(storeDir, "bands"))
+    storeRows * st.getLong(0) + st.getLong(1) / 2
+  }
+
+  /** Exact row count of a parquet directory from file footers alone —
+    * no Spark job, no data pages read; one small metadata read per
+    * file on the driver.
+    */
+  private def parquetFooterRowCount(spark: SparkSession,
+      dir: org.apache.hadoop.fs.Path): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = dir.getFileSystem(conf)
+    if (!f.exists(dir)) return 0L
+    val it = f.listFiles(dir, true)
+    var n = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(st, conf))
+        try n += rd.getRecordCount finally rd.close()
+      }
+    }
+    n
   }
 
   /** ~1M two-long pair rows per static post-shuffle partition keeps a
@@ -835,9 +864,15 @@ object MinhashSignatureStore {
     censusPerDocFrom(spark, arrs, bandCollisions(storeBands, inc),
       storeDocs, threshold)
 
-  /** [[censusPerDoc]] over an already-derived (possibly persisted)
-    * collision frame — the eager probe path hands in the cached
-    * pairs so the sizing count and the census share one band join.
+  /** [[censusPerDoc]] over an already-derived collision frame. The
+    * probe path deliberately does NOT pass a cached/persisted pair
+    * frame to share with the sizing count (ADVICE r15 flagged the old
+    * scaladoc claiming it did): when the gate fails and the measured
+    * count runs, the band join executes twice — the r14 cached-pairs
+    * experiment benched SLOWER than the double scan because
+    * persisting the collisions loses the distinct's ReusedExchange.
+    * The indirection exists so the double scan is a one-line choice
+    * to revisit, not an accident.
     */
   private def censusPerDocFrom(spark: SparkSession, arrs: DataFrame,
       collisions: DataFrame, storeDocs: DataFrame,

@@ -29,51 +29,90 @@ object ExtrasOracle {
   /** Shared AnnIndex maintenance replay (x65c / x76b): the
     * build→optimize lifecycle expressed relationally over the corpus
     * rows `vec_id <corpusPred>` — 16-seed decimal-argmax assignment,
-    * mean-occupancy threshold t = ⌊n/16⌋, k-way quantile-seed Voronoi
-    * split (k = ⌈n/t⌉, seed i at rank 1 + (n−1)·i // (k−1), ties on
-    * (score, id), seed 0 keeps the cell id, seed i ≥ 1 numbers after
-    * 16 by running (k−1) offset), nearest-seed (L2: 2·x·s − |s|²)
-    * reassignment, rank-slice overflow (slices of ≤ t rows by
-    * (d DESC, vec_id), slice 0 keeps the child id, later slices
-    * number after the Voronoi block by (child, slice)). Leaves the
-    * final assignment `na(vec_id, cell)`, the refreshed centroids
-    * `newcents(cid, c)` (rank-1 member per materialized cell — no
-    * phantom children), and the intermediate `assign(vec_id, cell)`
-    * (the PRE-optimize layout) in scope. No leading WITH.
+    * mean-occupancy threshold t = ⌊n/16⌋, then the r16 one-pass split
+    * of every cell with n > t:
+    *  - TWO-ANCHOR seeds (k = ⌈n/t⌉): seed 0 at rank 1 of the
+    *    (parent score DESC NULLS LAST, vec_id) order; seed i ≥ 1 at
+    *    rank 1 + (n−1)(i−1) // (k−1) of the DIVERSITY order — exact-
+    *    decimal L2 distance² to seed 0 (|x|² − 2·x·s₀ + |s₀|²) DESC
+    *    NULLS LAST, vec_id. Seed 0 keeps the cell id, seed i ≥ 1
+    *    numbers after 16 by running (k−1) offset.
+    *  - nearest-seed Voronoi (L2: 2·x·s − |s|², ties → lowest si),
+    *  - TWO unrolled Lloyd sweeps: per live (cell, child) the
+    *    DECIMAL(30,12) per-dimension sum vector → double; members
+    *    re-join the live child of max exact cosine (decimal dots,
+    *    double sqrt/divide, degenerate → −2, ties → smaller child);
+    *  - seed members PINNED to their lowest-si child through Voronoi
+    *    and both sweeps;
+    *  - rank-slice overflow by plain vec_id order (slices of ≤ t
+    *    rows; slice 0 keeps the child id, later slices number after
+    *    the Voronoi block by (child, slice)).
+    * Leaves the final assignment `na(vec_id, cell)`, the refreshed
+    * centroids `newcents(cid, c)` (NORMALIZED decimal-mean per
+    * materialized rewritten cell — no phantom children), and the
+    * intermediate `assign(vec_id, cell)` (the PRE-optimize layout) in
+    * scope. No leading WITH.
+    *
+    * Every CTE is `AS MATERIALIZED`: the chain is ~30 levels deep with
+    * multi-referenced stages (a0 → mu1/l1 → a1 → mu2/l2 → a2 …), and
+    * DuckDB's default CTE inlining re-evaluates each reference —
+    * measured ~2× per level, turning a 1.6 s replay into minutes.
     */
   private def annMaintCtes(corpusPred: String): String =
-    s"""cents AS (SELECT vec_id AS cid, embedding AS c FROM embeddings
+    s"""cents AS MATERIALIZED (SELECT vec_id AS cid, embedding AS c FROM embeddings
        |  WHERE vec_id BETWEEN 1 AND 16),
-       |sc AS (SELECT e.vec_id, s.cid, ${dot("e.embedding", "s.c")} AS d
+       |sc AS MATERIALIZED (SELECT e.vec_id, s.cid, ${dot("e.embedding", "s.c")} AS d
        |  FROM embeddings e, cents s, generate_series(1, 64) t(i)
        |  WHERE e.vec_id $corpusPred
        |  GROUP BY e.vec_id, s.cid),
-       |assign AS (SELECT vec_id, cid AS cell FROM (
+       |assign AS MATERIALIZED (SELECT vec_id, cid AS cell FROM (
        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
        |      ORDER BY d DESC, cid) AS rn FROM sc) WHERE rn = 1),
-       |occ AS (SELECT cell, COUNT(*) AS n FROM assign GROUP BY cell),
-       |thr AS (SELECT GREATEST(1, COUNT(*) // 16) AS t FROM embeddings
+       |occ AS MATERIALIZED (SELECT cell, COUNT(*) AS n FROM assign GROUP BY cell),
+       |thr AS MATERIALIZED (SELECT GREATEST(1, COUNT(*) // 16) AS t FROM embeddings
        |  WHERE vec_id $corpusPred),
-       |hot AS (SELECT cell, n, (n + t - 1) // t AS k
+       |hot AS MATERIALIZED (SELECT cell, n, (n + t - 1) // t AS k
        |  FROM occ, thr WHERE n > t),
-       |hoff AS (SELECT cell, n, k,
+       |hoff AS MATERIALIZED (SELECT cell, n, k,
        |    16 + COALESCE(SUM(k - 1) OVER (ORDER BY cell
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
        |  FROM hot),
-       |md AS (SELECT a.vec_id, a.cell, sc.d, row_number() OVER (
+       |md AS MATERIALIZED (SELECT a.vec_id, a.cell, sc.d, row_number() OVER (
        |      PARTITION BY a.cell
        |      ORDER BY sc.d DESC NULLS LAST, a.vec_id) AS rn
        |  FROM assign a JOIN hot h ON h.cell = a.cell
        |  JOIN sc ON sc.vec_id = a.vec_id AND sc.cid = a.cell),
-       |sdef AS (SELECT cell, base, n, k,
+       |n2m AS MATERIALIZED (SELECT m.vec_id, ${dot("e.embedding", "e.embedding")} AS n2
+       |  FROM md m JOIN embeddings e ON e.vec_id = m.vec_id,
+       |    generate_series(1, 64) t(i)
+       |  GROUP BY m.vec_id),
+       |s0 AS MATERIALIZED (SELECT cell, vec_id AS svid0 FROM md WHERE rn = 1),
+       |f0 AS MATERIALIZED (SELECT m.vec_id, m.cell,
+       |    n2m.n2 - 2 * ${dot("e.embedding", "es.embedding")} + s0n.n2 AS f0
+       |  FROM md m JOIN s0 ON s0.cell = m.cell
+       |    JOIN embeddings e ON e.vec_id = m.vec_id
+       |    JOIN embeddings es ON es.vec_id = s0.svid0
+       |    JOIN n2m ON n2m.vec_id = m.vec_id
+       |    JOIN n2m s0n ON s0n.vec_id = s0.svid0,
+       |    generate_series(1, 64) t(i)
+       |  GROUP BY m.vec_id, m.cell, n2m.n2, s0n.n2),
+       |fr AS MATERIALIZED (SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
+       |    ORDER BY f0 DESC NULLS LAST, vec_id) AS frn FROM f0),
+       |sdef AS MATERIALIZED (SELECT cell, base, n, k,
        |    unnest(generate_series(0, k - 1)) AS si FROM hoff),
-       |seeds AS (SELECT s.cell, s.si,
-       |    CASE WHEN s.si = 0 THEN s.cell ELSE s.base + s.si END AS child,
-       |    m.vec_id AS svid
+       |seeds AS MATERIALIZED (
+       |  SELECT cell, 0 AS si, cell AS child, svid0 AS svid FROM s0
+       |  UNION ALL
+       |  SELECT sd.cell, sd.si, sd.base + sd.si AS child, fr.vec_id AS svid
        |  FROM (SELECT cell, base, si,
-       |      1 + ((n - 1) * si) // (k - 1) AS srank FROM sdef) s
-       |  JOIN md m ON m.cell = s.cell AND m.rn = s.srank),
-       |rd AS (SELECT m.vec_id, m.cell, s.si, s.child,
+       |      1 + ((n - 1) * (si - 1)) // (k - 1) AS srank
+       |    FROM sdef WHERE si >= 1) sd
+       |  JOIN fr ON fr.cell = sd.cell AND fr.frn = sd.srank),
+       |pins AS MATERIALIZED (SELECT cell, svid AS vec_id, child FROM (
+       |    SELECT cell, svid, child, row_number() OVER (
+       |      PARTITION BY cell, svid ORDER BY si) AS prn FROM seeds)
+       |  WHERE prn = 1),
+       |rd AS MATERIALIZED (SELECT m.vec_id, m.cell, s.si, s.child,
        |    2 * ${dot("e.embedding", "es.embedding")}
        |      - ${dot("es.embedding", "es.embedding")} AS score
        |  FROM md m JOIN seeds s ON s.cell = m.cell
@@ -81,32 +120,99 @@ object ExtrasOracle {
        |    JOIN embeddings es ON es.vec_id = s.svid,
        |    generate_series(1, 64) t(i)
        |  GROUP BY m.vec_id, m.cell, s.si, s.child),
-       |reass AS (SELECT vec_id, child FROM (
-       |    SELECT vec_id, child, row_number() OVER (PARTITION BY vec_id
-       |      ORDER BY score DESC NULLS LAST, si) AS rn FROM rd) WHERE rn = 1),
-       |slice AS (SELECT r.vec_id, r.child,
-       |    (row_number() OVER (PARTITION BY r.child
-       |      ORDER BY m.d DESC NULLS LAST, r.vec_id) - 1) // t AS sub
-       |  FROM reass r JOIN md m ON m.vec_id = r.vec_id, thr),
-       |subsd AS (SELECT DISTINCT child, sub FROM slice),
-       |subs AS (SELECT child, sub, child AS fcell FROM subsd WHERE sub = 0
+       |a0 AS MATERIALIZED (SELECT r.vec_id, r.cell, COALESCE(p.child, r.child) AS child
+       |  FROM (SELECT vec_id, cell, child FROM (
+       |      SELECT vec_id, cell, child, row_number() OVER (
+       |        PARTITION BY vec_id
+       |        ORDER BY score DESC NULLS LAST, si) AS rn FROM rd)
+       |    WHERE rn = 1) r
+       |  LEFT JOIN pins p ON p.cell = r.cell AND p.vec_id = r.vec_id),
+       |mu1 AS MATERIALIZED (SELECT a.cell, a.child, i,
+       |    CAST(CAST(SUM(CAST(CAST(CAST(e.embedding[i] AS DOUBLE) AS VARCHAR)
+       |      AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE) AS cc
+       |  FROM a0 a JOIN embeddings e ON e.vec_id = a.vec_id,
+       |    generate_series(1, 64) t(i)
+       |  GROUP BY a.cell, a.child, i),
+       |mn1 AS MATERIALIZED (SELECT cell, child,
+       |    CAST(CAST(SUM(CAST(CAST(cc*cc AS VARCHAR) AS DECIMAL(30,20)))
+       |      AS VARCHAR) AS DOUBLE) AS mn
+       |  FROM mu1 GROUP BY cell, child),
+       |l1 AS MATERIALIZED (SELECT a.vec_id, a.cell, m.child,
+       |    CAST(CAST(SUM(CAST(CAST(CAST(e.embedding[m.i] AS DOUBLE) * m.cc
+       |      AS VARCHAR) AS DECIMAL(30,20))) AS VARCHAR) AS DOUBLE) AS dt
+       |  FROM a0 a JOIN embeddings e ON e.vec_id = a.vec_id
+       |    JOIN mu1 m ON m.cell = a.cell
+       |  GROUP BY a.vec_id, a.cell, m.child),
+       |a1 AS MATERIALIZED (SELECT w.vec_id, w.cell, COALESCE(p.child, w.child) AS child
+       |  FROM (SELECT vec_id, cell, child FROM (
+       |      SELECT l.vec_id, l.cell, l.child, row_number() OVER (
+       |        PARTITION BY l.vec_id ORDER BY COALESCE(CASE
+       |          WHEN n2m.n2 > 0 AND mn.mn > 0
+       |          THEN l.dt / (sqrt(n2m.n2) * sqrt(mn.mn)) END, -2.0) DESC,
+       |        l.child) AS rn
+       |      FROM l1 l JOIN n2m ON n2m.vec_id = l.vec_id
+       |        JOIN mn1 mn ON mn.cell = l.cell AND mn.child = l.child)
+       |    WHERE rn = 1) w
+       |  LEFT JOIN pins p ON p.cell = w.cell AND p.vec_id = w.vec_id),
+       |mu2 AS MATERIALIZED (SELECT a.cell, a.child, i,
+       |    CAST(CAST(SUM(CAST(CAST(CAST(e.embedding[i] AS DOUBLE) AS VARCHAR)
+       |      AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE) AS cc
+       |  FROM a1 a JOIN embeddings e ON e.vec_id = a.vec_id,
+       |    generate_series(1, 64) t(i)
+       |  GROUP BY a.cell, a.child, i),
+       |mn2 AS MATERIALIZED (SELECT cell, child,
+       |    CAST(CAST(SUM(CAST(CAST(cc*cc AS VARCHAR) AS DECIMAL(30,20)))
+       |      AS VARCHAR) AS DOUBLE) AS mn
+       |  FROM mu2 GROUP BY cell, child),
+       |l2 AS MATERIALIZED (SELECT a.vec_id, a.cell, m.child,
+       |    CAST(CAST(SUM(CAST(CAST(CAST(e.embedding[m.i] AS DOUBLE) * m.cc
+       |      AS VARCHAR) AS DECIMAL(30,20))) AS VARCHAR) AS DOUBLE) AS dt
+       |  FROM a1 a JOIN embeddings e ON e.vec_id = a.vec_id
+       |    JOIN mu2 m ON m.cell = a.cell
+       |  GROUP BY a.vec_id, a.cell, m.child),
+       |a2 AS MATERIALIZED (SELECT w.vec_id, w.cell, COALESCE(p.child, w.child) AS child
+       |  FROM (SELECT vec_id, cell, child FROM (
+       |      SELECT l.vec_id, l.cell, l.child, row_number() OVER (
+       |        PARTITION BY l.vec_id ORDER BY COALESCE(CASE
+       |          WHEN n2m.n2 > 0 AND mn.mn > 0
+       |          THEN l.dt / (sqrt(n2m.n2) * sqrt(mn.mn)) END, -2.0) DESC,
+       |        l.child) AS rn
+       |      FROM l2 l JOIN n2m ON n2m.vec_id = l.vec_id
+       |        JOIN mn2 mn ON mn.cell = l.cell AND mn.child = l.child)
+       |    WHERE rn = 1) w
+       |  LEFT JOIN pins p ON p.cell = w.cell AND p.vec_id = w.vec_id),
+       |slice AS MATERIALIZED (SELECT a.vec_id, a.child,
+       |    (row_number() OVER (PARTITION BY a.child
+       |      ORDER BY a.vec_id) - 1) // t AS sub
+       |  FROM a2 a, thr),
+       |subsd AS MATERIALIZED (SELECT DISTINCT child, sub FROM slice),
+       |subs AS MATERIALIZED (SELECT child, sub, child AS fcell FROM subsd WHERE sub = 0
        |  UNION ALL SELECT child, sub,
        |    (SELECT 16 + SUM(k - 1) FROM hot) + row_number() OVER (
        |      ORDER BY child, sub) AS fcell
        |  FROM subsd WHERE sub > 0),
-       |na AS (SELECT a.vec_id, COALESCE(sb.fcell, a.cell) AS cell
+       |na AS MATERIALIZED (SELECT a.vec_id, COALESCE(sb.fcell, a.cell) AS cell
        |  FROM assign a
        |    LEFT JOIN slice s ON s.vec_id = a.vec_id
        |    LEFT JOIN subs sb ON sb.child = s.child AND sb.sub = s.sub),
-       |fcseed AS (SELECT cell, vec_id FROM (
-       |    SELECT n.cell, n.vec_id, row_number() OVER (PARTITION BY n.cell
-       |      ORDER BY m.d DESC NULLS LAST, n.vec_id) AS rn
-       |    FROM na n JOIN slice s ON s.vec_id = n.vec_id
-       |      JOIN md m ON m.vec_id = n.vec_id) WHERE rn = 1),
-       |newcents AS (
+       |ncm AS MATERIALIZED (SELECT n.cell, i,
+       |    CAST(CAST(SUM(CAST(CAST(CAST(e.embedding[i] AS DOUBLE) AS VARCHAR)
+       |      AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE) AS cc
+       |  FROM na n JOIN slice s ON s.vec_id = n.vec_id
+       |    JOIN embeddings e ON e.vec_id = n.vec_id,
+       |    generate_series(1, 64) t(i)
+       |  GROUP BY n.cell, i),
+       |ncn AS MATERIALIZED (SELECT cell,
+       |    CAST(CAST(SUM(CAST(CAST(cc*cc AS VARCHAR) AS DECIMAL(30,20)))
+       |      AS VARCHAR) AS DOUBLE) AS nn
+       |  FROM ncm GROUP BY cell),
+       |newcents AS MATERIALIZED (
        |  SELECT cid, c FROM cents WHERE cid NOT IN (SELECT cell FROM hot)
-       |  UNION ALL SELECT f.cell AS cid, e.embedding AS c
-       |    FROM fcseed f JOIN embeddings e ON e.vec_id = f.vec_id)""".stripMargin
+       |  UNION ALL
+       |  SELECT m.cell AS cid,
+       |    list(CASE WHEN n.nn > 0 THEN m.cc / sqrt(n.nn) ELSE m.cc END
+       |      ORDER BY m.i) AS c
+       |  FROM ncm m JOIN ncn n ON n.cell = m.cell GROUP BY m.cell, n.nn)""".stripMargin
 
   /** Shared recursive-CTE clustering prefix (x14 / x29): simhash- and
     * leading-8-token-fingerprint identity edges, min-label connected
@@ -1801,21 +1907,14 @@ object ExtrasOracle {
 
     // x65c: the full maintenance lifecycle — assignment over the 16
     // seeds, mean-occupancy threshold (⌊n/16⌋), each hot cell split
-    // K-WAY (k = ceil(n/t)) in one pass: seed i at rank
-    // 1 + (n−1)·i // (k−1) of the (score DESC, vec_id) ordering
-    // (seed 0 keeps the cell id, seed i ≥ 1 gets 16 + running (k−1)
-    // offset + i), LOCAL nearest-seed (L2: 2·x·s − |s|², argmax with
-    // ties → lowest seed index) reassignment, then the rank-slice
-    // overflow stage: a Voronoi child above t slices by
-    // (d DESC, vec_id) rank into ⌈m/t⌉ cells (slice 0 keeps the child
-    // id, later slices number after the Voronoi block by (child,
-    // slice)). Each final cell's centroid is its rank-1 member under
-    // the same ordering — centroids derive from materialized rows, so
-    // empty Voronoi children leave no phantom. Probe over the
-    // REFRESHED centroid set, plus the layout digest (n_cells /
-    // max_occ / n_rows) on every row. Mirrors AnnIndex.optimize
-    // exactly: every dot decimal-exact, every tie broken on
-    // (score, id).
+    // K-WAY in one pass by the r16 scheme (see annMaintCtes: two-
+    // anchor seeds, pinned Voronoi, two unrolled Lloyd sweeps,
+    // vec_id rank-slice overflow, normalized decimal-mean refreshed
+    // centroids). Probe over the REFRESHED centroid set, plus the
+    // layout digest (n_cells / max_occ / n_rows) on every row.
+    // Mirrors AnnIndex.optimize exactly: every dot decimal-exact,
+    // every Lloyd arithmetic step IEEE-double-deterministic, every
+    // tie broken on (score, id).
     "x65c_ann_optimize" ->
       s"""WITH ${annMaintCtes("<> 0")},
          |psc AS (SELECT nc.cid, ${dot("p.embedding", "nc.c")} AS d

@@ -352,7 +352,7 @@ class AnnIndexSpec extends AnyFunSuite {
     val refreshed = AnnIndex.optimize(spark, p, cents, maxOccupancy = 4L)
     val occ = occOf(p)
     assert(occ == Map(1L -> 4L, 3L -> 2L),
-      s"identical points slice by (d, vec_id) rank under the cap: $occ")
+      s"identical points slice by vec_id rank under the cap: $occ")
     val cids = refreshed.select(col("cid").cast("long"))
       .collect().map(_.getLong(0)).toSet
     assert(cids == occ.keySet,
@@ -405,12 +405,15 @@ class AnnIndexSpec extends AnyFunSuite {
     val p = java.nio.file.Files.createTempDirectory("graft-ann-kway").toString
     val cents = Seq((1L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("cid", "c")
     // 32 members on a continuum in the (x,y) plane: alignment against
-    // the single centroid ties (d = 1.0 for all), so seed ranks fall
-    // back to the vec_id tie rule — seeds at ranks 1, 11, 21, 32
-    // (members y = 0, 2.5, 5.0, 7.75). Voronoi children take 6, 10,
-    // 10, 6 members (boundary ties → lower seed index), and the two
-    // 10-member children each rank-slice into (8, 2) — so one pass
-    // must produce six cells, all ≤ cap.
+    // the single centroid ties (d = 1.0 for all), so seed 0 falls back
+    // to the vec_id tie rule (id 100, y = 0) and the diversity order
+    // ranks by distance² from it — seeds 1..3 at diversity ranks 1,
+    // 11, 21 = members y = 7.75, 5.25, 2.75 (ids 131, 121, 111). The
+    // pinned Voronoi + two Lloyd sweeps settle the children at 5, 9,
+    // 10, 8 members; the 9- and 10-member children vec_id-slice into
+    // (8, 1) and (8, 2) — so one pass must produce six cells, all ≤
+    // cap. Pinned against an independent NumPy replay of the declared
+    // contract (r16).
     val vecs = (0 until 32).map(i => (100L + i, Seq(1.0, 0.25 * i, 0.0, 0.0)))
       .toDF("vec_id", "v")
     AnnIndex.build(vecs, cents, p)
@@ -419,8 +422,8 @@ class AnnIndexSpec extends AnyFunSuite {
     val occ1 = occOf(p)
     assert(occ1.values.max <= cap,
       s"ONE optimize pass must cap occupancy unconditionally: $occ1")
-    assert(occ1 == Map(1L -> 6L, 2L -> 8L, 3L -> 8L, 4L -> 6L,
-        5L -> 2L, 6L -> 2L),
+    assert(occ1 == Map(1L -> 5L, 2L -> 8L, 3L -> 8L, 4L -> 8L,
+        5L -> 1L, 6L -> 2L),
       s"k-way children + rank slices with deterministic ids: $occ1")
     // in-swap compaction: each rewritten cell is exactly one parquet
     // file, not one per shuffle partition
@@ -507,6 +510,95 @@ class AnnIndexSpec extends AnyFunSuite {
       .collect().head
     assert(again.getBoolean(1) === true,
       "re-probing an ingested vector is idempotent, not self-matching")
+  }
+
+  test("dedupVerdicts drift across an optimize is exactly the " +
+      "cell-pruning delta the contract predicts (VERDICT r15 #6)") {
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("graft-ann-drift").toString
+    val cents8 = vectors.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+    val corpus = vectors.filter(col("vec_id").between(20, 299))
+    val batch = vectors.filter(col("vec_id") >= 300)
+      .orderBy(col("vec_id")).limit(50)
+    AnnIndex.build(corpus, cents8, p)
+    val tau = 0.3
+    // independent replay of the declared verdict rule over a given
+    // (layout, centroid set): top-1 cell by (dot desc, cid), keep ⇔
+    // no same-cell stored vector has cosine ≥ tau (double arithmetic —
+    // random unit vectors land nowhere near the decimal border band)
+    def expected(cs: org.apache.spark.sql.DataFrame,
+        layout: org.apache.spark.sql.DataFrame): Map[Long, Boolean] = {
+      val top1 = batch.select(col("vec_id").as("p_id"), col("v").as("p"))
+        .crossJoin(broadcast(cs))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("p_id"))
+          .orderBy(dot("p", "c").desc, col("cid"))))
+        .filter(col("rk") === 1)
+        .select(col("p_id"), col("p"), col("cid"))
+      val hit = top1.join(layout, col("cid") === col("cell") &&
+          col("d1") =!= col("p_id"))
+        .filter(dot("p", "sv") / (sqrt(dot("p", "p")) * sqrt(dot("sv", "sv")))
+          >= tau)
+        .select(col("p_id")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      batch.select(col("vec_id")).collect()
+        .map(r => r.getLong(0) -> !hit(r.getLong(0))).toMap
+    }
+    def layoutOf(): org.apache.spark.sql.DataFrame = spark.read.parquet(p)
+      .select(col("vec_id").as("d1"), col("v").as("sv"),
+        col("cell").cast("long").as("cell"))
+      .localCheckpoint(true) // snapshot: optimize rewrites the files
+    def got(cs: org.apache.spark.sql.DataFrame): Map[Long, Boolean] =
+      AnnIndex.dedupVerdicts(spark, p, batch, cs, nprobe = 1, tau)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val layout0 = layoutOf()
+    val v0 = got(cents8)
+    assert(v0 == expected(cents8, layout0),
+      "pre-optimize verdicts must match the independent replay")
+    val n = corpus.count()
+    val refreshed = AnnIndex.optimize(spark, p, cents8, math.max(1L, n / 8))
+    val v1 = got(refreshed.select(col("cid"), col("c")))
+    assert(v1 == expected(refreshed.select(col("cid"), col("c")), layoutOf()),
+      "post-optimize verdicts must match the independent replay")
+    // the drift set is PREDICTED, not folklore: each flip is exactly a
+    // probe whose top-1 cell changed content across the split — and
+    // the fixture must exercise at least one in each direction
+    // (maintenance MAY flip verdicts by contract; this pins WHICH)
+    val flips = v0.keySet.filter(k => v0(k) != v1(k))
+    assert(flips.nonEmpty, "fixture must exercise a verdict flip")
+    assert(flips.exists(k => v0(k) && !v1(k)) ||
+      flips.exists(k => !v0(k) && v1(k)))
+  }
+
+  test("optimizeIfOutgrown applies the √n occupancy policy; the " +
+      "centroid-scale guard fails loud past the broadcast bound " +
+      "(VERDICT r15 #3)") {
+    val p = java.nio.file.Files.createTempDirectory("graft-ann-policy").toString
+    val cents = buildSkewed(p) // 32 rows: cells of 8 and 24
+    val refreshed = AnnIndex.optimizeIfOutgrown(spark, p, cents)
+    // default policy: cap = ceil(sqrt(32)) = 6 — BOTH cells are hot
+    assert(AnnIndex.defaultOccupancyPolicy(32L) == 6L)
+    val occ = occOf(p)
+    assert(occ.values.max <= 6L,
+      s"√n policy must cap occupancy at 6: $occ")
+    assert(occ.values.sum == 32L, s"policy split must conserve rows: $occ")
+    val cids = refreshed.select(col("cid").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    assert(cids == occ.keySet, "refreshed centroids name exactly the live cells")
+    // guard: with the limit forced under the live cell count, the next
+    // optimize must refuse LOUDLY before touching the layout (a 100 TB
+    // corpus under a fixed cap walks into this — the error names the
+    // policy and the two-level-quantizer escape hatch)
+    System.setProperty("graft.ann.centroid.limit", "4")
+    try {
+      val ex = intercept[RuntimeException] {
+        AnnIndex.optimize(spark, p, refreshed, maxOccupancy = 2L)
+      }
+      assert(ex.getMessage.contains("broadcast-sane") &&
+        ex.getMessage.contains("two-level"),
+        s"guard message must name the escape hatches: ${ex.getMessage}")
+      assert(occOf(p) == occ, "the guard must fire before any rewrite")
+    } finally System.clearProperty("graft.ann.centroid.limit")
   }
 
   test("dedupVerdicts == dedupAgainst's keep/drop across the x79/x81 " +
