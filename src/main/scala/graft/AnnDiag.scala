@@ -142,10 +142,16 @@ object AnnDiag {
       .toString + "/index"
     ann.build(hist, cents, idx2)
     val capPol = ann.defaultOccupancyPolicy(nHist)
-    ann.optimizeIfOutgrown(spark, idx2, cents)
+    val refPol = ann.optimizeIfOutgrown(spark, idx2, cents)
+      .localCheckpoint(true).select(col("cid"), col("c"))
     val polOcc = spark.read.parquet(idx2).groupBy(col("cell"))
       .agg(count(lit(1)).as("occ"))
       .agg(count(lit(1)), max(col("occ"))).head()
+    // the √n-balanced probe cost: at a FIXED cap the maintained
+    // probe's bottleneck migrates into the cell RANKING (probes ×
+    // n_cells grows linearly with the corpus); the policy keeps
+    // ranking (n_cells ≈ √n) and scan (nprobe·cap ≈ √n) in balance
+    val (secsPol, _) = timedVerdicts(spark, idx2, b1, refPol)
     println(s"""{"diag":"ann","dir":"$dir","n_hist":$nHist,""" +
       s""""max_occupancy_cap":$MaxOccupancy,""" +
       s""""before":{"cells":$cells0,"max_occ":$maxOcc0,""" +
@@ -155,7 +161,7 @@ object AnnDiag {
       s""""verdict_secs":$secs1,$sliceStats""" +
       s""""sqrt_n":${math.ceil(math.sqrt(nHist.toDouble)).toLong}},""" +
       s""""sqrt_policy":{"cap":$capPol,"cells":${polOcc.getLong(0)},""" +
-      s""""max_occ":${polOcc.getLong(1)}},""" +
+      s""""max_occ":${polOcc.getLong(1)},"verdict_secs":$secsPol},""" +
       s""""verdicts_equal":$same}""")
     spark.catalog.clearCache()
   }
