@@ -145,24 +145,40 @@ object SemStreamDiag {
         .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
     }
 
+    // SPARK_GRAFT_SEMSTREAM_RUNS=0 → warm-up only (equality check
+    // without the timed reps); SPARK_GRAFT_SEMSTREAM_WIDE=0 skips the
+    // wide-arrival variant
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SEMSTREAM_RUNS", "2").toInt
     def timed(f: () => Set[(Long, Boolean)]): (Double, Set[(Long, Boolean)]) = {
       val v = f() // warm-up (codegen + page cache), untimed
-      val secs = (1 to 2).map { _ =>
+      val secs = if (reps < 1) Double.NaN else (1 to reps).map { _ =>
         val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
       }.min
       (secs, v)
     }
+    def num(d: Double) = if (d.isNaN) "null" else d.toString
     val (bSecs, bV) = timed(() => batchTwin())
     val (sSecs, sV) = timed(() => streamTwin(1))
     val cpus = spark.sparkContext.defaultParallelism
-    val (swSecs, swV) = timed(() => streamTwin(cpus))
+    // the wide variant is TIMING ATTRIBUTION ONLY: its per-part
+    // renames are not atomic as a group, so the stream's listing can
+    // legitimately split a logical batch across triggers — on a
+    // dup-heavy corpus the split halves then dedup against each other
+    // (correct per the index-only contract, different from the
+    // two-batch replay), so its verdicts are reported separately and
+    // NOT part of the stream≡batch equality claim
+    val wide = sys.env.getOrElse("SPARK_GRAFT_SEMSTREAM_WIDE", "1") == "1"
+    val (swSecs, swV) =
+      if (wide) timed(() => streamTwin(cpus)) else (Double.NaN, sV)
     println(s"""{"diag":"semstream","dir":"$dir",""" +
       s""""n_hist":${hist.count()},"micro_batches":2,"batch_probes":2,""" +
-      s""""batch_lifecycle_secs":$bSecs,"stream_lifecycle_secs":$sSecs,""" +
-      s""""stream_wide_arrival_secs":$swSecs,"wide_files":$cpus,""" +
-      s""""premium":${math.rint(sSecs / bSecs * 100) / 100},""" +
-      s""""premium_wide":${math.rint(swSecs / bSecs * 100) / 100},""" +
-      s""""verdicts_equal":${bV == sV && sV == swV}}""")
+      s""""batch_lifecycle_secs":${num(bSecs)},""" +
+      s""""stream_lifecycle_secs":${num(sSecs)},""" +
+      s""""stream_wide_arrival_secs":${num(swSecs)},"wide_files":$cpus,""" +
+      s""""premium":${num(math.rint(sSecs / bSecs * 100) / 100)},""" +
+      s""""premium_wide":${num(math.rint(swSecs / bSecs * 100) / 100)},""" +
+      s""""verdicts_equal_stream":${bV == sV},""" +
+      s""""verdicts_equal_wide":${sV == swV}}""")
     spark.catalog.clearCache()
   }
 }
