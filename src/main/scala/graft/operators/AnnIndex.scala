@@ -151,19 +151,25 @@ object AnnIndex {
     val w = Window.partitionBy(col("p_id"))
     val rkd = row_number().over(w.orderBy(col("sd").desc, col("cid")))
     val kth = max(when(col("rkd") === k, col("sd"))).over(w)
-    // the double pass drops BOTH vectors before the window exchange —
-    // shuffling (p_id, cid, sd, mag) scalars instead of two 64-double
-    // arrays per (probe, cell) row is what keeps the ranking stage
-    // scan-bound (the vector-carrying window was a 10 GB shuffle at
-    // the 832-cell diag point); mag = |p|·|c| anchors the margin on
-    // the magnitude the double error actually scales with, and the
-    // window max covers the k-th row's own magnitude. Self-norms are
-    // HOISTED below the join (VERDICT r15 #5): one fdot per probe row
-    // and one per centroid instead of two per (probe, cell) pair —
-    // the projections sit under the join/broadcast so project-collapse
-    // cannot fold them back into the pair row, and sqrt(npf·ncf) is
-    // the same double as the old sqrt(fdot·fdot).
-    val cand = probes.withColumn("npf", fdot("p", "p"))
+    // The PROBES are hash-partitioned by p_id BEFORE the broadcast
+    // cross join: BroadcastNestedLoopJoin preserves its streamed
+    // side's partitioning, so both ranking windows' ClusteredDistribution
+    // on p_id is already satisfied and NO |probes| × |cells| exchange
+    // exists anywhere in the plan — the only shuffle is the
+    // probe-frame-sized repartition. At the sf10 diag point (25k
+    // probes × 1138 cells) the old plan exchanged 28.5M pair rows per
+    // probe call; this is what kept the fixed-cap maintained probe
+    // ranking-bound (r16 diag) even after the pairs were thinned to
+    // scalars. Self-norms stay HOISTED below the join (VERDICT r15
+    // #5): one fdot per probe row and one per centroid instead of two
+    // per (probe, cell) pair — the projections sit under the
+    // join/broadcast so project-collapse cannot fold them back into
+    // the pair row, and sqrt(npf·ncf) is the same double as the old
+    // sqrt(fdot·fdot). mag = |p|·|c| anchors the margin on the
+    // magnitude the double error actually scales with, and the window
+    // max covers the k-th row's own magnitude.
+    val probesP = probes.repartition(col("p_id"))
+    val cand = probesP.withColumn("npf", fdot("p", "p"))
       .crossJoin(broadcast(centroids.withColumn("ncf", fdot("c", "c"))))
       .select(col("p_id"), col("cid"), fdot("p", "c").as("sd"),
         sqrt(col("npf") * col("ncf")).as("mag"))
@@ -180,7 +186,7 @@ object AnnIndex {
     // smaller cid), which lets [[dedupStream]] route kept vectors
     // without a second ranking pass
     cand.join(broadcast(centroids), Seq("cid"))
-      .join(probes, Seq("p_id"))
+      .join(probesP, Seq("p_id"))
       .withColumn("d", dot("p", "c"))
       .withColumn("rk", rk).filter(col("rk") <= k)
       .drop("d")

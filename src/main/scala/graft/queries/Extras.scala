@@ -3050,8 +3050,9 @@ object Extras {
     * split produced — a dropped member, a mis-assigned child, or a
     * wrong child id diverges one or the other. The oracle replays the
     * whole lifecycle relationally (appends are order-irrelevant by
-    * x65b's argument; optimize is deterministic by seed-vector
-    * construction).
+    * x65b's argument; optimize is deterministic end-to-end — decimal
+    * seed/diversity rankings, IEEE-double Lloyd cosines, decimal-mean
+    * centroids — see [[graft.operators.AnnIndex.optimize]]).
     */
   def x65cAnnOptimize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
