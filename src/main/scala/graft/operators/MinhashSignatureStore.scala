@@ -472,26 +472,33 @@ object MinhashSignatureStore {
         val f = fs(spark, storeDir)
         graft.streaming.StreamLedger.once(f,
             new org.apache.hadoop.fs.Path(storeDir), checkpoint, batchId) {
-          // the micro-batch feeds two actions (the verdict write, then
-          // the append's joins) — persist it so the source files are
-          // read and tokenized once per batch, not once per action
-          // (ADVICE r12, the foreachBatch multi-action rule)
-          batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // SPREAD the micro-batch to the session's parallelism before
+          // anything reads it (the AnnIndex.dedupStream fix, measured
+          // in SemStreamDiag): the atomic-rename arrival pattern
+          // delivers ONE file per trigger, and tokenize + signatures +
+          // band rows are all row-local work that would otherwise run
+          // as ONE task. Then persist: the micro-batch feeds two
+          // actions (the verdict write, then the append's joins), so
+          // the source files are read and tokenized once per batch,
+          // not once per action (ADVICE r12).
+          val spread = batch
+            .repartition(spark.sparkContext.defaultParallelism)
+          spread.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
             val out = s"$verdictDir/batch-$batchId"
             // materialize verdicts BEFORE the append mutates the store
             // (the x71 ordering rule): the verdict frame is lazy
             val verdicts = mode match {
               case Census =>
-                dedupAgainst(spark, batch, storeDir, perms, threshold)
+                dedupAgainst(spark, spread, storeDir, perms, threshold)
               case VerdictOnly =>
-                dedupVerdicts(spark, batch, storeDir, perms, threshold)
+                dedupVerdicts(spark, spread, storeDir, perms, threshold)
             }
             verdicts.write.mode("overwrite").parquet(out)
             val kept = spark.read.parquet(out).filter(col("keep"))
-            append(spark, batch.join(kept, Seq("doc_id"), "left_semi"),
+            append(spark, spread.join(kept, Seq("doc_id"), "left_semi"),
               storeDir, perms)
-          } finally batch.unpersist(blocking = false)
+          } finally spread.unpersist(blocking = false)
         }
         ()
       }
