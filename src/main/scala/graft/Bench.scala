@@ -109,9 +109,22 @@ object Bench {
       val s = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(p)), "UTF-8")
       val obj = s.split("\"queries_min\"\\s*:\\s*\\{", 2)(1).split("\\}", 2)(0)
-      """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(obj)
+      val m = """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(obj)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    } catch { case _: Throwable => Map.empty }
+      if (m.isEmpty)
+        // the record EXISTS but yielded no keys: a format drift would
+        // otherwise silently read as "no record" and turn off
+        // host-contamination flagging (ADVICE r16) — say so loudly
+        System.err.println(
+          s"[bench] WARNING: $p exists but no queries_min entries " +
+            "parsed — record format drift? host_factor disabled")
+      m
+    } catch { case _: java.nio.file.NoSuchFileException => Map.empty
+      case e: Throwable =>
+        System.err.println(
+          s"[bench] WARNING: bench record unreadable (${e.getClass
+            .getSimpleName}: ${e.getMessage}) — host_factor disabled")
+        Map.empty }
 
   /** Host-contamination self-identification (VERDICT r15 #7): the
     * repo's bench trust model says cross-VM totals are incomparable

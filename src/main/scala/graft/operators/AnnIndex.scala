@@ -258,9 +258,19 @@ object AnnIndex {
     */
   def append(embeddings: DataFrame, centroids: DataFrame, path: String): Unit = {
     val recovered = recover(embeddings.sparkSession, path)
-    assign(embeddings, recovered.getOrElse(centroids))
-      .write.mode("append").partitionBy("cell").parquet(path)
+    appendRecovered(embeddings, recovered.getOrElse(centroids), path)
   }
+
+  /** [[append]] against a centroid set the caller has ALREADY
+    * roll-forward-recovered — [[appendStream]]'s per-batch path, which
+    * runs [[recover]] itself to adopt a crashed optimize's refreshed
+    * centroids and would otherwise pay a second no-op lock + marker
+    * listing per micro-batch (ADVICE r16).
+    */
+  private def appendRecovered(embeddings: DataFrame, centroids: DataFrame,
+      path: String): Unit =
+    assign(embeddings, centroids)
+      .write.mode("append").partitionBy("cell").parquet(path)
 
   /** STREAMING index maintenance (VERDICT r11 #7): a `foreachBatch`
     * sink that lands every micro-batch of (vec_id, v) rows through the
@@ -295,9 +305,11 @@ object AnnIndex {
         graft.streaming.StreamLedger.once(f, root, checkpoint, batchId) {
           recover(batch.sparkSession, path).foreach(r => liveCents = r)
           // spread the (often one-file) trigger delivery before the
-          // assignment pipeline — see [[dedupStream]]'s note
-          append(batch.repartition(
-            batch.sparkSession.sparkContext.defaultParallelism),
+          // assignment pipeline — see [[dedupStream]]'s note; the
+          // recovery just ran, so skip append's re-entry recover
+          // (ADVICE r16: two swap-lock acquisitions + marker listings
+          // per micro-batch, the second always a no-op)
+          appendRecovered(graft.streaming.Spread.toParallelism(batch),
             liveCents, path)
         }
         ()
@@ -427,11 +439,12 @@ object AnnIndex {
           // as ONE task. At sf1 that made the streamed lifecycle 2.7×
           // the identical batch lifecycle; spread, it is 0.9× (the
           // stream SAVES append's re-ranking pass). One batch-sized
-          // shuffle, verdicts bit-identical (every downstream op is
-          // partitioning-independent). Also the persist target: the
-          // micro-batch feeds two actions (verdict write, kept append).
-          val spread = batch
-            .repartition(spark.sparkContext.defaultParallelism)
+          // shuffle only when the arrival is narrower than the session
+          // ([[graft.streaming.Spread]], ADVICE r16), verdicts
+          // bit-identical (every downstream op is partitioning-
+          // independent). Also the persist target: the micro-batch
+          // feeds two actions (verdict write, kept append).
+          val spread = graft.streaming.Spread.toParallelism(batch)
           spread.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
             graft.expressions.DecimalDot.register(spark)
@@ -932,6 +945,14 @@ object AnnIndex {
       }
     }
     val subSpecDf = subSpecs.toDF("child", "sub", "fcell")
+    // the post-split cell count is fully known here — input cells
+    // minus the hot parents plus the final slices — so guard BEFORE
+    // the staging write, the Lloyd broadcasts already behind us, and
+    // the refreshed-centroid collect (ADVICE r16: guarding on
+    // refreshedRows.size let one tiny-cap optimize call reach the
+    // driver-memory event the guard exists to prevent)
+    guardCentroidScale(
+      idsRow.getLong(2) - hotCells.size + subSpecs.size)
     val sliceW = 4096L
     val thin = asg.select(col("cell"), col("child"), col("vec_id"))
       .withColumn("bucket", expr(s"vec_id DIV $sliceW"))

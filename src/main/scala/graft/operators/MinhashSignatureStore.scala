@@ -103,6 +103,96 @@ object MinhashSignatureStore {
   private def schemePath(storeDir: String) =
     new org.apache.hadoop.fs.Path(storeDir, "_scheme")
 
+  /** Live bands row-count metadata `"<total> <staging-token>"`
+    * (VERDICT r16 #1): the sizing gate's store-row bound needs the
+    * EXACT bands row count, and deriving it from parquet footers per
+    * probe was one recursive listing + one footer open per file per
+    * MICRO-BATCH — driver-serial, ~2 s/probe at ~200 files on the
+    * x75 fixture, and an object-store listing storm at 100 TB. The
+    * count is instead maintained as commit metadata, updated inside
+    * the same lock + marker roll-forward as the table moves
+    * ([[rollForward]]): append stages its DELTA (known with no FS
+    * work at all — every doc with a non-empty token set emits exactly
+    * nBands band rows, so delta = |staged docs| × nBands), rebuild
+    * stages its new TOTAL. The staging-name token makes a crash
+    * replay's re-apply a no-op, so the metadata can only match the
+    * merged tree or be ABSENT (torn update windows delete-then-
+    * rename; readers fall back to the footer sweep and the next
+    * roll-forward re-seeds). One tiny read per probe, exact under the
+    * store's single-writer protocol — never a listing.
+    */
+  private val BandsRowsFile = "_bands_rows"
+
+  private def bandsRowsPath(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, BandsRowsFile)
+
+  /** (total, last-applied staging token), or None when absent/torn. */
+  private def readBandsRows(f: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[(Long, String)] =
+    try {
+      val p = bandsRowsPath(root)
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val txt = try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+        val parts = txt.split(" ", 2)
+        Some((parts(0).toLong, if (parts.length > 1) parts(1) else ""))
+      }
+    } catch { case _: Exception => None }
+
+  /** Tmp + delete + rename: not atomic across the delete, but a crash
+    * in the window leaves the file ABSENT — the safe direction (sweep
+    * fallback), never a stale count.
+    */
+  private def writeBandsRows(f: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, total: Long, token: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s"$BandsRowsFile.tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(s"$total $token".getBytes("UTF-8")) finally out.close()
+    f.delete(bandsRowsPath(root), false)
+    if (!f.rename(tmp, bandsRowsPath(root)))
+      sys.error(s"MinhashSignatureStore: rename $tmp -> $BandsRowsFile failed")
+  }
+
+  /** Roll the staged `rows` metadata into the live count — runs AFTER
+    * the table moves, inside the same lock, idempotent via the
+    * staging token. A staging with no rows file (older writer)
+    * DELETES the live metadata: stale-low is the one state the gate's
+    * errs-high contract cannot tolerate.
+    */
+  private def applyStagedRows(f: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, mode: String,
+      staging: org.apache.hadoop.fs.Path): Unit = {
+    val rp = new org.apache.hadoop.fs.Path(staging, "rows")
+    if (!f.exists(rp)) { f.delete(bandsRowsPath(root), false); return }
+    val in = f.open(rp)
+    val staged = try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+    finally in.close()
+    val token = staging.getName
+    (mode, readBandsRows(f, root)) match {
+      case (_, Some((_, tok))) if tok == token => () // crash replay
+      case ("rebuild", _) => writeBandsRows(f, root, staged, token)
+      case ("append", Some((t, _))) => writeBandsRows(f, root, t + staged, token)
+      case ("append", None) =>
+        // seed a legacy/torn store: the merge already landed, so the
+        // post-merge footer sweep IS the new total (one-time cost)
+        writeBandsRows(f, root,
+          footerSweep(f, new org.apache.hadoop.fs.Path(root, "bands")), token)
+      case _ => ()
+    }
+  }
+
+  /** Stage the batch's bands row count (delta for append, total for
+    * rebuild) beside its tables, pre-publish.
+    */
+  private def stageRows(f: org.apache.hadoop.fs.FileSystem,
+      staging: org.apache.hadoop.fs.Path, rows: Long): Unit = {
+    val out = f.create(new org.apache.hadoop.fs.Path(staging, "rows"), true)
+    try out.write(rows.toString.getBytes("UTF-8")) finally out.close()
+  }
+
   /** (nHashes, nBands) pinned at build time. */
   def readScheme(spark: SparkSession, storeDir: String): (Int, Int) = {
     val in = fs(spark, storeDir).open(schemePath(storeDir))
@@ -238,6 +328,13 @@ object MinhashSignatureStore {
         SwapCommit.replace(f, sub("scheme"), live("_scheme"))
       case other => sys.error(s"unknown swap mode '$other' in $CommitMarker")
     }
+    // count metadata last: a crash anywhere above replays through the
+    // marker and re-enters here; the staging token makes the re-apply
+    // a no-op once the count landed ([[applyStagedRows]])
+    applyStagedRows(f, root, mode, staging)
+    if (failAt == 4) throw new java.io.IOException(
+      "injected FS failure after the count-metadata update, before the " +
+        "marker retires (test failpoint: the replay must not double-add)")
   }
 
   /** Stage both tables, publish the commit marker, roll forward. The
@@ -277,6 +374,12 @@ object MinhashSignatureStore {
         .write.mode("overwrite").partitionBy("bkt")
         .parquet(s"$staging/bands")
       arrs.write.mode("overwrite").parquet(s"$staging/docs")
+      // the batch's bands row DELTA, exact with zero FS work: every
+      // staged doc (arrs rows all have >= 1 token by construction)
+      // emits exactly nBands band rows, and arrs is persisted — one
+      // tiny cached count ([[applyStagedRows]] rolls it forward)
+      stageRows(f, new org.apache.hadoop.fs.Path(staging),
+        arrs.count() * nBands)
     } finally arrs.unpersist(blocking = false)
     if (failAt == 1) throw new java.io.IOException(
       "injected FS failure before commit-marker publish (test failpoint)")
@@ -405,6 +508,11 @@ object MinhashSignatureStore {
     arrs.write.mode("overwrite").parquet(s"$staging/docs")
     val out = f.create(new org.apache.hadoop.fs.Path(staging, "scheme"), true)
     try out.write(s"$nHashes,$nBands".getBytes("UTF-8")) finally out.close()
+    // rebuild's staged count is the new TOTAL (same zero-FS-work
+    // identity as append's delta: one band row per doc per band, over
+    // the compacted one-row-per-doc_id corpus)
+    stageRows(f, new org.apache.hadoop.fs.Path(staging),
+      arrs.select(col("doc_id")).count() * nBands)
     if (failAt == 1) throw new java.io.IOException(
       "injected FS failure before commit-marker publish (test failpoint)")
     SwapCommit.withLock(root) {
@@ -477,12 +585,14 @@ object MinhashSignatureStore {
           // in SemStreamDiag): the atomic-rename arrival pattern
           // delivers ONE file per trigger, and tokenize + signatures +
           // band rows are all row-local work that would otherwise run
-          // as ONE task. Then persist: the micro-batch feeds two
-          // actions (the verdict write, then the append's joins), so
-          // the source files are read and tokenized once per batch,
-          // not once per action (ADVICE r12).
-          val spread = batch
-            .repartition(spark.sparkContext.defaultParallelism)
+          // as ONE task. GATED on the incoming partition count
+          // (ADVICE r16): a trigger that already delivers >= |cores|
+          // splits is spread enough, and the unconditional repartition
+          // was a pure batch-sized shuffle there. Then persist: the
+          // micro-batch feeds two actions (the verdict write, then the
+          // append's joins), so the source files are read and
+          // tokenized once per batch, not once per action (ADVICE r12).
+          val spread = graft.streaming.Spread.toParallelism(batch)
           spread.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
             val out = s"$verdictDir/batch-$batchId"
@@ -756,21 +866,24 @@ object MinhashSignatureStore {
     *    d1 < d2 yields Σ_g C(m_g, 2) over the batch's collision-group
     *    multiplicities — one batch-sized aggregate, no store access.
     *  - store-side pairs are ≤ store_band_rows × max_g m_g; the row
-    *    count comes from the bands files' PARQUET FOOTERS (sum of
-    *    per-file num_rows — driver-side metadata reads, still
-    *    store-SCAN-free), so it is EXACT. ADVICE r15 killed the old
-    *    bytes/2 heuristic here: a dup-dense bands table (dictionary +
-    *    RLE on band/sig, delta-packed ids, snappy) can compress below
+    *    count is EXACT, read from the [[BandsRowsFile]] commit
+    *    metadata the swap roll-forward maintains (one tiny file —
+    *    VERDICT r16 #1: the r16 footer-sweep version of this
+    *    exactness re-listed and re-opened every bands file per
+    *    MICRO-BATCH, ~2 s/probe at sf0.1 and an object-store listing
+    *    storm at scale; [[footerSweep]] remains only as the
+    *    legacy-store fallback). ADVICE r15 killed the older bytes/2
+    *    heuristic: a dup-dense bands table (dictionary + RLE on
+    *    band/sig, delta-packed ids, snappy) can compress below
     *    2 bytes/row, which made the "must only ever err HIGH"
     *    invariant false in exactly the match-dense regime the sizing
     *    exists for — a false "fits" skips the measured count and runs
     *    the census exchanges under-sized (the r14 sf10 heap-kill
-    *    class). With footer counts the only slack left is maxm, which
-    *    errs high by construction.
+    *    class). With the exact count the only slack left is maxm,
+    *    which errs high by construction.
     *
-    * Cost: one aggregate job over the batch's band rows + one footer
-    * read per bands file (the store's rebuild/compaction discipline
-    * keeps the file count scheduler-sized).
+    * Cost: one aggregate job over the batch's band rows + one
+    * metadata-file read.
     */
   private def candidateUpperBound(spark: SparkSession, storeDir: String,
       inc: DataFrame): Long = {
@@ -779,29 +892,63 @@ object MinhashSignatureStore {
       .agg(coalesce(max(col("m")), lit(0L)).as("maxm"),
         coalesce(sum(col("m") * (col("m") - lit(1L))), lit(0L)).as("sp2"))
       .head()
-    val storeRows = parquetFooterRowCount(spark,
-      new org.apache.hadoop.fs.Path(storeDir, "bands"))
+    val t0 = System.nanoTime()
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fss = fs(spark, storeDir)
+    val storeRows = readBandsRows(fss, root) match {
+      case Some((t, _)) => t
+      case None => // pre-metadata store: one-time sweep; the next
+        // roll-forward seeds [[BandsRowsFile]] and retires this path
+        footerSweep(fss, new org.apache.hadoop.fs.Path(root, "bands"))
+    }
+    if (java.lang.Boolean.getBoolean("graft.debug.sizing"))
+      println(f"[mss-sizing] store rows in ${(System.nanoTime() - t0) / 1e6}%.1f ms rows=$storeRows")
     storeRows * st.getLong(0) + st.getLong(1) / 2
   }
 
-  /** Exact row count of a parquet directory from file footers alone —
-    * no Spark job, no data pages read; one small metadata read per
-    * file on the driver.
+  /** Per-file footer row counts for [[footerSweep]], keyed by
+    * (parent-dir/file NAME, length). The file name alone is NOT
+    * unique: Spark's part-file uuid is per WRITE JOB, so one task
+    * writing several `bkt=` partition dirs emits same-named (and
+    * often same-length) files whose row counts differ — the
+    * partition dir name disambiguates them. Within that key, content
+    * is stable: this store never rewrites a file in place (append
+    * stages new UUID-named files and rename-merges them; rebuild
+    * replaces whole dirs with fresh-UUID files), so an equal
+    * (bkt/name, length) IS the same content, possibly at another
+    * path (a cloned/copied store) — and therefore the same row
+    * count. Entries are a few dozen bytes; the clear() at 1M entries
+    * only bounds a pathological many-store driver, it never
+    * invalidates a live entry.
     */
-  private def parquetFooterRowCount(spark: SparkSession,
+  private val footerRowCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Long]()
+
+  /** Exact row count of a parquet directory from file footers alone —
+    * no Spark job, no data pages read; one recursive listing plus one
+    * small metadata read per file NOT already in [[footerRowCache]].
+    * The LEGACY/seed path only ([[BandsRowsFile]] is the steady
+    * state): even fully cached, the recursive listing alone measured
+    * ~0.6 s at ~200 local files (Hadoop's local FS shells out per
+    * file for permission bits) — fine once, not per micro-batch.
+    */
+  private def footerSweep(f: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path): Long = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val f = dir.getFileSystem(conf)
     if (!f.exists(dir)) return 0L
+    if (footerRowCache.size > 1000000) footerRowCache.clear()
     val it = f.listFiles(dir, true)
     var n = 0L
     while (it.hasNext) {
       val st = it.next()
       if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
-        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromStatus(st, conf))
-        try n += rd.getRecordCount finally rd.close()
+        n += footerRowCache.computeIfAbsent(
+          (st.getPath.getParent.getName + "/" + st.getPath.getName,
+            st.getLen), { _ =>
+            val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromStatus(st, f.getConf))
+            try rd.getRecordCount finally rd.close()
+          })
       }
     }
     n
