@@ -125,6 +125,7 @@ object SparkEntry {
     "x65_ann_index" -> (X.x65AnnIndex _),
     "x65b_ann_append" -> (X.x65bAnnAppend _),
     "x65c_ann_optimize" -> (X.x65cAnnOptimize _),
+    "x65d_ann_policy" -> (X.x65dAnnPolicy _),
     "x66_frame_sample" -> (X.x66FrameSample _),
     "x67_resize" -> (X.x67Resize _),
     "x68_audio_features" -> (X.x68AudioFeatures _),

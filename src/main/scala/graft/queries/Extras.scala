@@ -3083,6 +3083,43 @@ object Extras {
     res.crossJoin(broadcast(digest)).orderBy($"p_id", $"rank")
   }
 
+  /** x65d — the PRODUCTION-DEFAULT maintenance path, hash-gated
+    * (VERDICT r16 #2): x65c's exact lifecycle (build + two refresh
+    * appends) but the optimize is [[graft.operators.AnnIndex
+    * .optimizeIfOutgrown]] — the call a pipeline actually schedules —
+    * which RECOUNTS the index (one scheduler-sized job) and applies
+    * the ⌈√n⌉ occupancy policy instead of a caller-chosen cap. At
+    * sf0.01 that is cap 23 vs x65c's 31, so the two keys split
+    * different cells and hash differently: this key pins the policy's
+    * recount-then-cap arithmetic AND the full split/Lloyd/slice chain
+    * under it against the DuckDB replay (thr = ⌈√n⌉ in
+    * annMaintCtes — the only delta from x65c's oracle). The probe +
+    * layout digest mirror x65c so the gate covers verdicts, the
+    * refreshed centroid set, and the physical layout in one output.
+    */
+  def x65dAnnPolicy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val cents = e.filter($"vec_id".between(1, 16))
+      .select($"vec_id".as("cid"), $"v".as("c"))
+    val path = scratchDir(s, "x65d", dir) + "/index"
+    graft.operators.AnnIndex.build(
+      e.filter($"vec_id" =!= 0 && $"vec_id" % 5 =!= 4), cents, path)
+    (0 until 2).foreach { k =>
+      graft.operators.AnnIndex.append(
+        e.filter($"vec_id" =!= 0 && $"vec_id" % 10 === (5 * k + 4)), cents, path)
+    }
+    val refreshed = graft.operators.AnnIndex.optimizeIfOutgrown(s, path, cents)
+    val probes = e.filter($"vec_id" === 0).select($"vec_id".as("p_id"), $"v".as("p"))
+    val res = graft.operators.AnnIndex.probe(
+      s, path, probes, refreshed, nprobe = 2, k = 5)
+    val digest = s.read.parquet(path)
+      .groupBy($"cell").agg(cnt.as("n"))
+      .agg(cnt.as("n_cells"), max($"n").as("max_occ"),
+        sum($"n").cast(LongType).as("n_rows"))
+    res.crossJoin(broadcast(digest)).orderBy($"p_id", $"rank")
+  }
+
   /** x70 — STREAMING index maintenance (ANN × H, VERDICT r11 #7):
     * x65b's refresh batch arrives as an unbounded parquet stream (four
     * slice files, one micro-batch each via maxFilesPerTrigger=1)

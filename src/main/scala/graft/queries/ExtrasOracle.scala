@@ -29,8 +29,10 @@ object ExtrasOracle {
   /** Shared AnnIndex maintenance replay (x65c / x76b): the
     * build→optimize lifecycle expressed relationally over the corpus
     * rows `vec_id <corpusPred>` — 16-seed decimal-argmax assignment,
-    * mean-occupancy threshold t = ⌊n/16⌋, then the r16 one-pass split
-    * of every cell with n > t:
+    * occupancy threshold t = `thrExpr` over the corpus (default the
+    * mean ⌊n/16⌋ that mirrors x65c's fixed cap; x65d passes the
+    * ⌈√n⌉ policy `optimizeIfOutgrown` applies), then the r16 one-pass
+    * split of every cell with n > t:
     *  - TWO-ANCHOR seeds (k = ⌈n/t⌉): seed 0 at rank 1 of the
     *    (parent score DESC NULLS LAST, vec_id) order; seed i ≥ 1 at
     *    rank 1 + (n−1)(i−1) // (k−1) of the DIVERSITY order — exact-
@@ -58,7 +60,8 @@ object ExtrasOracle {
     * DuckDB's default CTE inlining re-evaluates each reference —
     * measured ~2× per level, turning a 1.6 s replay into minutes.
     */
-  private def annMaintCtes(corpusPred: String): String =
+  private def annMaintCtes(corpusPred: String,
+      thrExpr: String = "COUNT(*) // 16"): String =
     s"""cents AS MATERIALIZED (SELECT vec_id AS cid, embedding AS c FROM embeddings
        |  WHERE vec_id BETWEEN 1 AND 16),
        |sc AS MATERIALIZED (SELECT e.vec_id, s.cid, ${dot("e.embedding", "s.c")} AS d
@@ -69,7 +72,7 @@ object ExtrasOracle {
        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
        |      ORDER BY d DESC, cid) AS rn FROM sc) WHERE rn = 1),
        |occ AS MATERIALIZED (SELECT cell, COUNT(*) AS n FROM assign GROUP BY cell),
-       |thr AS MATERIALIZED (SELECT GREATEST(1, COUNT(*) // 16) AS t FROM embeddings
+       |thr AS MATERIALIZED (SELECT GREATEST(1, $thrExpr) AS t FROM embeddings
        |  WHERE vec_id $corpusPred),
        |hot AS MATERIALIZED (SELECT cell, n, (n + t - 1) // t AS k
        |  FROM occ, thr WHERE n > t),
@@ -1917,6 +1920,33 @@ object ExtrasOracle {
     // tie broken on (score, id).
     "x65c_ann_optimize" ->
       s"""WITH ${annMaintCtes("<> 0")},
+         |psc AS (SELECT nc.cid, ${dot("p.embedding", "nc.c")} AS d
+         |  FROM embeddings p, newcents nc, generate_series(1, 64) t(i)
+         |  WHERE p.vec_id = 0 GROUP BY nc.cid),
+         |pcells AS (SELECT cid AS cell FROM psc ORDER BY d DESC, cid LIMIT 2),
+         |probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+         |fin AS (SELECT e.vec_id, ${dot("e.embedding", "probe.pe")} AS score
+         |  FROM embeddings e
+         |    JOIN na ON na.vec_id = e.vec_id
+         |    JOIN pcells ON na.cell = pcells.cell,
+         |    probe, generate_series(1, 64) t(i)
+         |  GROUP BY e.vec_id),
+         |digest AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+         |    CAST(MAX(n) AS BIGINT) AS max_occ, CAST(SUM(n) AS BIGINT) AS n_rows
+         |  FROM (SELECT cell, COUNT(*) AS n FROM na GROUP BY cell))
+         |SELECT CAST(0 AS BIGINT) AS p_id,
+         |  CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT) AS rank,
+         |  vec_id, score, n_cells, max_occ, n_rows
+         |FROM (SELECT * FROM fin ORDER BY score DESC, vec_id LIMIT 5), digest
+         |ORDER BY p_id, rank""".stripMargin,
+
+    // x65d: x65c's lifecycle under the PRODUCTION-DEFAULT
+    // optimizeIfOutgrown — identical replay with the one honest
+    // delta: thr = ⌈√n⌉ (the recounted-index occupancy policy)
+    // instead of the fixed ⌊n/16⌋ cap. Same probe + digest tail.
+    "x65d_ann_policy" ->
+      s"""WITH ${annMaintCtes("<> 0",
+             "CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)")},
          |psc AS (SELECT nc.cid, ${dot("p.embedding", "nc.c")} AS d
          |  FROM embeddings p, newcents nc, generate_series(1, 64) t(i)
          |  WHERE p.vec_id = 0 GROUP BY nc.cid),
