@@ -151,7 +151,31 @@ object AnnDiag {
     // probe's bottleneck migrates into the cell RANKING (probes ×
     // n_cells grows linearly with the corpus); the policy keeps
     // ranking (n_cells ≈ √n) and scan (nprobe·cap ≈ √n) in balance
-    val (secsPol, _) = timedVerdicts(spark, idx2, b1, refPol)
+    val (secsPol, vPol) = timedVerdicts(spark, idx2, b1, refPol)
+    // TWO-LEVEL ranking evidence (r17, the guard's escape hatch made
+    // real): force the route on the policy-maintained index and
+    // measure the probe under it. The covering descent (nsuper = k₂)
+    // considers every cell, so its verdicts must equal the flat
+    // path's bit for bit — the plan changed, the contract did not;
+    // the production descent (nsuper = 8) prices the level-1 recall
+    // trade the same way nprobe prices level 2's.
+    val polCells = polOcc.getLong(0)
+    val k2 = math.ceil(math.sqrt(polCells.toDouble)).toLong
+    val twoLevel = try {
+      System.setProperty("graft.ann.centroid.limit",
+        math.max(1L, polCells - 1).toString)
+      System.setProperty("graft.ann.nsuper", k2.toString)
+      val (sCov, vCov) = timedVerdicts(spark, idx2, b1, refPol)
+      val covRouted = graft.operators.AnnIndex.lastRankingTwoLevel
+      System.setProperty("graft.ann.nsuper", "8")
+      val (s8, v8) = timedVerdicts(spark, idx2, b1, refPol)
+      s""""two_level":{"cells":$polCells,"k2":$k2,"routed":$covRouted,""" +
+        s""""covering_secs":$sCov,"covering_equal":${vCov == vPol},""" +
+        s""""nsuper8_secs":$s8,"nsuper8_equal":${v8 == vPol}},"""
+    } finally {
+      System.clearProperty("graft.ann.centroid.limit")
+      System.clearProperty("graft.ann.nsuper")
+    }
     println(s"""{"diag":"ann","dir":"$dir","n_hist":$nHist,""" +
       s""""max_occupancy_cap":$MaxOccupancy,""" +
       s""""before":{"cells":$cells0,"max_occ":$maxOcc0,""" +
@@ -162,6 +186,7 @@ object AnnDiag {
       s""""sqrt_n":${math.ceil(math.sqrt(nHist.toDouble)).toLong}},""" +
       s""""sqrt_policy":{"cap":$capPol,"cells":${polOcc.getLong(0)},""" +
       s""""max_occ":${polOcc.getLong(1)},"verdict_secs":$secsPol},""" +
+      twoLevel +
       s""""verdicts_equal":$same}""")
     spark.catalog.clearCache()
   }

@@ -39,25 +39,25 @@ object AnnIndex {
   private def fdotc(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     graft.expressions.DoubleDot.doubleDot(a, b)
 
-  /** Hard ceiling on the centroid-set size (VERDICT r15 #3): every
-    * probe path broadcasts the centroids and [[optimize]] collects one
-    * (cid, dim-double) row per cell, so the set must stay
-    * scheduler-sized. 262144 64-dim cells ≈ 140 MB — near the edge of
-    * broadcast-sane. Past it the design answer is a TWO-LEVEL coarse
-    * quantizer (rank cells against ~√n_cells super-centroids first,
-    * then only the chosen super-cell's centroids — the IVF analog of
-    * the minhash store's rebuildIfOutgrown re-tiering; see SCALE.md),
-    * not a bigger broadcast — so the guard fails LOUD instead of
-    * letting a silently-degrading broadcast reach a driver OOM at
-    * 100 TB. Overridable for tests via -Dgraft.ann.centroid.limit.
+  /** Hard ceiling on the centroid-set size for [[optimize]] (VERDICT
+    * r15 #3): the refresh collects one (cid, dim-double) row per
+    * cell, so the set must stay scheduler-sized. 262144 64-dim cells
+    * ≈ 140 MB — near the edge of collect-sane. The PROBE paths no
+    * longer share this ceiling: past the same limit their ranking
+    * routes through the two-level coarse quantizer
+    * ([[topCellsTwoLevel]], r17) instead of broadcasting the set.
+    * Optimize keeps the loud refusal until its centroid refresh is
+    * re-expressed without the collect (the remaining two-level work —
+    * SCALE.md). Overridable for tests via -Dgraft.ann.centroid.limit.
     */
   private def guardCentroidScale(n: Long): Unit = {
     val limit = java.lang.Long.getLong("graft.ann.centroid.limit", 262144L)
     if (n > limit) sys.error(
       s"AnnIndex centroid set has $n cells > broadcast-sane limit $limit: " +
         "raise maxOccupancy (optimizeIfOutgrown's √n policy keeps " +
-        "n_cells ≈ √n) or introduce a two-level coarse quantizer " +
-        "(SCALE.md); refusing to build a plan that broadcasts this set")
+        "n_cells ≈ √n); probes past this limit rank via the two-level " +
+        "coarse quantizer, but optimize's centroid refresh still " +
+        "collects one row per cell (SCALE.md) — refusing to build it")
   }
 
   /** Slice-stage diagnostics from the LAST [[optimize]] call —
@@ -142,8 +142,126 @@ object AnnIndex {
     * build/append assignment cell under the argmax rule, which
     * [[dedupStream]] uses to route kept vectors without a second
     * ranking pass (ADVICE r15: this column is contract, not residue).
+    * That contract — columns, tie rules, selection — holds for BOTH
+    * ranking paths below; [[topCells]] routes between them by
+    * centroid-set size.
+    */
+  /** Ranking-path router: the flat single-level ranking broadcasts
+    * the whole centroid set, which is the right plan up to the
+    * broadcast-sane bound and a driver/executor memory event past it
+    * — so past `-Dgraft.ann.centroid.limit` (default 262144) the
+    * ranking routes through the TWO-LEVEL coarse quantizer
+    * ([[topCellsTwoLevel]]) instead. n_cells comes from a per-frame
+    * memo ([[cellCount]]): the streaming paths reuse one adopted
+    * centroids frame across micro-batches, so the count job runs once
+    * per adopted set, not per batch.
     */
   private def topCells(probes: DataFrame, centroids: DataFrame,
+      k: Int): DataFrame = {
+    val limit = java.lang.Long.getLong("graft.ann.centroid.limit", 262144L)
+    val n = cellCount(centroids)
+    lastRankingTwoLevel = n > limit
+    if (n > limit) topCellsTwoLevel(probes, centroids, k, n)
+    else topCellsFlat(probes, centroids, k)
+  }
+
+  /** Memoized centroid-set size per FRAME INSTANCE (identity-keyed,
+    * weak, so dropped frames GC): the ranking router needs n_cells
+    * and must not pay a count job per micro-batch.
+    */
+  private val cellCountMemo =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[DataFrame, java.lang.Long]())
+
+  private def cellCount(centroids: DataFrame): Long =
+    cellCountMemo.computeIfAbsent(centroids, c => c.count()).longValue
+
+  /** True iff the LAST [[topCells]] call routed two-level —
+    * spec/diag surface, same pattern as [[lastSliceStats]].
+    */
+  @volatile private[graft] var lastRankingTwoLevel: Boolean = false
+
+  /** TWO-LEVEL coarse quantizer (the guard's named escape, VERDICT
+    * r16 missing #1): for n_cells past the broadcast bound, cluster
+    * the CELL CENTROIDS under k₂ = ⌈√n_cells⌉ super-centroids and
+    * rank in two stages — (1) the flat machinery over the √n supers
+    * (broadcast-sane by construction), (2) the same double-pre-rank +
+    * margin-band + exact-decimal tie rules over ONLY the chosen
+    * supers' cells, with the pairs built by thin joins (nothing
+    * n_cells-sized is ever broadcast or collected; the p_id join
+    * satisfies the ranking windows' clustering, so no pair-row
+    * exchange is added either). Fully deterministic, hence verdicts
+    * stay replayable: seeds are the k₂ smallest cell ids, membership
+    * is [[assign]]'s decimal argmax, super-centroids are per-
+    * dimension DECIMAL SUMS of member centroids (the x61 idiom —
+    * cosine is scale-invariant, so the undivided sum ranks exactly
+    * like the mean and sidesteps decimal division), and both ranking
+    * stages share the flat path's tie rules.
+    *
+    * The descent width `-Dgraft.ann.nsuper` (default 8) is the
+    * recall/cost dial of every two-level IVF: a cell whose super was
+    * not ranked in the top-nsuper is not considered — missed BY
+    * CONTRACT, like nprobe at level 1. With nsuper ≥ k₂ every cell is
+    * considered and the output is IDENTICAL to the flat ranking
+    * (AnnIndexSpec pins this), because the candidate SET and the tie
+    * rules — not the plan shape — determine the result. Per-call
+    * super construction is the prototype trade: O(n_cells·√n_cells)
+    * distributed work per probe batch; the production follow-up is
+    * persisting the super assignment in the index layout at
+    * [[optimize]] time (SCALE.md).
+    */
+  private def topCellsTwoLevel(probes: DataFrame, centroids: DataFrame,
+      k: Int, nCells: Long): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val spark = probes.sparkSession
+    graft.expressions.DecimalDot.register(spark)
+    graft.expressions.DoubleDot.register(spark)
+    val fdot = graft.functions.VectorFns.dotFast _
+    val k2 = math.ceil(math.sqrt(nCells.toDouble)).toInt
+    val nsuper = math.max(1L,
+      java.lang.Long.getLong("graft.ann.nsuper", 8L)).toInt
+    val seeds = centroids.orderBy(col("cid")).limit(k2)
+    val superOf = assign(
+      centroids.select(col("cid").as("vec_id"), col("c").as("v")), seeds)
+      .select(col("vec_id").as("cid"), col("cell").as("sid"))
+    val superCents = centroids.join(superOf, Seq("cid"))
+      .select(col("sid"), posexplode(col("c")).as(Seq("pos", "x")))
+      .groupBy(col("sid"), col("pos"))
+      .agg(sum(col("x").cast(DecimalType(30, 12)))
+        .cast(DoubleType).as("cc"))
+      .groupBy(col("sid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cc")))),
+        p => p.getField("cc")).as("c"))
+      .select(col("sid").as("cid"), col("c"))
+    val topSuper = topCellsFlat(probes, superCents, nsuper)
+      .select(col("p_id"), col("cid").as("sid"))
+    val candCells = topSuper.join(superOf, Seq("sid"))
+      .select(col("p_id"), col("cid"))
+    val w = Window.partitionBy(col("p_id"))
+    val rkd = row_number().over(w.orderBy(col("sd").desc, col("cid")))
+    val kth = max(when(col("rkd") === k, col("sd"))).over(w)
+    val probesP = probes.repartition(col("p_id"))
+    val cand = candCells
+      .join(centroids.withColumn("ncf", fdot("c", "c")), Seq("cid"))
+      .join(probesP.withColumn("npf", fdot("p", "p")), Seq("p_id"))
+      .select(col("p_id"), col("cid"), fdot("p", "c").as("sd"),
+        sqrt(col("npf") * col("ncf")).as("mag"))
+      .withColumn("rkd", rkd)
+      .withColumn("kth", kth)
+      .withColumn("magx", max(col("mag")).over(w))
+      .filter(col("rkd") <= k || col("sd").isNull || col("kth").isNull ||
+        col("sd") >= col("kth") -
+          margin(col("sd"), col("kth"), col("mag") + col("magx")))
+      .select(col("p_id"), col("cid"))
+    val rk = row_number().over(w.orderBy(col("d").desc, col("cid")))
+    cand.join(centroids, Seq("cid"))
+      .join(probesP, Seq("p_id"))
+      .withColumn("d", dot("p", "c"))
+      .withColumn("rk", rk).filter(col("rk") <= k)
+      .drop("d")
+  }
+
+  private def topCellsFlat(probes: DataFrame, centroids: DataFrame,
       k: Int): DataFrame = {
     graft.expressions.DecimalDot.register(probes.sparkSession)
     graft.expressions.DoubleDot.register(probes.sparkSession)

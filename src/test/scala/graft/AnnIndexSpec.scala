@@ -64,6 +64,48 @@ class AnnIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("past the centroid limit the ranking routes through the " +
+      "two-level coarse quantizer; with a covering descent width the " +
+      "probe is IDENTICAL to the flat ranking (VERDICT r16 missing #1)") {
+    val probes = vectors.filter(col("vec_id").between(20, 24))
+      .select(col("vec_id").as("p_id"), col("v").as("p"))
+    def run(): Seq[(Long, Long, Long)] =
+      AnnIndex.probe(spark, indexPath, probes, centroids, nprobe = 2, k = 5)
+        .select(col("p_id").cast("long"), col("rank").cast("long"),
+          col("vec_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        .sorted
+    val flat = run()
+    assert(!AnnIndex.lastRankingTwoLevel, "default limit must rank flat")
+    // force the route: limit 4 < 8 cells; k2 = ceil(sqrt(8)) = 3
+    // super-centroids; nsuper = 3 covers every super, so the candidate
+    // CELL set is complete and the shared tie rules make the output
+    // bit-identical to the flat ranking — the plan changed, the
+    // contract did not
+    System.setProperty("graft.ann.centroid.limit", "4")
+    System.setProperty("graft.ann.nsuper", "3")
+    try {
+      val two = run()
+      assert(AnnIndex.lastRankingTwoLevel,
+        "a 4-cell limit must route an 8-cell set two-level")
+      assert(two == flat,
+        s"covering two-level ranking must equal the flat ranking:\n$two\nvs\n$flat")
+      // the narrow descent (nsuper = 1): still deterministic (two runs
+      // agree row for row) and still k results per probe — the only
+      // contract change is WHICH cells are candidates, the level-1
+      // analog of nprobe
+      System.setProperty("graft.ann.nsuper", "1")
+      val narrow1 = run()
+      val narrow2 = run()
+      assert(narrow1 == narrow2, "narrow descent must be deterministic")
+      assert(narrow1.groupBy(_._1).forall(_._2.size == 5),
+        "narrow descent still returns k hits per probe on a covered index")
+    } finally {
+      System.clearProperty("graft.ann.centroid.limit")
+      System.clearProperty("graft.ann.nsuper")
+    }
+  }
+
   test("probe above the IN-list limit switches to a broadcast-semi DPP " +
       "filter with identical results (VERDICT r14 #4)") {
     val probes = vectors.filter(col("vec_id").between(20, 22))
