@@ -353,6 +353,15 @@ object PlanAudit {
       "decimal_dot kernel scores the probe (not interpreted HOF)" ->
         (_.contains("decimal_dot")),
       "no cartesian product" -> (p => !p.contains("CartesianProduct")))
+    // x65d: the PRODUCTION-DEFAULT maintenance path (optimizeIfOutgrown,
+    // √n policy) — same serving-path claims as x65c: the policy changes
+    // how many cells exist, never the probe's plan shape
+    audit("x65d_ann_policy")(
+      "post-policy-optimize probe prunes by partition filter" ->
+        (p => p.contains("PartitionFilters: [") && p.contains("cell#")),
+      "decimal_dot kernel scores the probe (not interpreted HOF)" ->
+        (_.contains("decimal_dot")),
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")))
     // x71: the signature-store probe must never shuffle the store —
     // the bands scan is DPP-pruned on bkt and every join builds the
     // batch side (broadcast); an SMJ anywhere means a store-sized

@@ -176,6 +176,15 @@ object AnnIndex {
   private def cellCount(centroids: DataFrame): Long =
     cellCountMemo.computeIfAbsent(centroids, c => c.count()).longValue
 
+  /** Memoized two-level super construction per centroid frame
+    * instance — see [[topCellsTwoLevel]]. Values are eagerly
+    * localCheckpoint'd frames whose lineage holds no reference back
+    * to the weak key, so entries stay collectable.
+    */
+  private val superMemo =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[DataFrame, (DataFrame, DataFrame)]())
+
   /** True iff the LAST [[topCells]] call routed two-level —
     * spec/diag surface, same pattern as [[lastSliceStats]].
     */
@@ -204,11 +213,16 @@ object AnnIndex {
     * CONTRACT, like nprobe at level 1. With nsuper ≥ k₂ every cell is
     * considered and the output is IDENTICAL to the flat ranking
     * (AnnIndexSpec pins this), because the candidate SET and the tie
-    * rules — not the plan shape — determine the result. Per-call
-    * super construction is the prototype trade: O(n_cells·√n_cells)
-    * distributed work per probe batch; the production follow-up is
-    * persisting the super assignment in the index layout at
-    * [[optimize]] time (SCALE.md).
+    * rules — not the plan shape — determine the result. Super
+    * construction — O(n_cells·√n_cells) distributed work — is
+    * memoized per centroid FRAME instance ([[superMemo]], the
+    * [[cellCount]] idiom): the streaming paths reuse one adopted
+    * centroids frame across micro-batches, so they cluster once per
+    * adopted set, not per batch; the memoized frames are eagerly
+    * localCheckpoint'd, so their lineage holds no reference to the
+    * weak key. Persisting the super assignment in the index LAYOUT at
+    * [[optimize]] time (surviving the JVM) remains the named
+    * follow-up (SCALE.md).
     */
   private def topCellsTwoLevel(probes: DataFrame, centroids: DataFrame,
       k: Int, nCells: Long): DataFrame = {
@@ -220,19 +234,24 @@ object AnnIndex {
     val k2 = math.ceil(math.sqrt(nCells.toDouble)).toInt
     val nsuper = math.max(1L,
       java.lang.Long.getLong("graft.ann.nsuper", 8L)).toInt
-    val seeds = centroids.orderBy(col("cid")).limit(k2)
-    val superOf = assign(
-      centroids.select(col("cid").as("vec_id"), col("c").as("v")), seeds)
-      .select(col("vec_id").as("cid"), col("cell").as("sid"))
-    val superCents = centroids.join(superOf, Seq("cid"))
-      .select(col("sid"), posexplode(col("c")).as(Seq("pos", "x")))
-      .groupBy(col("sid"), col("pos"))
-      .agg(sum(col("x").cast(DecimalType(30, 12)))
-        .cast(DoubleType).as("cc"))
-      .groupBy(col("sid"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cc")))),
-        p => p.getField("cc")).as("c"))
-      .select(col("sid").as("cid"), col("c"))
+    val (superOf, superCents) = superMemo.computeIfAbsent(centroids, { _ =>
+      val seeds = centroids.orderBy(col("cid")).limit(k2)
+      val so = assign(
+        centroids.select(col("cid").as("vec_id"), col("c").as("v")), seeds)
+        .select(col("vec_id").as("cid"), col("cell").as("sid"))
+        .localCheckpoint(true)
+      val sc = centroids.join(so, Seq("cid"))
+        .select(col("sid"), posexplode(col("c")).as(Seq("pos", "x")))
+        .groupBy(col("sid"), col("pos"))
+        .agg(sum(col("x").cast(DecimalType(30, 12)))
+          .cast(DoubleType).as("cc"))
+        .groupBy(col("sid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cc")))),
+          p => p.getField("cc")).as("c"))
+        .select(col("sid").as("cid"), col("c"))
+        .localCheckpoint(true)
+      (so, sc)
+    })
     val topSuper = topCellsFlat(probes, superCents, nsuper)
       .select(col("p_id"), col("cid").as("sid"))
     val candCells = topSuper.join(superOf, Seq("sid"))
