@@ -137,6 +137,8 @@ object SparkEntry {
     "x74_lang_classifier" -> (X.x74LangClassifier _),
     "x75_stream_dedup" -> (X.x75StreamDedup _),
     "x76_ann_recall" -> (X.x76AnnRecall _),
+    "x82_ann_twolevel" -> (X.x82AnnTwoLevel _),
+    "x83_ann_twolevel_narrow" -> (X.x83AnnTwoLevelNarrow _),
     "x76b_ann_recall_maintained" -> (X.x76bAnnRecallMaintained _),
     "x77_embedding_drift" -> (X.x77EmbeddingDrift _),
     "x78_dedup_verdicts" -> (X.x78DedupVerdicts _),

@@ -3120,6 +3120,76 @@ object Extras {
     res.crossJoin(broadcast(digest)).orderBy($"p_id", $"rank")
   }
 
+  /** x82 — the two-level coarse quantizer's IDENTITY contract,
+    * hash-gated (r17; the strongest gate in this repo is a
+    * CORRECTNESS key): x65's exact index + probe, but with the
+    * centroid limit forced under the 16-cell set so the ranking
+    * ROUTES two-level, and the descent width set to k₂ = ⌈√16⌉ = 4 —
+    * covering, so every cell is a candidate and the probe must be
+    * BIT-IDENTICAL to the flat ranking. The oracle is therefore x65's
+    * own SQL (plus the constant routed flag, captured at plan
+    * construction where the router runs): the plan changed, the
+    * contract did not, and DuckDB now gates that sentence. The
+    * sysprops are scoped to plan construction — the route decision
+    * and the memoized super frames are fixed into the plan, so later
+    * re-execution (bench reps, Verify's write) replays the same path.
+    */
+  def x82AnnTwoLevel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val cents = e.filter($"vec_id".between(1, 16))
+      .select($"vec_id".as("cid"), $"v".as("c"))
+    val path = scratchDir(s, "x82", dir) + "/index"
+    graft.operators.AnnIndex.build(e.filter($"vec_id" =!= 0), cents, path)
+    val probes = e.filter($"vec_id" === 0).select($"vec_id".as("p_id"), $"v".as("p"))
+    val (res, routed) = try {
+      System.setProperty("graft.ann.centroid.limit", "4")
+      System.setProperty("graft.ann.nsuper", "4")
+      val r = graft.operators.AnnIndex.probe(s, path, probes, cents,
+        nprobe = 2, k = 5)
+      (r, graft.operators.AnnIndex.lastRankingTwoLevel)
+    } finally {
+      System.clearProperty("graft.ann.centroid.limit")
+      System.clearProperty("graft.ann.nsuper")
+    }
+    res.withColumn("routed", lit(routed))
+  }
+
+  /** x83 — the two-level NARROW descent, hash-gated: same forced
+    * route but nsuper = 1, so only the probe's best super-cell's
+    * members are candidate cells — the level-1 recall contract
+    * (level 1's nprobe) exercised for real, and replayed RELATIONALLY:
+    * the oracle derives the super layer from scratch — super-seeds =
+    * the 4 smallest cell ids, membership by exact-decimal dot argmax
+    * (assign's rule, tie → smaller sid), super-centroid = per-dim
+    * DECIMAL(30,12) sum of member centroids (un-normalized, the x61
+    * idiom), the probe's super ranked by the decimal double-array dot
+    * (the l1/l2 cast chain), then x65's cell ranking and top-k
+    * restricted to the chosen super's cells. A drift anywhere in the
+    * two-level chain — seed choice, membership tie, sum order, level-1
+    * rank — hash-mismatches.
+    */
+  def x83AnnTwoLevelNarrow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val cents = e.filter($"vec_id".between(1, 16))
+      .select($"vec_id".as("cid"), $"v".as("c"))
+    val path = scratchDir(s, "x83", dir) + "/index"
+    graft.operators.AnnIndex.build(e.filter($"vec_id" =!= 0), cents, path)
+    val probes = e.filter($"vec_id" === 0).select($"vec_id".as("p_id"), $"v".as("p"))
+    val (res, routed) = try {
+      System.setProperty("graft.ann.centroid.limit", "4")
+      System.setProperty("graft.ann.nsuper", "1")
+      val r = graft.operators.AnnIndex.probe(s, path, probes, cents,
+        nprobe = 2, k = 5)
+      (r, graft.operators.AnnIndex.lastRankingTwoLevel)
+    } finally {
+      System.clearProperty("graft.ann.centroid.limit")
+      System.clearProperty("graft.ann.nsuper")
+    }
+    res.withColumn("routed", lit(routed))
+  }
+
   /** x70 — STREAMING index maintenance (ANN × H, VERDICT r11 #7):
     * x65b's refresh batch arrives as an unbounded parquet stream (four
     * slice files, one micro-batch each via maxFilesPerTrigger=1)

@@ -1702,6 +1702,73 @@ object ExtrasOracle {
     // identically to the batch-built one: the SAME oracle again
     "x70_ann_index_stream" -> annProbeSql,
 
+    // x82: covering two-level descent ≡ the flat ranking bit-for-bit —
+    // the oracle IS x65's SQL (the candidate cell set is complete and
+    // the tie rules are shared, so only the plan differs), plus the
+    // routed flag the Spark side captures from the router
+    "x82_ann_twolevel" ->
+      s"""SELECT p_id, rank, vec_id, score, TRUE AS routed
+         |FROM ($annProbeSql) ORDER BY p_id, rank""".stripMargin,
+
+    // x83: the narrow descent (nsuper = 1) replayed relationally —
+    // super-seeds are the 4 smallest cell ids, membership is the
+    // exact-decimal dot argmax (tie → smaller sid), the super-centroid
+    // is the per-dim DECIMAL(30,12) sum of member centroids
+    // (un-normalized: cosine/dot ranking is what level 1 does and the
+    // Spark side ranks the sum vector), the probe's super is the top-1
+    // by the decimal double-array dot (the l1/l2 cast chain), and
+    // x65's cell ranking + top-k run over ONLY that super's cells
+    "x83_ann_twolevel_narrow" ->
+      s"""WITH seeds AS MATERIALIZED (SELECT vec_id AS cid, embedding AS c
+         |  FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+         |sc AS MATERIALIZED (SELECT e.vec_id, s.cid, ${dot("e.embedding", "s.c")} AS d
+         |  FROM embeddings e, seeds s, generate_series(1, 64) t(i)
+         |  WHERE e.vec_id <> 0
+         |  GROUP BY e.vec_id, s.cid),
+         |assign AS MATERIALIZED (SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d DESC, cid) AS rn FROM sc) WHERE rn = 1),
+         |supseeds AS MATERIALIZED (SELECT vec_id AS sid, embedding AS sv
+         |  FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+         |ssc AS MATERIALIZED (SELECT c.cid, s2.sid, ${dot("c.c", "s2.sv")} AS d
+         |  FROM seeds c, supseeds s2, generate_series(1, 64) t(i)
+         |  GROUP BY c.cid, s2.sid),
+         |sof AS MATERIALIZED (SELECT cid, sid FROM (
+         |    SELECT cid, sid, row_number() OVER (PARTITION BY cid
+         |      ORDER BY d DESC, sid) AS rn FROM ssc) WHERE rn = 1),
+         |supc AS MATERIALIZED (SELECT sof.sid, i,
+         |    CAST(CAST(SUM(CAST(CAST(CAST(c.c[i] AS DOUBLE) AS VARCHAR)
+         |      AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE) AS cc
+         |  FROM seeds c JOIN sof ON sof.cid = c.cid,
+         |    generate_series(1, 64) t(i)
+         |  GROUP BY sof.sid, i),
+         |probe AS MATERIALIZED (SELECT embedding AS pe FROM embeddings
+         |  WHERE vec_id = 0),
+         |psup AS MATERIALIZED (SELECT m.sid,
+         |    CAST(CAST(SUM(CAST(CAST(CAST(probe.pe[m.i] AS DOUBLE) * m.cc
+         |      AS VARCHAR) AS DECIMAL(30,20))) AS VARCHAR) AS DOUBLE) AS d
+         |  FROM supc m, probe GROUP BY m.sid),
+         |chosen AS MATERIALIZED (SELECT sid FROM psup ORDER BY d DESC, sid LIMIT 1),
+         |psc AS MATERIALIZED (SELECT s.cid, ${dot("p.embedding", "s.c")} AS d
+         |  FROM embeddings p, seeds s JOIN sof ON sof.cid = s.cid
+         |    JOIN chosen ON chosen.sid = sof.sid,
+         |    generate_series(1, 64) t(i)
+         |  WHERE p.vec_id = 0 GROUP BY s.cid),
+         |pcells AS MATERIALIZED (SELECT cid AS cell FROM psc
+         |  ORDER BY d DESC, cid LIMIT 2),
+         |fin AS MATERIALIZED (SELECT e.vec_id,
+         |    ${dot("e.embedding", "probe.pe")} AS score
+         |  FROM embeddings e
+         |    JOIN assign a ON e.vec_id = a.vec_id
+         |    JOIN pcells ON a.cell = pcells.cell,
+         |    probe, generate_series(1, 64) t(i)
+         |  GROUP BY e.vec_id)
+         |SELECT CAST(0 AS BIGINT) AS p_id,
+         |  CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT) AS rank,
+         |  vec_id, score, TRUE AS routed
+         |FROM (SELECT * FROM fin ORDER BY score DESC, vec_id LIMIT 5)
+         |ORDER BY p_id, rank""".stripMargin,
+
     // x71: the signature-store lifecycle replayed declaratively. The
     // scheme derives from the EVEN-id (history) count — the store pins
     // it at build. Round 1: batch (id ≡ 1 mod 4) vs history ∪
