@@ -353,6 +353,24 @@ object PlanAudit {
       "decimal_dot kernel scores the probe (not interpreted HOF)" ->
         (_.contains("decimal_dot")),
       "no cartesian product" -> (p => !p.contains("CartesianProduct")))
+    // x82/x83: the two-level-routed probes — the ranking plan changed
+    // (router forced by the keys' scoped sysprops), but the SERVING
+    // claims must hold unchanged: the index scan still prunes to the
+    // chosen cells, decimal kernels still score, and the two-level
+    // pair construction is thin joins — a CartesianProduct anywhere
+    // means an n_cells-sized pair blowup crept into the new path
+    audit("x82_ann_twolevel")(
+      "two-level-routed probe still prunes by partition filter" ->
+        (p => p.contains("PartitionFilters: [") && p.contains("cell#")),
+      "decimal_dot kernel scores the probe (not interpreted HOF)" ->
+        (_.contains("decimal_dot")),
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")))
+    audit("x83_ann_twolevel_narrow")(
+      "narrow-descent probe still prunes by partition filter" ->
+        (p => p.contains("PartitionFilters: [") && p.contains("cell#")),
+      "decimal_dot kernel scores the probe (not interpreted HOF)" ->
+        (_.contains("decimal_dot")),
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")))
     // x65d: the PRODUCTION-DEFAULT maintenance path (optimizeIfOutgrown,
     // √n policy) — same serving-path claims as x65c: the policy changes
     // how many cells exist, never the probe's plan shape
