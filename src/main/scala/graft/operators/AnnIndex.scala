@@ -40,15 +40,19 @@ object AnnIndex {
     graft.expressions.DoubleDot.doubleDot(a, b)
 
   /** Hard ceiling on the centroid-set size for [[optimize]] (VERDICT
-    * r15 #3): the refresh collects one (cid, dim-double) row per
-    * cell, so the set must stay scheduler-sized. 262144 64-dim cells
-    * ≈ 140 MB — near the edge of collect-sane. The PROBE paths no
-    * longer share this ceiling: past the same limit their ranking
-    * routes through the two-level coarse quantizer
-    * ([[topCellsTwoLevel]], r17) instead of broadcasting the set.
-    * Optimize keeps the loud refusal until its centroid refresh is
-    * re-expressed without the collect (the remaining two-level work —
-    * SCALE.md). Overridable for tests via -Dgraft.ann.centroid.limit.
+    * r15 #3). The PROBE paths no longer share it: past the same limit
+    * their ranking routes through the two-level coarse quantizer
+    * ([[topCellsTwoLevel]], r17) instead of broadcasting the set, and
+    * the refresh's driver COLLECT is gone too (the refreshed set is
+    * staged as parquet and swapped to a versioned live home). What
+    * the guard still bounds is optimize's REORGANIZATION machinery:
+    * the per-sweep Lloyd `mu` broadcasts (one row per hot-cell child
+    * — a whole-index rebalance at 10⁶ cells would broadcast ~512 MB)
+    * and the driver-side split-plan Seqs (one entry per hot cell /
+    * child / final slice). Bounding those without the refusal is the
+    * remaining two-level maintenance work (shuffle-joined or
+    * driver-chunked Lloyd groups — SCALE.md r18 design). Overridable
+    * for tests via -Dgraft.ann.centroid.limit.
     */
   private def guardCentroidScale(n: Long): Unit = {
     val limit = java.lang.Long.getLong("graft.ann.centroid.limit", 262144L)
@@ -56,8 +60,9 @@ object AnnIndex {
       s"AnnIndex centroid set has $n cells > broadcast-sane limit $limit: " +
         "raise maxOccupancy (optimizeIfOutgrown's √n policy keeps " +
         "n_cells ≈ √n); probes past this limit rank via the two-level " +
-        "coarse quantizer, but optimize's centroid refresh still " +
-        "collects one row per cell (SCALE.md) — refusing to build it")
+        "coarse quantizer, but optimize's Lloyd broadcasts and " +
+        "driver-side split plan still scale with the hot-cell count " +
+        "(SCALE.md) — refusing to build them")
   }
 
   /** Slice-stage diagnostics from the LAST [[optimize]] call —
@@ -665,15 +670,12 @@ object AnnIndex {
     SwapCommit.withLock(root) {
       SwapCommit.awaitPending(f, root, CommitMarker, graceMs).map { p =>
         val staging = new org.apache.hadoop.fs.Path(root, p.payload)
-        // pull the staged refreshed centroids out BEFORE deleting staging
-        val cdf = spark.read.parquet(
-          new org.apache.hadoop.fs.Path(staging, "centroids").toString)
-        val rows = cdf.collect().toSeq
-        val local = spark.createDataFrame(
-          spark.sparkContext.parallelize(rows, 1), cdf.schema)
+        // the roll-forward moves the staged refreshed centroids to
+        // their versioned live home ([[completeSwap]]) — read them
+        // back from there, no driver collect (r17)
         completeSwap(f, root, staging, Int.MaxValue)
         SwapCommit.finish(f, root, p.marker, staging)
-        local
+        spark.read.parquet(centroidHome(root, staging.getName).toString)
       }
     }
   }
@@ -704,6 +706,16 @@ object AnnIndex {
         SwapCommit.replace(f, st.getPath, dest)
         done += 1
       }
+    // publish the staged refreshed centroids to their versioned live
+    // home LAST (after the failpoint-counted cell renames, so the
+    // crash specs' rename counts are unchanged); a replayed
+    // roll-forward finds the staged dir already moved and skips
+    val sc = new org.apache.hadoop.fs.Path(staging, "centroids")
+    if (f.exists(sc)) {
+      val home = centroidHome(root, staging.getName)
+      f.mkdirs(home.getParent)
+      SwapCommit.replace(f, sc, home)
+    }
   }
 
   /** Rebalance over-occupied cells (VERDICT r10 #8): after many
@@ -1168,17 +1180,26 @@ object AnnIndex {
         .select(col("cell").as("cid"),
           transform(col("c0"),
             x => when(col("nrm") > 0d, x / col("nrm")).otherwise(x)).as("c")))
-    val refreshedRows = refreshed.collect().toSeq
+    // Stage the refreshed centroids as FILES, not a driver collect
+    // (r17, the first half of the two-level maintenance design): the
+    // staged parquet write IS the pre-swap materialization point (the
+    // frame's lineage reads the pre-optimize file listing via the
+    // persisted member frame, so it must run before any cell is
+    // swapped), and the swap then publishes it to a VERSIONED live
+    // home (`_centroids/<staging uuid>`, [[completeSwap]]) that
+    // survives staging deletion — the returned frame READS IT BACK,
+    // so no driver-side copy of the centroid set exists at any point
+    // (the r16 version collected one (cid, dim-double) row per cell,
+    // ~140 MB at the guard). The pre-split guard above already
+    // bounded the post-split cell count, so no post-count re-guard is
+    // needed (its bound errs only high). Version retention keeps the
+    // last [[CentroidVersionsKept]] homes: a frame returned by an
+    // earlier optimize/recover stays readable across that many later
+    // optimizes; every in-repo caller re-adopts the newest returned
+    // frame (streams on each recovery), and long-held frames should
+    // be eagerly localCheckpoint'd (the AnnDiag loop idiom).
+    refreshed.coalesce(1).write.parquet(s"$staging/centroids")
     members.unpersist(blocking = false)
-    guardCentroidScale(refreshedRows.size.toLong)
-    val refreshedDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(refreshedRows, 1), refreshed.schema)
-    // Stage the refreshed centroids beside the data (recovery needs
-    // them to hand the post-split centroid set back to a crashed
-    // caller), then publish the commit marker ATOMICALLY (temp file +
-    // rename). Before the marker exists the live tree is untouched;
-    // once it exists the swap always rolls forward ([[recover]]).
-    refreshedDf.coalesce(1).write.parquet(s"$staging/centroids")
     if (failAfterSwaps == -1)
       throw new java.io.IOException(
         "injected FS failure before commit-marker publish (test failpoint)")
@@ -1186,7 +1207,29 @@ object AnnIndex {
     completeSwap(f, root, stagingPath, failAfterSwaps)
     SwapCommit.finish(f, root,
       new org.apache.hadoop.fs.Path(root, CommitMarker), stagingPath)
-    refreshedDf
+    gcCentroidVersions(f, root)
+    spark.read.parquet(centroidHome(root, stagingName).toString)
+  }
+
+  /** How many versioned centroid homes [[gcCentroidVersions]] keeps.
+    * Optimizes are once-per-decade-of-growth events, so four versions
+    * is years of slack for any holder of an old returned frame.
+    */
+  private val CentroidVersionsKept = 4
+
+  private def centroidHome(root: org.apache.hadoop.fs.Path,
+      stagingName: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(root, "_centroids"), stagingName)
+
+  private def gcCentroidVersions(f: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    val home = new org.apache.hadoop.fs.Path(root, "_centroids")
+    if (!f.exists(home)) return
+    f.listStatus(home).filter(_.isDirectory)
+      .sortBy(-_.getModificationTime)
+      .drop(CentroidVersionsKept)
+      .foreach(st => f.delete(st.getPath, true))
   }
 
   /** Top-k nearest (by inner product) for each probe, scanning only
