@@ -46,13 +46,15 @@ object AnnIndex {
     * the refresh's driver COLLECT is gone too (the refreshed set is
     * staged as parquet and swapped to a versioned live home). What
     * the guard still bounds is optimize's REORGANIZATION machinery:
-    * the per-sweep Lloyd `mu` broadcasts (one row per hot-cell child
-    * — a whole-index rebalance at 10⁶ cells would broadcast ~512 MB)
-    * and the driver-side split-plan Seqs (one entry per hot cell /
-    * child / final slice). Bounding those without the refusal is the
-    * remaining two-level maintenance work (shuffle-joined or
-    * driver-chunked Lloyd groups — SCALE.md r18 design). Overridable
-    * for tests via -Dgraft.ann.centroid.limit.
+    * the driver-side split-plan Seqs (one entry per hot cell / child
+    * / final slice) and the fact that a mega-rebalance has never been
+    * MEASURED — the Lloyd/seed join hints are already conditional on
+    * the driver-known child count (`bcastR`: past
+    * -Dgraft.ann.broadcast.rows.limit the hints drop and AQE picks
+    * shuffle joins from runtime sizes), so the structural pieces are
+    * in place, and lifting the refusal is a measurement task, not a
+    * design one (SCALE.md r18). Overridable for tests via
+    * -Dgraft.ann.centroid.limit.
     */
   private def guardCentroidScale(n: Long): Unit = {
     val limit = java.lang.Long.getLong("graft.ann.centroid.limit", 262144L)
@@ -924,6 +926,23 @@ object AnnIndex {
       rows
     }
     val seedSpecDf = seedSpecs.toDF("cell", "si", "rn", "child")
+    // Data-derived reorganization frames (the member↔centroid scoring
+    // join, seed picks/vectors, the pin map, each sweep's mu) carry a
+    // broadcast hint ONLY while the driver-known counts say they are
+    // broadcast-sane — the split plan is a driver Seq, so the input
+    // cell count and the child count are both exact before any join
+    // is built. Past the bound the hints drop away and AQE picks the
+    // strategy from runtime sizes (shuffle joins at mega-rebalance
+    // scale) — the SCALE.md r18 item-2 posture, with byte-identical
+    // plans at every scale the bench or the fixtures actually reach
+    // (the driver-Seq frames seedSpecDf/subSpecDf stay hinted: they
+    // are scheduler-sized by construction).
+    val reorgBound =
+      java.lang.Long.getLong("graft.ann.broadcast.rows.limit", 65536L)
+    val reorgSane =
+      idsRow.getLong(2) <= reorgBound && seedSpecs.size <= reorgBound
+    def bcastR(df: DataFrame): DataFrame =
+      if (reorgSane) broadcast(df) else df
     // members of split cells, scored against their OWN centroid — the
     // scan prunes to the split directories (static partition filter,
     // or the broadcast-semi DPP fallback when the hot set is wide).
@@ -940,7 +959,7 @@ object AnnIndex {
     val members = wantedCellScan(spark, path, hotIds)
       .select(col("cell").cast(LongType).as("cell"), col("vec_id"), col("v"))
       .groupBy(col("cell"), col("vec_id")).agg(max(col("v")).as("v"))
-      .join(broadcast(centroids), col("cell") === col("cid"))
+      .join(bcastR(centroids), col("cell") === col("cid"))
       .withColumn("d", dot("v", "c"))
       .drop("cid", "c")
       .withColumn("n2", dot("v", "v"))
@@ -958,12 +977,12 @@ object AnnIndex {
     val s0 = members
       .select(col("cell"), col("vec_id").as("svid0"), col("v").as("s0v"),
         col("n2").as("ns0"))
-      .join(broadcast(seed0Pick.select(col("cell"),
+      .join(bcastR(seed0Pick.select(col("cell"),
         col("svid").as("svid0"))), Seq("cell", "svid0"))
       .select(col("cell"), col("s0v"), col("ns0"))
     val rankByF0 = row_number().over(Window.partitionBy(col("cell"))
       .orderBy(coalesce(col("f0"), lit(Double.MinValue)).desc, col("vec_id")))
-    val seedRestPick = members.join(broadcast(s0), Seq("cell"))
+    val seedRestPick = members.join(bcastR(s0), Seq("cell"))
       .withColumn("f0",
         col("n2") - lit(2d) * dotc(col("v"), col("s0v")) + col("ns0"))
       .select(col("cell"), col("f0"), col("vec_id"))
@@ -981,7 +1000,7 @@ object AnnIndex {
       .select(col("cell"), col("svid").as("vec_id"),
         col("w.child").as("pchild"))
     def withPins(asg: DataFrame): DataFrame =
-      asg.join(broadcast(pins), Seq("cell", "vec_id"), "left_outer")
+      asg.join(bcastR(pins), Seq("cell", "vec_id"), "left_outer")
         .select(col("cell"), col("vec_id"),
           coalesce(col("pchild"), col("child")).as("child"))
     // seed self-dots for the nearest-seed rule, decimal-exact like
@@ -989,7 +1008,7 @@ object AnnIndex {
     val seeds = members
       .select(col("cell"), col("vec_id").as("svid"), col("v").as("sv"),
         col("n2").as("ns2"), col("nvf").as("nsf"))
-      .join(broadcast(seedPick), Seq("cell", "svid"))
+      .join(bcastR(seedPick), Seq("cell", "svid"))
     // nearest-seed in L2 via 2·x·s − |s|², exact-decimal dots combined
     // in IEEE double arithmetic (bit-equal on both engines) — routed
     // through the double-kernel pre-prune: a seed whose DOUBLE score
@@ -998,7 +1017,7 @@ object AnnIndex {
     // surviving winner) cannot win the exact argmax, so the decimal
     // kernel prices ~one seed per member instead of k
     val cand = members
-      .join(broadcast(seeds.select(col("cell"), col("si"), col("child"),
+      .join(bcastR(seeds.select(col("cell"), col("si"), col("child"),
         col("sv"), col("ns2"), col("nsf"))), Seq("cell"))
       .withColumn("f", lit(2d) * fdot("v", "sv") - col("nsf"))
       .withColumn("marg", lit(1e-9) *
@@ -1044,7 +1063,7 @@ object AnnIndex {
       val scored = asg
         .join(members.select(col("cell"), col("vec_id"), col("v"),
           col("nvf")), Seq("cell", "vec_id"))
-        .join(broadcast(mu.select(col("cell"), col("child").as("mchild"),
+        .join(bcastR(mu.select(col("cell"), col("child").as("mchild"),
           col("mc"), col("mnf"))), Seq("cell"))
         .select(col("cell"), col("vec_id"), col("mchild"), {
           val nprod = sqrt(col("nvf")) * sqrt(col("mnf"))
@@ -1061,7 +1080,7 @@ object AnnIndex {
       val exact = candL
         .join(members.select(col("cell"), col("vec_id"), col("v"),
           col("n2")), Seq("cell", "vec_id"))
-        .join(broadcast(mu.select(col("cell"), col("child"), col("mc"),
+        .join(bcastR(mu.select(col("cell"), col("child"), col("mc"),
           col("mn2"))), Seq("cell", "child"))
         .withColumn("cos", when(col("n2") > 0d && col("mn2") > 0d,
           dotc(col("v"), col("mc")) / (sqrt(col("n2")) * sqrt(col("mn2")))))
