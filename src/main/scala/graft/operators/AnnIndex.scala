@@ -96,8 +96,23 @@ object AnnIndex {
     * bare attribute — a cast there would defeat DPP).
     */
   private def wantedCellScan(spark: SparkSession, path: String,
+      cellIds: Seq[Long]): DataFrame =
+    wantedCellScan(spark.read.parquet(path), cellIds)
+
+  /** [[wantedCellScan]] over an already-read index frame: every
+    * `spark.read.parquet(path)` call pays a fresh recursive listing of
+    * the cell-partitioned table on the driver (InMemoryFileIndex is
+    * per-DataFrame, and the local FS materializes permission bits per
+    * listed file — SCALE.md measured ~0.6 s at ~200 files; an object
+    * store pays a LIST storm), so a caller that already holds a frame
+    * for the same table state reuses its listing instead of re-walking
+    * the directory tree (r17, guide §6). Partition pruning — static
+    * isin or the DPP semi-join — operates on the frame's cached
+    * listing either way; the routing and the plan are unchanged.
+    */
+  private def wantedCellScan(index: DataFrame,
       cellIds: Seq[Long]): DataFrame = {
-    val index = spark.read.parquet(path)
+    val spark = index.sparkSession
     if (cellIds.lengthCompare(isinCellLimit) <= 0)
       index.filter(col("cell").isin(cellIds: _*))
     else {
@@ -865,8 +880,25 @@ object AnnIndex {
   def optimizeIfOutgrown(spark: SparkSession, path: String,
       centroids: DataFrame,
       policy: Long => Long = defaultOccupancyPolicy): DataFrame = {
-    val n = spark.read.parquet(path).count()
-    optimize(spark, path, centroids, math.max(1L, policy(n)))
+    // ONE full-index occupancy aggregate serves the policy recount AND
+    // optimize's hot-cell selection (r17, guide §1.2/§2.4: the recount
+    // was a second full pass over the index — count(*) here, then the
+    // same groupBy(cell) scan again inside optimize). The collected
+    // per-cell counts are scheduler-sized by construction (one row per
+    // cell, cells guard-bounded), and their sum IS count(*) exactly,
+    // so the policy cap is unchanged. recover() first, like optimize
+    // itself, so the recount sees the rolled-forward table (the old
+    // shape counted a crashed predecessor's pre-swap layout).
+    recover(spark, path)
+    val indexDf = spark.read.parquet(path)
+    val cellCounts = indexDf
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .select(col("cell").cast("long"), col("n").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val n = cellCounts.map(_._2).sum
+    optimizeImpl(spark, path, centroids, math.max(1L, policy(n)),
+      Int.MaxValue, knownCounts = Some(cellCounts),
+      knownIndex = Some(indexDf))
   }
 
   /** cap ≈ ⌈√n⌉ — see [[optimizeIfOutgrown]]. */
@@ -880,7 +912,9 @@ object AnnIndex {
     * see pre- or post-split, never half.
     */
   private[graft] def optimizeImpl(spark: SparkSession, path: String,
-      centroids: DataFrame, maxOccupancy: Long, failAfterSwaps: Int): DataFrame = {
+      centroids: DataFrame, maxOccupancy: Long, failAfterSwaps: Int,
+      knownCounts: Option[Seq[(Long, Long)]] = None,
+      knownIndex: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
     graft.expressions.DecimalDot.register(spark)
     graft.expressions.DoubleDot.register(spark)
@@ -893,13 +927,23 @@ object AnnIndex {
       new org.apache.hadoop.fs.Path(path).getFileSystem(
         spark.sparkContext.hadoopConfiguration),
       new org.apache.hadoop.fs.Path(path), "_optimize-", CommitMarker, None)
-    val index = spark.read.parquet(path)
-    val counts = index.groupBy(col("cell")).agg(count(lit(1)).as("n"))
-    // partition discovery types `cell=` dirs as INT when the ids are
-    // small — normalize to long before collecting
-    val hotCells = counts.filter(col("n") > maxOccupancy)
-      .select(col("cell").cast("long"), col("n").cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    // ONE index read serves the occupancy aggregate AND the member
+    // scan below (r17): a second spark.read.parquet(path) would pay a
+    // second full recursive listing of the cell-partitioned table on
+    // the driver (see [[wantedCellScan]]'s frame overload) — measured
+    // as the bulk of a 18.1 → 11.6 s x65d A/B once optimizeIfOutgrown
+    // stopped triple-listing. Partition discovery types `cell=` dirs
+    // as INT when the ids are small — normalize to long before
+    // collecting. A caller that already aggregated the occupancy
+    // (optimizeIfOutgrown's policy recount) passes the collected
+    // counts and its frame through instead.
+    val indexDf = knownIndex.getOrElse(spark.read.parquet(path))
+    val hotCells = knownCounts.getOrElse {
+      indexDf
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .select(col("cell").cast("long"), col("n").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }.filter(_._2 > maxOccupancy).sortBy(_._1)
     if (hotCells.isEmpty) return centroids
     // one scheduler-sized agg serves the child-id base, the compaction
     // sizing's vector width, and the loud scale guard's input count
@@ -956,7 +1000,7 @@ object AnnIndex {
     // diversity ordering and both Lloyd sweeps' exact cosines.
     val hotIds = hotCells.map(_._1)
     val fdot = graft.functions.VectorFns.dotFast _
-    val members = wantedCellScan(spark, path, hotIds)
+    val members = wantedCellScan(indexDf, hotIds)
       .select(col("cell").cast(LongType).as("cell"), col("vec_id"), col("v"))
       .groupBy(col("cell"), col("vec_id")).agg(max(col("v")).as("v"))
       .join(bcastR(centroids), col("cell") === col("cid"))
