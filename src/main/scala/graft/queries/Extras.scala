@@ -3377,10 +3377,36 @@ object Extras {
       new org.apache.hadoop.fs.Path(to), false, conf)
   }
 
+  /** Run two INDEPENDENT probe legs concurrently from two driver
+    * threads (spark_optimization_guide §2.6: actions are only
+    * sequential because the driver calls them sequentially — the
+    * second leg's tasks back-fill the executor slots the first leg's
+    * scheduler-latency tail leaves idle, which at these batch sizes
+    * is most of them). Each leg gets its OWN cloned session (same
+    * SparkContext and cache, private SQLConf) because the probe paths
+    * scope session confs around their actions (withCensusExchangeConf
+    * / withAdvisoryCap) — two legs sharing one session would race
+    * those set/restore pairs. Verdicts are bit-identical to the
+    * sequential form: both legs' stores are read-only fixtures
+    * (VERDICT r13 #6) and exchange-sizing confs never change verdict
+    * content, only partition counts. Builder-time session confs
+    * (nanosAsLong, AQE, shuffle.partitions, extensions) are inherited
+    * by newSession(); nothing in these paths reads a
+    * runtime-set-only conf.
+    */
+  private def parProbes[T](s: SparkSession)(
+      leg1: SparkSession => T, leg2: SparkSession => T): (T, T) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val f1 = Future(leg1(s.newSession()))
+    val f2 = Future(leg2(s.newSession()))
+    (Await.result(f1, Duration.Inf), Await.result(f2, Duration.Inf))
+  }
+
   def x71IncrementalMinhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val mss = graft.operators.MinhashSignatureStore
-    val docs = t(s, dir, "documents").select($"doc_id", $"text")
     // fixture sizing: the gate exercises the LIFECYCLE (store reuse,
     // batch ordering, dropped-docs-never-enter semantics); candidate
     // DENSITY stress is x02/q27's job. A quarter-corpus history with
@@ -3394,12 +3420,22 @@ object Extras {
     // instead of once per key per rep. Verdict ordering needs no
     // parquet bounce anymore: dedupAgainst materializes its census
     // aggregate eagerly, and nothing here mutates the shared stores.
-    val b1 = docs.filter($"doc_id" % 8 === 1)
-    val b2 = docs.filter($"doc_id" % 8 === 5)
-    val v1 = mss.dedupAgainst(s, b1, pristineStoreFor(s, dir),
-      Perms, MinhashJaccardThreshold)
-    val v2 = mss.dedupAgainst(s, b2, postB1StoreFor(s, dir),
-      Perms, MinhashJaccardThreshold)
+    // fixtures resolved BEFORE the parallel legs (postB1 depends on
+    // pristine; computeIfAbsent must not race itself)
+    val pristine = pristineStoreFor(s, dir)
+    val postB1 = postB1StoreFor(s, dir)
+    // the two probes are independent reads of read-only stores — run
+    // them concurrently ([[parProbes]]); each leg builds its batch on
+    // its own session so every job it runs is session-local
+    val (v1, v2) = parProbes(s)(
+      s1 => mss.dedupAgainst(s1,
+        t(s1, dir, "documents").select(col("doc_id"), col("text"))
+          .filter(col("doc_id") % 8 === 1),
+        pristine, Perms, MinhashJaccardThreshold),
+      s2 => mss.dedupAgainst(s2,
+        t(s2, dir, "documents").select(col("doc_id"), col("text"))
+          .filter(col("doc_id") % 8 === 5),
+        postB1, Perms, MinhashJaccardThreshold))
     v1.withColumn("batch", lit("b1"))
       .unionByName(v2.withColumn("batch", lit("b2")))
       .select($"doc_id", $"batch", $"keep", $"n_dups", $"max_jaccard")
@@ -3820,18 +3856,25 @@ object Extras {
   def x78DedupVerdicts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val mss = graft.operators.MinhashSignatureStore
-    val docs = t(s, dir, "documents").select($"doc_id", $"text")
-    val b1 = docs.filter($"doc_id" % 8 === 1)
-    val b2 = docs.filter($"doc_id" % 8 === 5)
     // same shared read-only store states as x71 (VERDICT r13 #6); the
     // mode under test is the PROBE, which is exactly what still runs
     // here per rep — the append between the probes is fixture state
     // (itself built via dedupVerdicts, so the x78 lifecycle's append
-    // leg runs once per JVM too)
-    val v1 = mss.dedupVerdicts(s, b1, pristineStoreFor(s, dir),
-      Perms, MinhashJaccardThreshold)
-    val v2 = mss.dedupVerdicts(s, b2, postB1StoreFor(s, dir),
-      Perms, MinhashJaccardThreshold)
+    // leg runs once per JVM too). The two probes run concurrently
+    // ([[parProbes]]): the verdict ladder is ~6 driver-sequenced jobs
+    // per probe, and the second probe's tasks fill the first's
+    // scheduler-latency gaps.
+    val pristine = pristineStoreFor(s, dir)
+    val postB1 = postB1StoreFor(s, dir)
+    val (v1, v2) = parProbes(s)(
+      s1 => mss.dedupVerdicts(s1,
+        t(s1, dir, "documents").select(col("doc_id"), col("text"))
+          .filter(col("doc_id") % 8 === 1),
+        pristine, Perms, MinhashJaccardThreshold),
+      s2 => mss.dedupVerdicts(s2,
+        t(s2, dir, "documents").select(col("doc_id"), col("text"))
+          .filter(col("doc_id") % 8 === 5),
+        postB1, Perms, MinhashJaccardThreshold))
     v1.withColumn("batch", lit("b1"))
       .unionByName(v2.withColumn("batch", lit("b2")))
       .select($"doc_id", $"batch", $"keep")
