@@ -141,6 +141,19 @@ object MinhashSignatureStore {
       }
     } catch { case _: Exception => None }
 
+  /** The store's exact bands row count from the [[BandsRowsFile]]
+    * commit metadata — one tiny driver-side file read, no Spark job,
+    * no listing; None when the store predates the metadata or a torn
+    * write left it absent. Callers use it as a SCALE SIGNAL (e.g.
+    * x71/x78's concurrent-vs-sequential probe-leg routing): it is the
+    * only store-size figure available for zero cost before any probe
+    * plan is built.
+    */
+  private[graft] def storedBandsRows(spark: SparkSession,
+      storeDir: String): Option[Long] =
+    readBandsRows(fs(spark, storeDir),
+      new org.apache.hadoop.fs.Path(storeDir)).map(_._1)
+
   /** Tmp + delete + rename: not atomic across the delete, but a crash
     * in the window leaves the file ABSENT — the safe direction (sweep
     * fallback), never a stale count.

@@ -3394,15 +3394,36 @@ object Extras {
     * by newSession(); nothing in these paths reads a
     * runtime-set-only conf.
     */
-  private def parProbes[T](s: SparkSession)(
-      leg1: SparkSession => T, leg2: SparkSession => T): (T, T) = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val f1 = Future(leg1(s.newSession()))
-    val f2 = Future(leg2(s.newSession()))
-    (Await.result(f1, Duration.Inf), Await.result(f2, Duration.Inf))
-  }
+  private def parProbes[T](s: SparkSession, concurrent: Boolean)(
+      leg1: SparkSession => T, leg2: SparkSession => T): (T, T) =
+    if (!concurrent) (leg1(s), leg2(s))
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val f1 = Future(leg1(s.newSession()))
+      val f2 = Future(leg2(s.newSession()))
+      (Await.result(f1, Duration.Inf), Await.result(f2, Duration.Inf))
+    }
+
+  /** Route the two probe legs concurrent vs sequential from the
+    * store's `_bands_rows` commit metadata (one tiny driver read,
+    * zero Spark jobs — the only store-size signal that costs nothing
+    * before a plan is built). Overlap wins exactly where the probes
+    * are SCHEDULER-LATENCY-bound (small stores/batches: executors
+    * idle between a probe's driver-sequenced jobs); past the bound
+    * the probes are data-bound — they saturate the cores anyway, and
+    * two census candidate exchanges in flight TOGETHER doubled peak
+    * execution memory and OOM'd the 8 GB sf10 sweep this round. So:
+    * concurrent iff the metadata says the store is under
+    * `-Dgraft.probe.parallel.bands.limit` (65536 band rows ≈ a
+    * ≤16k-doc store at the (16,4) scheme); absent metadata (legacy
+    * store) routes sequential — the conservative, sweep-proven path.
+    */
+  private def smallStoreProbe(s: SparkSession, storeDir: String): Boolean =
+    graft.operators.MinhashSignatureStore.storedBandsRows(s, storeDir)
+      .exists(_ <= java.lang.Long.getLong(
+        "graft.probe.parallel.bands.limit", 65536L))
 
   def x71IncrementalMinhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -3425,9 +3446,11 @@ object Extras {
     val pristine = pristineStoreFor(s, dir)
     val postB1 = postB1StoreFor(s, dir)
     // the two probes are independent reads of read-only stores — run
-    // them concurrently ([[parProbes]]); each leg builds its batch on
-    // its own session so every job it runs is session-local
-    val (v1, v2) = parProbes(s)(
+    // them concurrently when the store is small enough that the legs
+    // are latency- not memory-bound ([[smallStoreProbe]]); each leg
+    // builds its batch on its own session so every job it runs is
+    // session-local
+    val (v1, v2) = parProbes(s, smallStoreProbe(s, postB1))(
       s1 => mss.dedupAgainst(s1,
         t(s1, dir, "documents").select(col("doc_id"), col("text"))
           .filter(col("doc_id") % 8 === 1),
@@ -3866,7 +3889,7 @@ object Extras {
     // scheduler-latency gaps.
     val pristine = pristineStoreFor(s, dir)
     val postB1 = postB1StoreFor(s, dir)
-    val (v1, v2) = parProbes(s)(
+    val (v1, v2) = parProbes(s, smallStoreProbe(s, postB1))(
       s1 => mss.dedupVerdicts(s1,
         t(s1, dir, "documents").select(col("doc_id"), col("text"))
           .filter(col("doc_id") % 8 === 1),
