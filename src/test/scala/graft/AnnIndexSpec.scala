@@ -680,6 +680,31 @@ class AnnIndexSpec extends AnyFunSuite {
     } finally System.clearProperty("graft.ann.centroid.limit")
   }
 
+  test("optimizeIfOutgrown's fused single-read recount (r17) produces " +
+      "the layout and centroids of a fixed-cap optimize at the policy " +
+      "cap") {
+    // two identical indexes; one maintained through the fused path
+    // (one occupancy aggregate serves recount + cap + hot-cell
+    // selection, one listing serves it and the member scan), the
+    // other through the plain fixed-cap path at the cap the policy
+    // derives — layouts and refreshed centroid sets must be identical
+    val p1 = java.nio.file.Files.createTempDirectory("graft-ann-fuse1").toString
+    val p2 = java.nio.file.Files.createTempDirectory("graft-ann-fuse2").toString
+    val c1 = buildSkewed(p1)
+    val c2 = buildSkewed(p2)
+    val n = spark.read.parquet(p1).count()
+    val r1 = AnnIndex.optimizeIfOutgrown(spark, p1, c1)
+    val r2 = AnnIndex.optimize(spark, p2, c2,
+      AnnIndex.defaultOccupancyPolicy(n))
+    assert(occOf(p1) == occOf(p2),
+      "fused recount must split exactly like the fixed-cap path")
+    def cset(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("cid").cast("long"), col("c"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    assert(cset(r1).sameElements(cset(r2)),
+      "refreshed centroid sets must be identical")
+  }
+
   test("dedupVerdicts == dedupAgainst's keep/drop across the x79/x81 " +
       "lifecycle (the census statistics are the only thing the mode " +
       "drops)") {

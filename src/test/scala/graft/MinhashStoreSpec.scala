@@ -278,6 +278,25 @@ class MinhashStoreSpec extends AnyFunSuite {
       "an append onto a metadata-less store re-seeds the exact total")
   }
 
+  test("storedBandsRows surfaces the commit-metadata count and reads " +
+      "None on a legacy store (the r17 probe-leg routing signal: " +
+      "absent metadata must route conservative)") {
+    val store = freshStore("rowsaccessor")
+    MinhashSignatureStore.build(spark, docsDf(1L -> h1Text, 2L -> h2Text),
+      store, 16, 4, perms)
+    val truth = spark.read.parquet(s"$store/bands").count()
+    assert(MinhashSignatureStore.storedBandsRows(spark, store)
+      === Some(truth), "accessor returns the committed exact count")
+    MinhashSignatureStore.append(spark, docsDf(3L -> freshText), store, perms)
+    assert(MinhashSignatureStore.storedBandsRows(spark, store)
+      === Some(spark.read.parquet(s"$store/bands").count()),
+      "accessor tracks the append delta")
+    assert(new java.io.File(store, "_bands_rows").delete())
+    assert(MinhashSignatureStore.storedBandsRows(spark, store) === None,
+      "a metadata-less store reads None — the sequential-routing " +
+        "direction, never a guess")
+  }
+
   test("rebuild re-bands to a new scheme: probes match a fresh build, " +
       "the swap is crash-atomic, duplicated rows compact (VERDICT r12 #2)") {
     // a store built at the small-corpus scheme, grown by an append —
